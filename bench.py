@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at the bench scale
+factor and prints ONE JSON line for the driver.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Each query is fully materialized through the no-op sink (row-level
+execution, nothing collected to the driver) — the same way a cluster
+job would be costed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY
+from end_to_end_etl_pipeline_spark.session import create_spark_session
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "monthly_segment_growth",
+    "customer_master",
+    "top_events_per_user",
+    "dedup_exact_text",
+    "text_quality",
+    "label_centroids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = create_spark_session(app_name="bench")
+
+    # warmup: JVM/codegen spin-up, not counted
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Join operators (SURVEY.md §2.4 J1-J3 + free extensions).
+
+The reference uses left-outer equi-joins (J1) and composite-key left-
+anti joins (J2). The same wrapper gives inner/semi/full for free; the
+as-of join (natural extension for the trading data, SURVEY.md §2.4
+note) is built from union+window rather than a cross/range join so it
+stays a single shuffle.
+
+Scale notes: Catalyst+AQE pick broadcast vs sort-merge at runtime; we
+expose an explicit ``broadcast`` flag for dimensions known small
+(region/nation-sized), because a guaranteed broadcast beats AQE's
+detection when the small side is behind a complex subplan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1 — USING-style equi-join (reference
+    ``medallion/silver/b2s_company_house.py:107-110``)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """J2 — composite-key left-anti join: rows of ``left`` with no
+    match in ``right`` (reference ``medallion/silver/b2s_yfinance.py:164-175``).
+
+    USING-style key list avoids the self-join ambiguity of the
+    reference's ``df[k] == other[k]`` expression form.
+    """
+    return left.join(right.select(*keys), list(keys), "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` (direction="backward"), per ``on`` key.
+
+    Implemented union-sort style: tag sides, union, single window
+    ordered by time, ``last(value, ignorenulls)`` carries the most
+    recent right value forward. One shuffle on the key — no range
+    explosion, no cross join; survives 100× scale-up because state per
+    key is a single running value.
+    """
+    if direction != "backward":
+        raise ValueError("only backward as-of supported")
+    on = list(on)
+    lt = F.col(left_time).cast("timestamp")
+    l_tag = left.withColumn("__t", lt).withColumn("__side", F.lit(1))
+    r_proj = right.select(
+        *on,
+        F.col(right_time).cast("timestamp").alias("__t"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    ).withColumn("__side", F.lit(0))
+    for c in right_cols:
+        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(r_proj.schema[f"__r_{c}"].dataType))
+    missing = [c for c in l_tag.columns if c not in r_proj.columns]
+    for c in missing:
+        r_proj = r_proj.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
+    unioned = r_proj.select(*l_tag.columns).unionByName(l_tag)
+    # right rows sort before left rows at equal timestamps → a right row
+    # stamped at exactly left_time is visible to that left row
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned
+    for c in right_cols:
+        carried = carried.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).drop("__t", "__side")
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__r_{c}", c)
+    return out

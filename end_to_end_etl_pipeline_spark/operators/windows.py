@@ -1,0 +1,69 @@
+"""Window / KPI operators (SURVEY.md §2.6 W1 + free extensions §7.1-3).
+
+W1 is the reference's only window use: lag-based QoQ growth per entity
+(``medallion/gold/s2g.py:126-134``). The engine generalizes to
+rank/row_number/frames since they unlock deterministic dedup and top-k.
+
+Scale notes: a window partitioned by a real key (entity id) scales —
+state per key is bounded. Avoid global (unpartitioned) windows; the
+top-k helper keeps the per-group heap pattern instead of a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lag_growth(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    value_col: str,
+    out_col: str = "growth",
+) -> DataFrame:
+    """W1 — ``(v - lag(v)) / lag(v)`` per partition ordered by time.
+
+    Division is NULL-guarded with when/otherwise exactly like the
+    reference's guarded ratios (``medallion/gold/s2g.py:135-140``).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(F.col(order_by))
+    prev = F.lag(F.col(value_col)).over(w)
+    growth = F.when(
+        prev.isNotNull() & (prev != 0), (F.col(value_col) - prev) / prev
+    ).otherwise(F.lit(None))
+    return df.withColumn(out_col, growth)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k per group via row_number — Spark plans this as a per-
+    partition TopK (WindowGroupLimit) rather than a full sort when the
+    filter is on row_number, so it survives wide groups."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def running_total(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum frame (unbounded-preceding → current row)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(order_by))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))

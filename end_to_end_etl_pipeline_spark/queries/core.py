@@ -1,0 +1,404 @@
+"""Reference-parity queries (SURVEY.md §2) over the driver's TPC-H-ish
+tables, each with a DuckDB oracle.
+
+The flagship ``customer_master`` reproduces the shape of the
+reference's silver ``company_master`` build
+(``medallion/silver/b2s_company_house.py:64-121``): scan → key
+enforcement → dedup → per-entity aggregates (count / distinct-count /
+max) → left join → derived KPI columns (trim/initcap/when-otherwise/
+date arithmetic). The rest cover each §2 operator family on the
+driver's tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.cleaning import derive_columns
+from end_to_end_etl_pipeline_spark.operators.dedup import dedup_by_key
+from end_to_end_etl_pipeline_spark.operators.dq import apply_rules, bounds_rule, not_null_rule
+from end_to_end_etl_pipeline_spark.operators.joins import equi_join
+from end_to_end_etl_pipeline_spark.operators.windows import lag_growth, top_k_per_group
+from end_to_end_etl_pipeline_spark.queries.catalog import load, register
+
+ANCHOR = "1998-12-01"  # fixed anchor instead of current_date: deterministic
+
+
+@register(
+    "customer_master",
+    oracle=f"""
+    WITH orders_agg AS (
+      SELECT o_custkey,
+             count(*) AS order_count,
+             count(DISTINCT o_orderpriority) AS distinct_priorities,
+             max(CAST(o_orderdate AS DATE)) AS last_order_date,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ), cust AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY c_name) AS rn
+        FROM customer WHERE c_custkey IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey,
+           trim(c.c_name) AS customer_name,
+           upper(substr(c.c_mktsegment, 1, 1)) || lower(substr(c.c_mktsegment, 2)) AS mktsegment,
+           o.order_count,
+           o.distinct_priorities,
+           o.last_order_date,
+           o.total_spend,
+           (o.order_count IS NOT NULL) AS is_active,
+           CAST(date_diff('day', o.last_order_date, DATE '{ANCHOR}') AS BIGINT) AS days_since_last_order
+    FROM cust c LEFT JOIN orders_agg o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Flagship: company_master capability rebuild (S3,P1,P4,P6,P7,J1,A1-A3,F5-F9).",
+    tags=("parity", "flagship"),
+)
+def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+
+    orders_agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"),
+        F.countDistinct("o_orderpriority").alias("distinct_priorities"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    cust = dedup_by_key(
+        apply_rules(customer, not_null_rule(["c_custkey"])),
+        keys=["c_custkey"],
+        order_by=[F.col("c_name").asc()],
+    )
+    joined = equi_join(
+        cust, orders_agg, on=[cust.c_custkey == orders_agg.o_custkey], how="left"
+    )
+    return joined.select(
+        "c_custkey",
+        F.trim("c_name").alias("customer_name"),
+        F.initcap(F.lower("c_mktsegment")).alias("mktsegment"),
+        "order_count",
+        "distinct_priorities",
+        "last_order_date",
+        "total_spend",
+        F.col("order_count").isNotNull().alias("is_active"),
+        F.datediff(F.lit(ANCHOR).cast("date"), F.col("last_order_date"))
+        .cast("long")
+        .alias("days_since_last_order"),
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style grouped aggregation (A-family widened: sum/avg/count).",
+    tags=("parity", "bench"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT c.c_custkey) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name
+    """,
+    doc="Multi-way join star query; nation/region are broadcast dims.",
+    tags=("parity", "bench"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "monthly_segment_growth",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, month, revenue,
+           round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6) AS mom_growth
+    FROM m WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
+    """,
+    doc="W1 capability: lag-based growth KPI (gold QoQ growth, s2g.py:126-134).",
+    tags=("parity", "bench"),
+)
+def monthly_segment_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "c_mktsegment", F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    grown = lag_growth(
+        monthly,
+        partition_by=["c_mktsegment"],
+        order_by="month",
+        value_col="revenue",
+        out_col="mom_growth",
+    )
+    return grown.withColumn("mom_growth", F.round("mom_growth", 6))
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) = 1
+    """,
+    doc="Deterministic dedup-by-key (P7 fixed per SURVEY §2.11-6).",
+    tags=("parity",),
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return dedup_by_key(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "top_events_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+    FROM events
+    QUALIFY rn <= 3
+    """,
+    doc="Top-k per group via row_number (WindowGroupLimit, no global sort).",
+    tags=("parity",),
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    ranked = top_k_per_group(
+        events,
+        partition_by=["user_id"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+    )
+    return ranked.select(
+        "user_id", "event_id", "event_type", "value", F.col("rn").cast("long").alias("rn")
+    )
+
+
+@register(
+    "doc_word_counts",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY word
+    """,
+    doc="P8 explode/UNNEST capability over text (lateral-view semantics).",
+    tags=("parity",),
+)
+def doc_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "event_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON extraction (from_json/get_json_object family) over events.props.",
+    tags=("parity",),
+)
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "order_date_features",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '{ANCHOR}') AS BIGINT)
+             AS age_days,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+    doc="Date-function coverage beyond the reference (datediff/add_months/trunc/last_day).",
+    tags=("parity",),
+)
+def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.datediff(F.lit(ANCHOR).cast("date"), d).cast("long").alias("age_days"),
+        F.add_months(d, 3).alias("plus_quarter"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@register(
+    "dq_orders_clean",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+      AND (o_totalprice IS NULL OR (o_totalprice >= 0 AND o_totalprice <= 1000000000))
+    GROUP BY o_orderstatus
+    """,
+    doc="Declarative DQ rules (P4 not-null + column-scoped bounds, §2.11-3 fixed).",
+    tags=("parity",),
+)
+def dq_orders_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    clean = apply_rules(
+        orders,
+        not_null_rule(["o_orderkey", "o_custkey"]),
+        bounds_rule({"o_totalprice": (0, 1_000_000_000)}),
+    )
+    return clean.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "customer_account_tiers",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'debit'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_balance,
+           count(DISTINCT c_nationkey) AS n_nations
+    FROM customer GROUP BY 1
+    """,
+    doc="when/otherwise bucketing (F9) + distinct-count (A2).",
+    tags=("parity",),
+)
+def customer_account_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debit")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+    )
+    return (
+        customer.withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "region_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(c.c_custkey) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Rollup/grouping-sets (free Spark extension noted in SURVEY §2.5).",
+    tags=("parity",),
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("c_custkey").alias("n_customers")
+    )

@@ -1,0 +1,143 @@
+"""Sink / DDL / maintenance operators (SURVEY.md §2.2, K1-K10).
+
+The reference writes managed Delta tables on Databricks. Delta's jars
+are not on this classpath, so the engine's storage layer is a small
+path-based parquet "catalog" with the same operator surface:
+
+* K1 overwrite (+schema overwrite — trivially true for parquet rewrite)
+* K2 append
+* K3 partitioned write (hive-style → static partition pruning)
+* K8 OPTIMIZE/ZORDER → sorted-rewrite emulation (``clustered_rewrite``)
+* K10 table-existence probe
+
+MERGE (K4-K6) lives in ``operators/scd.py`` as join+union+atomic-swap
+choreography — see there for the scale discussion. If Delta is on the
+classpath the same interfaces can bind to ``DeltaTable`` (import-try),
+but the parquet path is the tested default per SURVEY.md §7.1-4.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """K1/K3 — full-refresh overwrite, optionally hive-partitioned.
+
+    Partition columns should be low-cardinality (status, month) —
+    per-day partitioning of high-frequency data is the small-files
+    antipattern SURVEY.md §4 flags in the reference's gold config.
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_append(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """K2 — append new row versions (SCD2 insert leg)."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def clustered_rewrite(
+    spark: SparkSession,
+    path: str,
+    cluster_by: Sequence[str],
+    target_partitions: int | None = None,
+) -> None:
+    """K8 — OPTIMIZE … ZORDER emulation: compact + co-locate.
+
+    Reference calls Databricks ``OPTIMIZE … ZORDER BY (company_number)``
+    (``medallion/gold/s2g.py:98-101``). Open-source emulation:
+    repartition on the cluster keys (hash co-location → one file per
+    bucket of keys) then sortWithinPartitions so parquet row-group
+    min/max stats give data skipping on those keys. Atomic via
+    write-to-temp + directory swap.
+    """
+    df = spark.read.parquet(path)
+    n = target_partitions or max(df.rdd.getNumPartitions() // 4, 1)
+    tmp = f"{path.rstrip('/')}__optimize_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(n, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _swap_dirs(tmp, path)
+
+
+def _swap_dirs(new: str, dest: str) -> None:
+    """Replace ``dest`` with ``new`` as atomically as local FS allows."""
+    trash = f"{dest.rstrip('/')}__trash_{uuid.uuid4().hex[:8]}"
+    os.rename(dest, trash)
+    os.rename(new, dest)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+class ParquetCatalog:
+    """Minimal path-addressed catalog: ``zone.table`` → directory.
+
+    Stands in for the reference's Unity Catalog 3-level names
+    (`` `companies-data`.bronze.overview ``,
+    ``medallion/bronze/config_company_house.json:2-4``). Keeps the
+    engine's operator code catalog-agnostic: swap this class for a
+    metastore-backed one on a cluster.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, *name.split("."))
+
+    def exists(self, name: str) -> bool:
+        """K10 — table-existence probe (reference branches create-vs-
+        merge on it, ``medallion/silver/b2s_yfinance.py:39-44``)."""
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f.startswith("part-") or f.startswith("_SUCCESS")
+            for root_, _dirs, files in os.walk(p)
+            for f in files
+        )
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def overwrite(self, df: DataFrame, name: str, partition_by=None) -> None:
+        write_overwrite(df, self.path(name), partition_by)
+
+    def append(self, df: DataFrame, name: str, partition_by=None) -> None:
+        write_append(df, self.path(name), partition_by)
+
+    def replace_atomic(self, df: DataFrame, name: str, partition_by=None) -> None:
+        """Overwrite via temp-dir + swap: readers never observe a
+        half-written table, and a crash mid-write leaves the old data
+        intact (fixes SURVEY.md §2.11-5's torn SCD2 two-transaction
+        window at the storage layer)."""
+        dest = self.path(name)
+        if not os.path.isdir(dest):
+            write_overwrite(df, dest, partition_by)
+            return
+        tmp = f"{dest}__stage_{uuid.uuid4().hex[:8]}"
+        write_overwrite(df, tmp, partition_by)
+        _swap_dirs(tmp, dest)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self.path(name), ignore_errors=True)
