@@ -1,0 +1,217 @@
+"""Slowly-changing-dimension engine (SURVEY.md §2.2 K4-K6, §7.1-4).
+
+Capability rebuild of the reference's ``utils/scd/scd.py`` (SCD Type
+1/2/3 on Delta MERGE) and the silver yfinance SCD2 choreography
+(``medallion/silver/b2s_yfinance.py:114-186``), re-expressed for a
+parquet lakehouse with the reference's observed defects fixed:
+
+* **Atomicity** (§2.11-5): the reference runs MERGE-expire then
+  append as two transactions; a crash between them loses the new
+  version. Here each SCD apply computes the complete next table state
+  as ONE DataFrame plan and publishes it with an atomic directory
+  swap — readers see old or new state, never between.
+* **Zero-width versions** (§2.11-5): validity is timestamp-typed and
+  the ``as_of`` is caller-supplied, so same-day re-runs don't produce
+  ``effective_from == effective_to`` date collisions.
+* **Null-skipping hash** (§2.11-2): change detection uses the
+  null-sentinel row hash from ``operators/hashing.py``.
+* **SCD1 untracked-column loss** (§2.11-8): SCD1 merges full rows,
+  not just tracked columns.
+
+Scale notes. The parquet path rewrites the table per apply — at
+100 TB bind these same plans to a MERGE-capable format (Delta/Iceberg,
+interface kept identical) or partition the dimension by a stable key
+bucket so the rewrite is partition-pruned to buckets containing
+changes. The *plan* itself scales either way: one shuffle on the
+business key (source ⋈ current), map-side hash compare, union of
+disjoint legs — no collects, no driver loops, no second pass over the
+source (the reference reads the source twice: MERGE + anti-join).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.hashing import with_row_hash
+from end_to_end_etl_pipeline_spark.sinks.writers import ParquetCatalog
+
+SCD_COLS = ("row_hash", "effective_from", "effective_to", "is_current")
+
+MAX_TS = "9999-12-31 23:59:59"
+
+
+@dataclass
+class SCDConfig:
+    """Config-driven SCD binding (the reference drives this from JSON,
+    ``medallion/silver/config_yfinance.json:5-58``)."""
+
+    table: str
+    business_keys: Sequence[str]
+    tracked_columns: Sequence[str]
+    scd_type: int = 2
+
+
+class SCDEngine:
+    def __init__(self, catalog: ParquetCatalog):
+        self.catalog = catalog
+
+    # -- type 1 ---------------------------------------------------------
+    def apply_scd1(
+        self,
+        source: DataFrame,
+        table: str,
+        keys: Sequence[str],
+    ) -> None:
+        """K4 — upsert: matched rows take the source's full row (fixes
+        §2.11-8), unmatched target rows survive, new keys insert."""
+        keys = list(keys)
+        if not self.catalog.exists(table):
+            self.catalog.replace_atomic(source, table)
+            return
+        target = self.catalog.read(table)
+        kept = target.join(source.select(*keys), keys, "left_anti")
+        self.catalog.replace_atomic(kept.unionByName(source), table)
+
+    # -- type 2 ---------------------------------------------------------
+    def apply_scd2(
+        self,
+        source: DataFrame,
+        table: str,
+        keys: Sequence[str],
+        tracked: Sequence[str],
+        as_of: _dt.datetime | str | None = None,
+    ) -> None:
+        """K5+K2+J2 — expire changed current rows, insert new versions,
+        as one atomic publish.
+
+        Next state = history (non-current, untouched)
+                   ∪ current-unchanged (source hash equal, or key absent
+                     from source)
+                   ∪ current-expired   (source hash differs → close out)
+                   ∪ new-versions      (new key, or changed hash)
+        """
+        keys = list(keys)
+        as_of_ts = _as_ts(as_of)
+        src = with_row_hash(source, tracked).select(
+            *keys, *[c for c in source.columns if c not in keys], "row_hash"
+        )
+        stamped_new = (
+            src.withColumn("effective_from", F.lit(as_of_ts).cast("timestamp"))
+            .withColumn("effective_to", F.lit(MAX_TS).cast("timestamp"))
+            .withColumn("is_current", F.lit(True))
+        )
+        if not self.catalog.exists(table):
+            self.catalog.replace_atomic(stamped_new, table)
+            return
+
+        target = self.catalog.read(table)
+        history = target.filter(~F.col("is_current"))
+        current = target.filter(F.col("is_current"))
+
+        # one join of current ⟷ source on the business key
+        src_keyed = src.select(*keys, F.col("row_hash").alias("__src_hash"))
+        cur = current.join(src_keyed, keys, "left")
+
+        unchanged = cur.filter(
+            F.col("__src_hash").isNull() | (F.col("__src_hash") == F.col("row_hash"))
+        ).drop("__src_hash")
+        expired = (
+            cur.filter(
+                F.col("__src_hash").isNotNull()
+                & (F.col("__src_hash") != F.col("row_hash"))
+            )
+            .drop("__src_hash")
+            .withColumn("effective_to", F.lit(as_of_ts).cast("timestamp"))
+            .withColumn("is_current", F.lit(False))
+        )
+        # new versions: key absent from current, or hash changed
+        cur_keyed = current.select(
+            *keys, F.col("row_hash").alias("__cur_hash")
+        )
+        inserts = (
+            stamped_new.join(cur_keyed, keys, "left")
+            .filter(
+                F.col("__cur_hash").isNull()
+                | (F.col("__cur_hash") != F.col("row_hash"))
+            )
+            .drop("__cur_hash")
+        )
+        next_state = (
+            history.unionByName(unchanged)
+            .unionByName(expired)
+            .unionByName(inserts)
+        )
+        self.catalog.replace_atomic(next_state, table)
+
+    # -- type 3 ---------------------------------------------------------
+    def apply_scd3(
+        self,
+        source: DataFrame,
+        table: str,
+        keys: Sequence[str],
+        tracked: Sequence[str],
+    ) -> None:
+        """K6 — previous-value columns: on change, ``previous_<c>`` ←
+        old current value; inserts get NULL previous
+        (reference ``utils/scd/scd.py:114-143``)."""
+        keys = list(keys)
+        src = with_row_hash(source, tracked)
+        if not self.catalog.exists(table):
+            init = src
+            for c in tracked:
+                init = init.withColumn(
+                    f"previous_{c}", F.lit(None).cast(source.schema[c].dataType)
+                )
+            self.catalog.replace_atomic(init, table)
+            return
+        target = self.catalog.read(table)
+        tgt_sel = target.select(
+            *keys,
+            F.col("row_hash").alias("__t_hash"),
+            *[F.col(c).alias(f"__t_{c}") for c in tracked],
+            *[F.col(f"previous_{c}").alias(f"__t_prev_{c}") for c in tracked],
+        )
+        merged = src.join(tgt_sel, keys, "left")
+        changed = F.col("__t_hash").isNotNull() & (
+            F.col("__t_hash") != F.col("row_hash")
+        )
+        out = merged
+        for c in tracked:
+            out = out.withColumn(
+                f"previous_{c}",
+                F.when(changed, F.col(f"__t_{c}")).otherwise(
+                    F.when(
+                        F.col("__t_hash").isNotNull(), F.col(f"__t_prev_{c}")
+                    ).otherwise(F.lit(None).cast(source.schema[c].dataType))
+                ),
+            )
+        drop_cols = (
+            ["__t_hash"]
+            + [f"__t_{c}" for c in tracked]
+            + [f"__t_prev_{c}" for c in tracked]
+        )
+        out = out.drop(*drop_cols)
+        # keys that vanished from the source keep their last state
+        kept = target.join(src.select(*keys), keys, "left_anti")
+        self.catalog.replace_atomic(kept.unionByName(out), table)
+
+
+def _as_ts(as_of) -> str:
+    if as_of is None:
+        return _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(as_of, _dt.datetime):
+        return as_of.strftime("%Y-%m-%d %H:%M:%S")
+    return str(as_of)
+
+
+def current_snapshot(df: DataFrame) -> DataFrame:
+    """P6 — dimension current-state filter (reference
+    ``medallion/gold/s2g.py:86-87``, guarded like the ``.py`` variant)."""
+    if "is_current" in df.columns:
+        return df.filter(F.col("is_current"))
+    return df
