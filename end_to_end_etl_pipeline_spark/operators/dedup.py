@@ -54,16 +54,17 @@ def dedup_exact_hash(
     hash_col: str = "content_hash",
 ) -> DataFrame:
     """Exact content dedup: hash the content columns, keep the lowest
-    id per hash. Hash-groupBy = one shuffle on a short fixed-width key
-    (cheaper than shuffling full documents).
-    """
+    id per hash.
+
+    Plan: ``groupBy(hash).agg(min(id))`` — Catalyst prunes the agg-side
+    shuffle to (hash, id) only and map-side partial aggregation
+    collapses duplicate hashes before the exchange (a skewed hash with
+    a million copies costs one partial row per map task, not one
+    reduce-side task holding all copies) — then a semi-join on
+    (hash, id) recovers the surviving full rows."""
     hashed = df.withColumn(
         hash_col,
         F.md5(F.concat_ws("␟", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in content_cols])),
     )
-    w = Window.partitionBy(hash_col).orderBy(F.col(id_col).asc())
-    return (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    winners = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    return hashed.join(winners, [hash_col, id_col], "left_semi")

@@ -31,18 +31,65 @@ source (the reference reads the source twice: MERGE + anti-join).
 from __future__ import annotations
 
 import datetime as _dt
+import functools
+import operator
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from end_to_end_etl_pipeline_spark.operators.dedup import dedup_by_key
 from end_to_end_etl_pipeline_spark.operators.hashing import with_row_hash
 from end_to_end_etl_pipeline_spark.sinks.writers import ParquetCatalog
 
 SCD_COLS = ("row_hash", "effective_from", "effective_to", "is_current")
 
 MAX_TS = "9999-12-31 23:59:59"
+
+
+def prepare_scd_source(
+    src: DataFrame,
+    keys: Sequence[str],
+    dedup_order_by: Sequence[Column | str] | None = None,
+    check_unique: bool = True,
+) -> DataFrame:
+    """Guard a merge source batch before any SCD apply.
+
+    * **Null business keys are dropped.** They can never equi-match a
+      target row, so each apply would re-insert them as fresh "current"
+      rows forever (ADVICE r1). Callers wanting them must quarantine
+      upstream (``operators/dq.quarantine_split``).
+    * **Duplicate business keys fail fast** (or deterministically dedup
+      when ``dedup_order_by`` is given). A dup-key batch multiplies the
+      current⟕source join and breaks the one-current-row-per-key
+      invariant — the reference's Delta MERGE raises on multi-match
+      (``utils/scd/scd.py:55``); a silent engine must not do worse.
+      The uniqueness probe is one narrow agg job over (keys) — set
+      ``check_unique=False`` to skip it when the source is known-unique
+      (e.g. output of an aggregation on the keys).
+    """
+    keys = list(keys)
+    src = src.filter(
+        functools.reduce(operator.and_, [F.col(k).isNotNull() for k in keys])
+    )
+    if dedup_order_by is not None:
+        return dedup_by_key(src, keys, dedup_order_by)
+    if check_unique:
+        dup = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"SCD source batch has duplicate business keys {keys}; "
+                "pass dedup_order_by= for a deterministic keep-policy "
+                "or dedup upstream"
+            )
+    return src
 
 
 @dataclass
@@ -66,10 +113,13 @@ class SCDEngine:
         source: DataFrame,
         table: str,
         keys: Sequence[str],
+        dedup_order_by=None,
+        check_unique: bool = True,
     ) -> None:
         """K4 — upsert: matched rows take the source's full row (fixes
         §2.11-8), unmatched target rows survive, new keys insert."""
         keys = list(keys)
+        source = prepare_scd_source(source, keys, dedup_order_by, check_unique)
         if not self.catalog.exists(table):
             self.catalog.replace_atomic(source, table)
             return
@@ -85,68 +135,16 @@ class SCDEngine:
         keys: Sequence[str],
         tracked: Sequence[str],
         as_of: _dt.datetime | str | None = None,
+        dedup_order_by=None,
+        check_unique: bool = True,
     ) -> None:
         """K5+K2+J2 — expire changed current rows, insert new versions,
-        as one atomic publish.
-
-        Next state = history (non-current, untouched)
-                   ∪ current-unchanged (source hash equal, or key absent
-                     from source)
-                   ∪ current-expired   (source hash differs → close out)
-                   ∪ new-versions      (new key, or changed hash)
-        """
-        keys = list(keys)
-        as_of_ts = _as_ts(as_of)
-        src = with_row_hash(source, tracked).select(
-            *keys, *[c for c in source.columns if c not in keys], "row_hash"
+        as one atomic publish (merge logic: :func:`scd2_next_state`)."""
+        source = prepare_scd_source(source, keys, dedup_order_by, check_unique)
+        target = self.catalog.read(table) if self.catalog.exists(table) else None
+        self.catalog.replace_atomic(
+            scd2_next_state(target, source, keys, tracked, as_of), table
         )
-        stamped_new = (
-            src.withColumn("effective_from", F.lit(as_of_ts).cast("timestamp"))
-            .withColumn("effective_to", F.lit(MAX_TS).cast("timestamp"))
-            .withColumn("is_current", F.lit(True))
-        )
-        if not self.catalog.exists(table):
-            self.catalog.replace_atomic(stamped_new, table)
-            return
-
-        target = self.catalog.read(table)
-        history = target.filter(~F.col("is_current"))
-        current = target.filter(F.col("is_current"))
-
-        # one join of current ⟷ source on the business key
-        src_keyed = src.select(*keys, F.col("row_hash").alias("__src_hash"))
-        cur = current.join(src_keyed, keys, "left")
-
-        unchanged = cur.filter(
-            F.col("__src_hash").isNull() | (F.col("__src_hash") == F.col("row_hash"))
-        ).drop("__src_hash")
-        expired = (
-            cur.filter(
-                F.col("__src_hash").isNotNull()
-                & (F.col("__src_hash") != F.col("row_hash"))
-            )
-            .drop("__src_hash")
-            .withColumn("effective_to", F.lit(as_of_ts).cast("timestamp"))
-            .withColumn("is_current", F.lit(False))
-        )
-        # new versions: key absent from current, or hash changed
-        cur_keyed = current.select(
-            *keys, F.col("row_hash").alias("__cur_hash")
-        )
-        inserts = (
-            stamped_new.join(cur_keyed, keys, "left")
-            .filter(
-                F.col("__cur_hash").isNull()
-                | (F.col("__cur_hash") != F.col("row_hash"))
-            )
-            .drop("__cur_hash")
-        )
-        next_state = (
-            history.unionByName(unchanged)
-            .unionByName(expired)
-            .unionByName(inserts)
-        )
-        self.catalog.replace_atomic(next_state, table)
 
     # -- type 3 ---------------------------------------------------------
     def apply_scd3(
@@ -155,11 +153,14 @@ class SCDEngine:
         table: str,
         keys: Sequence[str],
         tracked: Sequence[str],
+        dedup_order_by=None,
+        check_unique: bool = True,
     ) -> None:
         """K6 — previous-value columns: on change, ``previous_<c>`` ←
         old current value; inserts get NULL previous
         (reference ``utils/scd/scd.py:114-143``)."""
         keys = list(keys)
+        source = prepare_scd_source(source, keys, dedup_order_by, check_unique)
         src = with_row_hash(source, tracked)
         if not self.catalog.exists(table):
             init = src
@@ -199,6 +200,73 @@ class SCDEngine:
         # keys that vanished from the source keep their last state
         kept = target.join(src.select(*keys), keys, "left_anti")
         self.catalog.replace_atomic(kept.unionByName(out), table)
+
+
+def scd2_next_state(
+    target: DataFrame | None,
+    source: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    as_of: _dt.datetime | str | None = None,
+) -> DataFrame:
+    """Pure SCD2 merge: given the current versioned table state (or
+    ``None`` on first load) and a key-unique source batch, return the
+    complete next state as one DataFrame plan.
+
+    Next state = history (non-current, untouched)
+               ∪ current-unchanged (source hash equal, or key absent
+                 from source)
+               ∪ current-expired   (source hash differs → close out)
+               ∪ new-versions      (new key, or changed hash)
+
+    Being a pure ``DataFrame → DataFrame`` function (no storage), this
+    is directly testable under the DuckDB oracle and bindable to any
+    catalog/commit strategy. One shuffle on the business key for each
+    join leg; the reference instead runs MERGE-expire + anti-join +
+    append as separate passes (``medallion/silver/b2s_yfinance.py:140-186``).
+    """
+    keys = list(keys)
+    as_of_ts = _as_ts(as_of)
+    src = with_row_hash(source, tracked).select(
+        *keys, *[c for c in source.columns if c not in keys], "row_hash"
+    )
+    stamped_new = (
+        src.withColumn("effective_from", F.lit(as_of_ts).cast("timestamp"))
+        .withColumn("effective_to", F.lit(MAX_TS).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    if target is None:
+        return stamped_new
+
+    history = target.filter(~F.col("is_current"))
+    current = target.filter(F.col("is_current"))
+
+    # one join of current ⟷ source on the business key
+    src_keyed = src.select(*keys, F.col("row_hash").alias("__src_hash"))
+    cur = current.join(src_keyed, keys, "left")
+
+    unchanged = cur.filter(
+        F.col("__src_hash").isNull() | (F.col("__src_hash") == F.col("row_hash"))
+    ).drop("__src_hash")
+    expired = (
+        cur.filter(
+            F.col("__src_hash").isNotNull()
+            & (F.col("__src_hash") != F.col("row_hash"))
+        )
+        .drop("__src_hash")
+        .withColumn("effective_to", F.lit(as_of_ts).cast("timestamp"))
+        .withColumn("is_current", F.lit(False))
+    )
+    # new versions: key absent from current, or hash changed
+    cur_keyed = current.select(*keys, F.col("row_hash").alias("__cur_hash"))
+    inserts = (
+        stamped_new.join(cur_keyed, keys, "left")
+        .filter(
+            F.col("__cur_hash").isNull() | (F.col("__cur_hash") != F.col("row_hash"))
+        )
+        .drop("__cur_hash")
+    )
+    return history.unionByName(unchanged).unionByName(expired).unionByName(inserts)
 
 
 def _as_ts(as_of) -> str:

@@ -173,7 +173,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT c_mktsegment, month, revenue,
-           round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6) AS mom_growth
+           round((revenue - lag(revenue) OVER w) / NULLIF(lag(revenue) OVER w, 0), 6)
+             AS mom_growth
     FROM m WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
     """,
     doc="W1 capability: lag-based growth KPI (gold QoQ growth, s2g.py:126-134).",

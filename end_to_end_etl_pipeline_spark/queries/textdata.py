@@ -16,27 +16,15 @@ from end_to_end_etl_pipeline_spark.queries.catalog import load, register
 @register(
     "dedup_exact_text",
     oracle="""
-    SELECT doc_id, content_hash
-    FROM (
-      SELECT doc_id, md5(text) AS content_hash,
-             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-      FROM documents
-    ) WHERE rn = 1
+    SELECT min(doc_id) AS doc_id, md5(coalesce(text, '␀')) AS content_hash
+    FROM documents GROUP BY 2
     """,
-    doc="Exact content dedup: hash-groupBy, deterministic keep-lowest-id.",
+    doc="Exact content dedup via dedup_exact_hash: groupBy(hash).min(id) + semi-join.",
     tags=("north-star", "dedup"),
 )
 def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    docs = docs.withColumn("content_hash", F.md5("text"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "content_hash")
-    )
+    return dedup_exact_hash(docs, ["text"], "doc_id").select("doc_id", "content_hash")
 
 
 @register(
