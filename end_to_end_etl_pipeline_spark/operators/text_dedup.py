@@ -1,0 +1,246 @@
+"""Near-duplicate text detection: shingling, MinHash, LSH banding,
+SimHash, and inverted-index n-gram Jaccard (BASELINE.json north star;
+no reference counterpart — the reference dedups only by business key,
+``medallion/silver/b2s_company_house.py:70``).
+
+Design for 100 TB:
+
+* **Never all-pairs.** Candidate generation is LSH band-bucketing
+  (pairs meet only inside a band bucket) or an inverted shingle index
+  (pairs meet only on a shared shingle). Both are bounded shuffles on
+  short fixed-width keys; the exact-Jaccard verify runs on the small
+  candidate set only.
+* **Deterministic hashing.** MinHash permutations are simulated with
+  ``md5(seed || ':' || shingle)`` and lexicographic ``min`` — fully
+  deterministic, identical across engines (this is what lets a DuckDB
+  oracle replicate the *exact* candidate set, and what makes re-runs
+  reproducible on a cluster: no RNG, no partition-order dependence).
+* **JVM-side only.** Every expression is a built-in Spark function
+  (md5 / substring / transform / min / bit ops) — whole-stage codegen
+  applies; no Python touches the data path.
+
+Tuning: with R rows per band and B bands, P(candidate) = 1-(1-J^R)^B.
+The defaults (R=4, B=4, K=16 hashes) give ~0.999 at J=0.9, ~0.50 at
+J=0.55 — right for a ≥0.6 near-dup threshold with a cheap signature.
+Raise K/B for recall at lower thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 6, distinct: bool = False
+) -> DataFrame:
+    """(id, shingle) — all overlapping character n-grams. Documents
+    shorter than ``n`` produce no rows (and so never pair). MinHash
+    doesn't need DISTINCT (min is identical over multiset and set);
+    Jaccard sizing does — pass ``distinct=True`` there."""
+    sh = df.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(CASE WHEN length({text_col}) >= {n} THEN "
+            f"transform(sequence(1, length({text_col}) - {n} + 1), "
+            f"i -> substring({text_col}, i, {n})) ELSE array() END) AS shingle"
+        ),
+    )
+    return sh.distinct() if distinct else sh
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = False
+) -> DataFrame:
+    """(id, shingle) — n-word shingles over whitespace tokens."""
+    words = f"filter(split({text_col}, ' '), w -> length(w) > 0)"
+    sh = df.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(CASE WHEN size({words}) >= {n} THEN "
+            f"transform(sequence(1, size({words}) - {n} + 1), "
+            f"i -> array_join(slice({words}, i, {n}), ' ')) ELSE array() END) AS shingle"
+        ),
+    )
+    return sh.distinct() if distinct else sh
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """One row per id with columns ``m0..m{K-1}``: the lexicographic
+    min of ``md5(k || ':' || shingle)`` per seed. One shuffle with
+    map-side partial ``min`` — signature width is K×32 bytes
+    regardless of document size."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"m{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Unpivot a signature into (id, band, band_hash): band_hash is
+    md5 of that band's concatenated minhashes. Docs agreeing on ALL
+    rows of any band share a (band, band_hash) bucket."""
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(f"m{b * rows + r}" for r in range(rows))
+        parts.append(f"{b}, md5(concat({cols}))")
+    stack = f"stack({bands}, {', '.join(parts)}) AS (band, band_hash)"
+    return signatures.select(F.col(id_col), F.expr(stack))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Self-join band buckets → distinct (id_a < id_b) candidate
+    pairs. The shuffle key is (band, band_hash) — bucket sizes are the
+    skew lever: a degenerate bucket (e.g. empty-text docs) should be
+    filtered upstream."""
+    a = bands_df.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = bands_df.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, shingle_sets: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for each candidate pair via the inverted index:
+    intersection = count of shared shingles, union = |A|+|B|−∩.
+    ``pairs`` is assumed small relative to the corpus (the LSH
+    promise) and is broadcast; shingle sets are pruned to docs that
+    appear in some pair before the intersection join."""
+    sizes = shingle_sets.groupBy(id_col).agg(F.count("*").alias("n"))
+    docs_in_pairs = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = shingle_sets.join(F.broadcast(docs_in_pairs), id_col, "left_semi")
+    sa = pruned.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = pruned.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        sa.join(F.broadcast(pairs), "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ci"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("ci").cast("double") / (F.col("na") + F.col("nb") - F.col("ci"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 6,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """shingle → MinHash → LSH band-bucket → exact-Jaccard verify.
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a <
+    id_b. Never materializes the all-pairs space."""
+    rows = num_hashes // bands
+    sh = char_shingles(df, id_col, text_col, n=shingle_len)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows), id_col)
+    shd = char_shingles(df, id_col, text_col, n=shingle_len, distinct=True)
+    jac = jaccard_on_pairs(cand, shd, id_col)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# -- SimHash ------------------------------------------------------------
+
+
+def simhash32(shingles: DataFrame, id_col: str) -> DataFrame:
+    """32-bit SimHash per id from shingle md5s.
+
+    Bit i (= 4·j + b, hex digit j, bit b) is set iff at least half the
+    shingles have that bit set in ``md5(shingle)``. All 32 bit-sums
+    are partial-aggregated map-side in one pass — the shuffle carries
+    32 longs + a count per id."""
+    digit = [
+        f"(instr('{HEX}', substring(md5(shingle), {j + 1}, 1)) - 1)" for j in range(8)
+    ]
+    aggs = [
+        F.sum(F.expr(f"({digit[j]} div {1 << b}) % 2")).alias(f"s_{j}_{b}")
+        for j in range(8)
+        for b in range(4)
+    ]
+    sums = shingles.groupBy(id_col).agg(*aggs, F.count("*").alias("n"))
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * s_{j}_{b} >= n THEN CAST({1 << (4 * j + b)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(8)
+        for b in range(4)
+    )
+    return sums.select(F.col(id_col), F.expr(f"{bit_terms} AS simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 6,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup: candidates share at least one of the 4 bytes
+    of their 32-bit simhash, verified by exact hamming distance.
+    Byte-banding guarantees recall for hamming ≤ 3 (pigeonhole: 3
+    flipped bits can't touch all 4 bytes); beyond that it's the
+    standard heuristic blocking — add rotated tables for guarantees at
+    higher radii. Returns (id_a, id_b, hamming) with hamming ≤
+    ``max_hamming`` among byte-sharing pairs."""
+    sh = char_shingles(df, id_col, text_col, n=shingle_len)
+    sims = simhash32(sh, id_col)
+    bytes_df = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.expr(
+            "explode(transform(sequence(0, 3), "
+            "t -> struct(t AS band, (simhash div CAST(pow(2, 8 * t) AS BIGINT)) % 256 AS bv)))"
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bv")
+    a = bytes_df.select(
+        "band", "bv", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")
+    )
+    b = bytes_df.select(
+        "band", "bv", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

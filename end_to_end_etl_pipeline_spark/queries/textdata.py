@@ -1,7 +1,14 @@
 """Training-data text operators over ``documents`` (BASELINE.json
-north star): exact dedup, quality scoring, token counting — each with a
-DuckDB oracle. Near-dup (MinHash/Jaccard) queries join in this module
-as they land.
+north star): exact + near-dup dedup (MinHash-LSH, SimHash, n-gram
+Jaccard), quality scoring, token counting — each with a DuckDB oracle.
+
+The near-dup oracles replicate the engine's *exact* deterministic
+hashing (md5-simulated MinHash permutations, md5 band hashes) in SQL,
+so the candidate sets — not just the verified pairs — are compared.
+The synthetic corpus has no organic near-dups, so the near-dup
+queries union in perturbed variants (doc_id+1_000_000, first 7 chars
+dropped) of every 7th document; detection must find exactly the pairs
+both engines derive.
 """
 
 from __future__ import annotations
@@ -10,7 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end_to_end_etl_pipeline_spark.operators.dedup import dedup_exact_hash
+from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+    HEX,
+    char_shingles,
+    jaccard_on_pairs,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
 from end_to_end_etl_pipeline_spark.queries.catalog import load, register
+
+
+def _variant_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ perturbed copies of every 7th doc (drop first 7
+    chars, id offset 1M) — deterministic near-dup planting."""
+    base = docs.select("doc_id", "text")
+    variants = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 8)").alias("text"),
+    )
+    return base.unionByName(variants)
+
+
+_SQL_CORPUS = """
+  corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 8) AS text
+    FROM documents WHERE doc_id % 7 = 0
+  )"""
+
+_SQL_SHINGLES = """
+  sh AS (
+    SELECT doc_id, substr(text, CAST(i AS INT), 6) AS shingle
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 5, 0))) AS i
+          FROM corpus)
+  )"""
 
 
 @register(
@@ -65,4 +108,192 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("space_ratio"),
         F.round(F.size(stop).cast("double") / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min(md5('{k}:' || shingle)) AS m{k}" for k in range(16)
+    )
+    bands = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat({cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"m{b * 4 + r}" for r in range(4))
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH {_SQL_CORPUS}, {_SQL_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+    {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ci
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(ci AS DOUBLE) / (na.n + nb.n - ci), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(ci AS DOUBLE) / (na.n + nb.n - ci) >= 0.6
+    """
+
+
+@register(
+    "near_dup_pairs",
+    oracle=_minhash_oracle(),
+    doc="MinHash-LSH near-dup: char-6 shingles, 16 md5 minhashes, 4x4 "
+    "banding, exact-Jaccard verify >= 0.6 on LSH candidates only.",
+    tags=("north-star", "dedup", "bench"),
+)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = _variant_corpus(docs)
+    out = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", shingle_len=6, num_hashes=16, bands=4, threshold=0.6
+    )
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n           ".join(
+        f"sum(((strpos('{HEX}', substring(h, {j + 1}, 1)) - 1) // {1 << b}) % 2) AS s_{j}_{b}"
+        for j in range(8)
+        for b in range(4)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN 2 * s_{j}_{b} >= n THEN CAST({1 << (4 * j + b)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(8)
+        for b in range(4)
+    )
+    bytes_sel = "\n    UNION ALL ".join(
+        f"SELECT doc_id, simhash, {t} AS band, (simhash // {1 << (8 * t)}) % 256 AS bv FROM sim"
+        for t in range(4)
+    )
+    return f"""
+    WITH {_SQL_CORPUS}, {_SQL_SHINGLES},
+    d AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    sums AS (
+      SELECT doc_id, count(*) AS n,
+           {sums}
+      FROM d GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, {bits} AS simhash FROM sums),
+    bytes AS (
+    {bytes_sel}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bytes a JOIN bytes b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    """
+
+
+@register(
+    "simhash_near_dup",
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dup: 32-bit simhash from shingle md5 bit votes, "
+    "byte-band blocking, hamming <= 6 verify.",
+    tags=("north-star", "dedup"),
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = _variant_corpus(docs)
+    out = simhash_near_dup_pairs(corpus, "doc_id", "text", shingle_len=6, max_hamming=6)
+    return out.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+@register(
+    "ngram_jaccard_topk",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      FROM documents
+    ),
+    shd AS (
+      SELECT DISTINCT doc_id, lang, array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS shingle
+      FROM (SELECT doc_id, lang, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+            FROM words)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ci
+      FROM shd a JOIN shd b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang, doc_a, doc_b,
+           round(CAST(ci AS DOUBLE) / (na.n + nb.n - ci), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY CAST(ci AS DOUBLE) / (na.n + nb.n - ci) DESC, doc_a, doc_b) <= 5
+    """,
+    doc="Word-3-gram Jaccard via inverted shingle index (pairs meet only "
+    "on shared shingles — never all-pairs), top-5 per language.",
+    tags=("north-star", "dedup"),
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    shd = word_shingles(docs, "doc_id", "text", n=3, distinct=True).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shd.select(F.col("lang"), F.col("shingle"), F.col("doc_id").alias("doc_a"))
+    b = shd.select(F.col("lang"), F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, ["lang", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("lang", "doc_a", "doc_b")
+        .agg(F.count("*").alias("ci"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "j",
+            F.col("ci").cast("double") / (F.col("na") + F.col("nb") - F.col("ci")),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("j").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return (
+        jac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
     )
