@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (``array<float>``) —
+BASELINE.json north star; no reference counterpart.
+
+Two tiers, per the standard ANN playbook:
+
+* **Brute-force cosine top-k** — the exactness baseline. The query
+  set is broadcast (bounded: top-k serving / eval workloads have
+  small query batches); the corpus stays distributed and is scanned
+  once. Dot products are ``zip_with``+``aggregate`` folds — built-in
+  higher-order functions, whole-stage codegen, no Python, no UDF.
+  Top-k per query is ``row_number`` over (rounded score, id) —
+  Spark's WindowGroupLimit pushes the rank filter into partial
+  per-partition top-k, so the final shuffle carries ≤ k rows per
+  partition per query, not the whole scored corpus.
+* **IVF-style probed search** — the 100-TB path. A coarse quantizer
+  (here: per-label centroids — swap in k-means cells on unlabeled
+  data) partitions the corpus; each query ranks centroids, probes the
+  ``nprobe`` nearest cells, and scores only those cells' vectors.
+  Corpus scanned ∝ nprobe/cells. Scores are rounded to 6dp before
+  ranking so ordering is reproducible across engines and runs
+  (float-sum associativity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product of two array<double> columns — a
+    sequential JVM fold (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    return dot(a, b) / (a_norm * b_norm)
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, vec_out: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(id_out),
+        v.alias(vec_out),
+        F.sqrt(dot(v, v)).alias(f"{vec_out}_norm"),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k: (query_id, match_id, cosine), cosine rounded to
+    6dp, deterministic (score desc, match_id asc) order."""
+    q = _prep(queries, query_id, vec_col, "query_id", "__qv")
+    c = _prep(corpus, corpus_id, vec_col, "match_id", "__cv")
+    scored = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        scored = scored.filter(F.col("match_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "cosine",
+        F.round(cosine(F.col("__qv"), F.col("__cv"), F.col("__qv_norm"), F.col("__cv_norm")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "match_id", "cosine")
+    )
+
+
+def label_centroids_array(
+    corpus: DataFrame, label_col: str, vec_col: str, round_dp: int = 6
+) -> DataFrame:
+    """(label, pos, cv): per-cell centroid components, rounded so the
+    quantizer is bit-identical across engines/runs. posexplode + two
+    shuffles over (label, pos) — partial aggregation keeps the
+    exchange at cells × dim rows."""
+    exploded = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("v"), round_dp).alias("cv"))
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF probe: rank cells by query↔centroid cosine (rounded 6dp,
+    tie → label asc), exact-score the ``nprobe`` nearest cells only.
+    Returns (query_id, match_id, cosine) like :func:`cosine_topk` —
+    identical results whenever the true top-k lives in the probed
+    cells (the recall/cost dial is ``nprobe``)."""
+    cent = label_centroids_array(corpus, label_col, vec_col)
+    qq = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
+    ).select("query_id", (F.col("pos0") + 1).alias("pos"), "v")
+    qcent = (
+        qq.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("d"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qn"),
+            F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn"),
+        )
+        .withColumn("score", F.round(F.col("d") / (F.col("qn") * F.col("cn")), 6))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    probed = (
+        qcent.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "label")
+    )
+    q = _prep(queries, query_id, vec_col, "query_id", "__qv")
+    c = _prep(corpus, corpus_id, vec_col, "match_id", "__cv").join(
+        corpus.select(F.col(corpus_id).alias("match_id"), F.col(label_col).alias("label")),
+        "match_id",
+    )
+    scored = c.join(F.broadcast(probed.join(q, "query_id")), "label")
+    if exclude_self:
+        scored = scored.filter(F.col("match_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "cosine",
+        F.round(cosine(F.col("__qv"), F.col("__cv"), F.col("__qv_norm"), F.col("__cv_norm")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "match_id", "cosine")
+    )
+
+
+HEX = "0123456789abcdef"
+
+
+def sign_lsh_bucket(vec_col: str, num_planes: int = 8) -> Column:
+    """Random-hyperplane sign bucket for an array<double> column.
+
+    Plane ``p``'s component at position ``pos`` is derived from
+    ``md5(p || ':' || pos)`` (first hex nibble − 7.5) — deterministic,
+    RNG-free, identical in any engine that has md5. Cosine-similar
+    vectors agree on most signs, so near-identical vectors share the
+    full bucket string with overwhelming probability. The per-row
+    md5 cost is planes × dim cheap JVM hashes, traded for zero
+    broadcast state."""
+    return F.expr(
+        f"array_join(transform(sequence(0, {num_planes - 1}), p -> "
+        f"CASE WHEN aggregate(zip_with({vec_col}, "
+        f"transform(sequence(1, size({vec_col})), pos -> "
+        f"CAST(instr('{HEX}', substring(md5(concat(p, ':', pos)), 1, 1)) - 1 AS DOUBLE) - 7.5D), "
+        f"(x, h) -> x * h), 0D, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
+def sign_lsh_near_dup_pairs(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    num_planes: int = 8,
+    threshold: float = 0.9999,
+) -> DataFrame:
+    """Embedding near-dup: candidates meet only inside a sign-LSH
+    bucket (2^planes cells), verified by exact cosine ≥ threshold.
+    One shuffle on the bucket string; never all-pairs. Returns
+    (id_a, id_b, cosine), id_a < id_b."""
+    c = _prep(corpus, corpus_id, vec_col, "vid", "__v").withColumn(
+        "__bucket", sign_lsh_bucket("__v", num_planes)
+    )
+    a = c.select(
+        F.col("__bucket"),
+        F.col("vid").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__v_norm").alias("__na"),
+    )
+    b = c.select(
+        F.col("__bucket"),
+        F.col("vid").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__v_norm").alias("__nb"),
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
