@@ -1,0 +1,107 @@
+"""Multimodal column operators: images/audio/video as opaque
+``binary`` columns with typed metadata (BASELINE.json north star; the
+reference's types stop at one array<struct> level, SURVEY.md §1.2).
+
+The pattern at 100 TB: keep payloads as binary alongside metadata
+columns; run metadata ops (size, hash, magic sniffing, validity)
+JVM-side on built-ins; push codec work (decode / resize /
+frame-sample) through Arrow-batched ``mapInPandas`` so each Python
+worker gets columnar batches, and size partitions so a batch of
+payloads fits executor memory (``spark.sql.files.maxPartitionBytes``
+down, or ``repartition`` up, for multi-MB payloads).
+
+This container has no image/audio codecs, so the decode *backend* is
+stubbed: ``backend="fake"`` produces deterministic features (real
+Spark plumbing — schema, Arrow batching, UDF signature — exercised by
+tests); any other backend raises ``NotImplementedError`` at the seam
+where PIL/torchvision/ffmpeg would slot in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def with_binary_payload(
+    df: DataFrame, text_col: str, out_col: str = "payload"
+) -> DataFrame:
+    """Synthesize a binary payload column from text (UTF-8 bytes) —
+    the fixture path standing in for real image/audio bytes."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "utf-8"))
+
+
+def binary_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Metadata over an opaque binary column, all JVM built-ins:
+    byte length, content md5 (dedup key for exact payload dedup), and
+    the first-4-bytes magic prefix (format sniffing: JPEG FFD8FFE0,
+    PNG 89504E47, ...). No shuffle — pure projection."""
+    b = F.col(bin_col)
+    return df.select(
+        F.col(id_col),
+        F.length(b).cast("long").alias("n_bytes"),
+        F.md5(b).alias("content_md5"),
+        F.substring(F.hex(b), 1, 8).alias("magic_hex"),
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    dim: int = 8,
+    backend: str = "fake",
+) -> DataFrame:
+    """Decode binary payloads to fixed-width feature vectors via
+    Arrow-batched ``mapInPandas``.
+
+    ``backend="fake"``: deterministic features — byte i of the
+    payload scaled to [0,1], zero-padded to ``dim`` (schema/batching
+    identical to a real decoder). Any other backend raises
+    ``NotImplementedError``: that seam is where a codec (PIL decode →
+    resize → channel means; ffmpeg frame-sample) plugs in unchanged.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"decode backend {backend!r}: real codecs (PIL/ffmpeg/torchaudio) "
+            "are not available in this environment; only the deterministic "
+            "'fake' backend is wired"
+        )
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("n_bytes", LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf[bin_col]
+            feats = [
+                [(b[i] / 255.0) if i < len(b) else 0.0 for i in range(dim)]
+                if b is not None
+                else None
+                for b in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(b) if b is not None else 0 for b in payloads],
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema)

@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines: language
+identification, token statistics, and winnowing document
+fingerprints (BASELINE.json north star; reference has no text ops
+beyond trim/initcap, SURVEY.md §2.8).
+
+All operators are built-in-function compositions (split / explode /
+regexp / window min) — whole-stage codegen end to end, no UDFs. Each
+is one bounded shuffle: lang-ID shuffles (doc, candidate) match
+counts, fingerprinting shuffles k-gram hashes on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lexicons — the classic cheap lang-ID signal.
+# Deliberately includes cross-language collisions (en 'a' / es 'la' /
+# fr 'la'): scoring must handle shared function words.
+STOPWORD_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "was", "for", "on"),
+    "de": ("der", "die", "das", "und", "zu", "den", "ist", "von", "mit", "nicht"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "para", "en"),
+    "fr": ("le", "la", "les", "de", "et", "une", "est", "pour", "dans", "que"),
+}
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+        ).alias("word"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lexicon: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Predict language by stopword-hit count (tie → lexicographic
+    language). Returns (id, pred_lang, score) where score = hits /
+    tokens, 6dp; docs with no lexicon hit are absent (caller
+    left-joins). The lexicon join is a broadcast of a few dozen rows
+    against the exploded token stream — no shuffle grows with
+    vocabulary."""
+    lexicon = lexicon or STOPWORD_LEXICON
+    spark = SparkSession.getActiveSession()
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, words in lexicon.items() for w in words],
+        ["cand_lang", "word"],
+    )
+    tok = _tokens(df, id_col, text_col)
+    ntok = tok.groupBy(id_col).agg(F.count("*").alias("__n"))
+    hits = (
+        tok.join(F.broadcast(lex), "word")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__c").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .join(ntok, id_col)
+        .select(
+            F.col(id_col),
+            F.col("cand_lang").alias("pred_lang"),
+            F.round(F.col("__c").cast("double") / F.col("__n"), 6).alias("score"),
+        )
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: char count, whitespace tokens,
+    BPE-ish regex tokens (letter runs | digit runs | single
+    punctuation — the pre-tokenizer split most BPE vocabularies
+    assume), and mean token length. Pure projection — no shuffle."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    n_ws = F.size(words).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_ws.alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.replace(F.col(text_col), F.lit(" "))).cast("double")
+            / F.nullif(n_ws, F.lit(0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    kgram: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken) fingerprint sets: hash
+    every ``kgram``-char shingle, slide a ``window`` over consecutive
+    hashes, keep each window's min, dedup. Guarantees any shared
+    substring ≥ kgram+window−1 chars yields a shared fingerprint.
+    Returns one row per (id, fingerprint). One shuffle (window over
+    doc_id) over fixed-width hashes."""
+    kg = df.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(CASE WHEN length({text_col}) >= {kgram} THEN "
+            f"transform(sequence(1, length({text_col}) - {kgram} + 1), "
+            f"i -> struct(i AS pos, md5(substring({text_col}, i, {kgram})) AS h)) "
+            f"ELSE array() END) AS kg"
+        ),
+        F.greatest(F.length(text_col) - kgram + 1, F.lit(0)).alias("__nk"),
+    ).select(id_col, "kg.pos", "kg.h", "__nk")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(0, window - 1)
+    )
+    wins = kg.withColumn("fp", F.min("h").over(w)).filter(
+        F.col("pos") <= F.col("__nk") - (window - 1)
+    )
+    return wins.select(id_col, "fp").distinct()

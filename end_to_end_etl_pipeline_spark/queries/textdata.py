@@ -297,3 +297,130 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
     )
+
+
+def _lang_lexicon_values() -> str:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import STOPWORD_LEXICON
+
+    return ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORD_LEXICON.items() for w in ws
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH lex(cand_lang, word) AS (VALUES {_lang_lexicon_values()}),
+    tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS word
+      FROM documents
+    ),
+    ntok AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    best AS (
+      SELECT m.doc_id, m.cand_lang AS pred_lang,
+             round(CAST(m.c AS DOUBLE) / n.n, 6) AS score
+      FROM (SELECT t.doc_id, l.cand_lang, count(*) AS c
+            FROM tok t JOIN lex l ON t.word = l.word GROUP BY 1, 2) m
+      JOIN ntok n ON n.doc_id = m.doc_id
+      QUALIFY row_number() OVER (PARTITION BY m.doc_id ORDER BY m.c DESC, m.cand_lang) = 1
+    )
+    SELECT d.doc_id, d.lang, b.pred_lang, b.score
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """,
+    doc="Stopword-lexicon language ID: broadcast lexicon join, hit-count "
+    "argmax with deterministic ties (integer compare, no float ordering).",
+    tags=("north-star", "text"),
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    pred = lang_id(docs, "doc_id", "text")
+    return docs.select("doc_id", "lang").join(pred, "doc_id", "left").select(
+        "doc_id", "lang", "pred_lang", "score"
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / NULLIF(len(list_filter(string_split(text, ' '), w -> length(w) > 0)), 0), 6)
+             AS avg_token_len
+    FROM documents
+    """,
+    doc="Token statistics incl. BPE-ish pre-tokenizer counts via "
+    "regexp_extract_all — pure projection, no shuffle.",
+    tags=("north-star", "text"),
+)
+def doc_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import token_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    WITH kg AS (
+      SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 8)) AS h,
+             greatest(length(text) - 7, 0) AS nk
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i
+            FROM documents)
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             pos, nk
+      FROM kg
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= nk - 3)
+    SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+    doc="Winnowing fingerprints (k=8, w=4): window-min over k-gram md5s; "
+    "shared substrings >= 11 chars guarantee a shared fingerprint.",
+    tags=("north-star", "text"),
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text", kgram=8, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+@register(
+    "binary_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           substr(hex(encode(text)), 1, 8) AS magic_hex
+    FROM documents
+    """,
+    doc="Multimodal metadata plumbing: binary payload (UTF-8 fixture) -> "
+    "byte length / content md5 / magic-prefix hex, all JVM built-ins.",
+    tags=("north-star", "multimodal"),
+)
+def binary_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        binary_stats,
+        with_binary_payload,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return binary_stats(with_binary_payload(docs, "text"), "doc_id", "payload")

@@ -1,0 +1,49 @@
+"""Multimodal binary-column plumbing: stats built-ins and the
+Arrow-batched decode stub (schema, batching, determinism)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.multimodal import (
+    binary_stats,
+    decode_features,
+    with_binary_payload,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_binary_stats_matches_text_derivation(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = binary_stats(with_binary_payload(docs, "text"), "doc_id", "payload")
+    rows = {r.doc_id: r for r in out.collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r.text.encode("utf-8")
+        got = rows[r.doc_id]
+        assert got.n_bytes == len(b)
+        import hashlib
+
+        assert got.content_md5 == hashlib.md5(b).hexdigest()
+        assert got.magic_hex == b[:4].hex().upper()
+
+
+def test_decode_features_fake_backend_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    payload = with_binary_payload(docs, "text")
+    feats = decode_features(payload, "doc_id", "payload", dim=8)
+    assert [f.name for f in feats.schema.fields] == ["doc_id", "n_bytes", "features"]
+    assert feats.schema["features"].dataType.simpleString() == "array<double>"
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert len(rows) == 20
+    for r in docs.select("doc_id", "text").collect():
+        b = r.text.encode("utf-8")
+        expect = [(b[i] / 255.0) if i < len(b) else 0.0 for i in range(8)]
+        assert rows[r.doc_id].features == pytest.approx(expect)
+        assert rows[r.doc_id].n_bytes == len(b)
+
+
+def test_decode_features_real_backend_is_explicit_stub(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    payload = with_binary_payload(docs, "text")
+    with pytest.raises(NotImplementedError):
+        decode_features(payload, "doc_id", "payload", backend="pil")
