@@ -64,5 +64,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # Import side-effect modules that populate REGISTRY.
 from end_to_end_etl_pipeline_spark.queries import core  # noqa: E402,F401
+from end_to_end_etl_pipeline_spark.queries import scans  # noqa: E402,F401
+from end_to_end_etl_pipeline_spark.queries import scd_queries  # noqa: E402,F401
 from end_to_end_etl_pipeline_spark.queries import textdata  # noqa: E402,F401
 from end_to_end_etl_pipeline_spark.queries import vectors  # noqa: E402,F401

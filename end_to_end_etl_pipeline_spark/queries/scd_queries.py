@@ -1,0 +1,97 @@
+"""SCD Type-2 merge under the driver's DuckDB oracle.
+
+The engine's hardest capability (reference
+``utils/scd/scd.py:64-110``, ``medallion/silver/b2s_yfinance.py:114-186``)
+re-expressed as a *pure* deterministic query: two source batches are
+derived from ``orders`` at fixed one-year windows, chained through
+:func:`scd2_next_state`, and the full versioned dimension state is
+returned. The oracle reconstructs the same state in SQL with explicit
+``IS DISTINCT FROM`` change detection — equivalent to the engine's
+null-sentinel row-hash comparison whenever the hash is collision-free.
+
+Batch windows (not cumulative snapshots) exercise every merge leg:
+keys in both windows (changed → expire + insert), keys only in the
+first (absent from source → stay current), keys only in the second
+(new → insert).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.scd import MAX_TS, scd2_next_state
+from end_to_end_etl_pipeline_spark.queries.catalog import load, register
+
+_W1 = ("1995-01-01", "1996-01-01")
+_W2 = ("1996-01-01", "1997-01-01")
+_T1 = f"{_W1[1]} 00:00:00"
+_T2 = f"{_W2[1]} 00:00:00"
+
+
+def _batch(orders: DataFrame, lo: str, hi: str) -> DataFrame:
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+_SQL_BATCH = """
+  SELECT o_custkey AS custkey, count(*) AS order_cnt,
+         round(sum(o_totalprice), 2) AS total_spent
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{lo} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{hi} 00:00:00'
+  GROUP BY 1"""
+
+
+@register(
+    "scd2_transition",
+    oracle=f"""
+    WITH b1 AS ({_SQL_BATCH.format(lo=_W1[0], hi=_W1[1])}),
+    b2 AS ({_SQL_BATCH.format(lo=_W2[0], hi=_W2[1])}),
+    changed AS (
+      SELECT b1.custkey FROM b1 JOIN b2 USING (custkey)
+      WHERE b1.order_cnt IS DISTINCT FROM b2.order_cnt
+         OR b1.total_spent IS DISTINCT FROM b2.total_spent
+    )
+    SELECT b1.custkey, b1.order_cnt, b1.total_spent,
+           TIMESTAMP '{_T1}' AS effective_from,
+           TIMESTAMP '{_T2}' AS effective_to,
+           FALSE AS is_current
+    FROM b1 JOIN changed USING (custkey)
+    UNION ALL
+    SELECT b1.custkey, b1.order_cnt, b1.total_spent,
+           TIMESTAMP '{_T1}', TIMESTAMP '{MAX_TS}', TRUE
+    FROM b1 ANTI JOIN changed USING (custkey)
+    UNION ALL
+    SELECT b2.custkey, b2.order_cnt, b2.total_spent,
+           TIMESTAMP '{_T2}', TIMESTAMP '{MAX_TS}', TRUE
+    FROM b2 LEFT JOIN b1 USING (custkey)
+    WHERE b1.custkey IS NULL
+       OR b1.order_cnt IS DISTINCT FROM b2.order_cnt
+       OR b1.total_spent IS DISTINCT FROM b2.total_spent
+    """,
+    doc="SCD2 merge (expire + carry + insert in one plan) over two "
+    "deterministic order-window batches; full versioned state returned.",
+    tags=("parity", "scd"),
+)
+def scd2_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    state1 = scd2_next_state(
+        None, _batch(orders, *_W1), ["custkey"], ["order_cnt", "total_spent"], _T1
+    )
+    state2 = scd2_next_state(
+        state1, _batch(orders, *_W2), ["custkey"], ["order_cnt", "total_spent"], _T2
+    )
+    return state2.select(
+        "custkey", "order_cnt", "total_spent",
+        "effective_from", "effective_to", "is_current",
+    )

@@ -21,12 +21,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def _schema_arg(schema: StructType | str | None):
-    """Accept StructType or DDL-string schemas (engine config is JSON,
-    so DDL strings like ``"id bigint, name string"`` are first-class)."""
-    return schema
-
-
 def read_json(
     spark: SparkSession,
     path: str,
@@ -38,7 +32,7 @@ def read_json(
     Capability of reference ``medallion/bronze/ds2b_company_house.py:58-62``
     (4-level glob over per-entity files, ``multiline=true``).
     """
-    reader = spark.read.schema(_schema_arg(schema))
+    reader = spark.read.schema(schema)
     if multiline:
         reader = reader.option("multiline", "true")
     return reader.json(path)
@@ -58,7 +52,7 @@ def read_csv(
     """
     return (
         spark.read.format("csv")
-        .schema(_schema_arg(schema))
+        .schema(schema)
         .option("header", str(header).lower())
         .option("mode", mode)
         .load(path)
@@ -109,4 +103,4 @@ def rows_source(
     Driver-side only by design: seed tables are small. Anything large
     must land as files first.
     """
-    return spark.createDataFrame(list(rows), schema=_schema_arg(schema))
+    return spark.createDataFrame(list(rows), schema=schema)
