@@ -104,6 +104,11 @@ class SCDConfig:
 
 
 class SCDEngine:
+    """Catalog-agnostic SCD applier: ``catalog`` is anything with
+    exists/read/replace_atomic — the local-dev ``ParquetCatalog`` or
+    the object-store-portable ``sinks.manifest.ManifestCatalog``
+    (which also offers bucket-pruned SCD2 via ``BucketedSCD2``)."""
+
     def __init__(self, catalog: ParquetCatalog):
         self.catalog = catalog
 

@@ -1,0 +1,300 @@
+"""Manifest-based table commits: object-store-portable, crash-safe,
+with bucket-pruned SCD2 rewrites.
+
+Round-1 review flagged the two scale-killers in this engine's storage
+layer: ``os.rename``-based swaps (local-FS only, torn window between
+the two renames) and full-table rewrites per SCD2 apply. This module
+replaces both with the standard lakehouse-lite design (the same shape
+Delta/Iceberg use, reduced to its core):
+
+* **Immutable data dirs.** Every commit writes parquet into a fresh
+  ``data/<uuid>/`` directory — nothing is ever renamed or overwritten
+  in place (rename-free = safe on S3-style stores where dir renames
+  are O(n) copies and non-atomic).
+* **Versioned manifests.** A manifest JSON lists exactly which data
+  dirs (per key-bucket) constitute a table version. Readers resolve
+  ``max(version)`` and read only the listed dirs; a crash mid-commit
+  leaves orphan data dirs and tmp files but never a visible
+  half-state. Publication is a single ``FileSystem.rename`` of the
+  manifest tmp file — atomic on HDFS/local; on S3 bind this one call
+  to a conditional PUT. Rename-onto-existing fails → the writer
+  re-reads the log and retries at N+1 (optimistic concurrency).
+* **Hadoop FileSystem API only** (via ``spark._jvm``): the same code
+  drives ``file:``, ``hdfs:``, ``s3a:``, ``abfss:`` URIs. No
+  ``os.path`` / ``os.walk`` on the data path.
+* **Bucketed dimensions.** A dimension committed with ``n_buckets``
+  is hash-partitioned on its business key (``pmod(hash(keys), N)``).
+  An SCD2 apply computes which buckets the source touches (a distinct
+  over ≤ N small ints), reads and rewrites *only those buckets*, and
+  re-points untouched buckets at their existing dirs in the new
+  manifest. A daily trickle touching 1% of keys rewrites ≈ the
+  touched buckets, not 100 TB.
+
+Capability parity: reference commits via Delta managed tables
+(``medallion/bronze/ds2b_company_house.py:91-97``) and two-transaction
+SCD2 MERGE (``medallion/silver/b2s_yfinance.py:150-186``); this gives
+the same observable semantics with single-manifest atomicity.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.scd import (
+    prepare_scd_source,
+    scd2_next_state,
+)
+
+BUCKET_COL = "__bucket"
+_MANIFEST_FMT = "manifest-{:08d}.json"
+
+
+class HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem via py4j."""
+
+    def __init__(self, spark: SparkSession, base_uri: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self.fs = self._Path(base_uri).getFileSystem(self._conf)
+
+    def path(self, p: str):
+        return self._Path(p)
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self.path(p))
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self.path(p))
+
+    def listdir(self, p: str) -> list[str]:
+        if not self.exists(p):
+            return []
+        return [str(st.getPath()) for st in self.fs.listStatus(self.path(p))]
+
+    def write_text(self, p: str, text: str) -> None:
+        out = self.fs.create(self.path(p), False)  # fail if exists
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, p: str) -> str:
+        stream = self.fs.open(self.path(p))
+        try:
+            # IOUtils drains the stream fully regardless of block size
+            b = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(b).decode("utf-8")
+        finally:
+            stream.close()
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self.fs.rename(self.path(src), self.path(dst)))
+
+    def delete(self, p: str) -> None:
+        self.fs.delete(self.path(p), True)
+
+
+class ManifestCatalog:
+    """``zone.table`` → ``<root>/zone/table`` with versioned-manifest
+    commits. Drop-in for ``ParquetCatalog`` (exists/read/replace_atomic/
+    append/drop) plus bucket-aware reads for pruned SCD2."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.fs = HadoopFS(spark, self.root)
+
+    # -- layout ---------------------------------------------------------
+    def table_dir(self, name: str) -> str:
+        return "/".join([self.root, *name.split(".")])
+
+    def _manifest_dir(self, name: str) -> str:
+        return f"{self.table_dir(name)}/_manifests"
+
+    def _new_data_dir(self, name: str) -> str:
+        return f"{self.table_dir(name)}/data/{uuid.uuid4().hex}"
+
+    # -- manifest log ---------------------------------------------------
+    def _versions(self, name: str) -> list[int]:
+        out = []
+        for p in self.fs.listdir(self._manifest_dir(name)):
+            base = p.rsplit("/", 1)[-1]
+            if base.startswith("manifest-") and base.endswith(".json"):
+                out.append(int(base[len("manifest-") : -len(".json")]))
+        return sorted(out)
+
+    def latest_manifest(self, name: str) -> dict | None:
+        versions = self._versions(name)
+        if not versions:
+            return None
+        path = f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(versions[-1])}"
+        return json.loads(self.fs.read_text(path))
+
+    def _commit(self, name: str, manifest: dict) -> int:
+        """Optimistic-concurrency publish: write tmp, rename to the
+        next version slot; on collision re-read the log and retry."""
+        mdir = self._manifest_dir(name)
+        self.fs.mkdirs(mdir)
+        while True:
+            version = (self._versions(name)[-1] + 1) if self._versions(name) else 1
+            manifest["version"] = version
+            tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}"
+            self.fs.write_text(tmp, json.dumps(manifest, indent=2, sort_keys=True))
+            target = f"{mdir}/{_MANIFEST_FMT.format(version)}"
+            if not self.fs.exists(target) and self.fs.rename(tmp, target):
+                return version
+            self.fs.delete(tmp)  # lost the race — retry at a later slot
+
+    # -- catalog surface ------------------------------------------------
+    def exists(self, name: str) -> bool:
+        """K10 — a table exists iff it has a committed manifest."""
+        return self.latest_manifest(name) is not None
+
+    def _dirs(self, manifest: dict, buckets: Sequence[int] | None = None) -> list[str]:
+        if manifest.get("bucket_dirs") is not None:
+            sel = (
+                manifest["bucket_dirs"].items()
+                if buckets is None
+                else [(str(b), manifest["bucket_dirs"].get(str(b), [])) for b in buckets]
+            )
+            return sorted({d for _b, ds in sel for d in ds})
+        return list(manifest["dirs"])
+
+    def read(self, name: str, buckets: Sequence[int] | None = None) -> DataFrame:
+        """Resolve the latest manifest and scan exactly its dirs.
+        ``buckets`` prunes a bucketed table to the named buckets'
+        subdirectories — partition pruning by manifest, no listing of
+        unrelated data."""
+        manifest = self.latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} has no committed manifest")
+        dirs = self._dirs(manifest, buckets)
+        if not dirs:
+            raise FileNotFoundError(f"table {name}: no data dirs for {buckets=}")
+        return self.spark.read.parquet(*dirs)
+
+    def replace_atomic(self, df: DataFrame, name: str, partition_by=None) -> None:
+        """K1 — full refresh as one manifest commit (readers see old or
+        new, never between; crash leaves old manifest current)."""
+        data_dir = self._new_data_dir(name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        self._commit(name, {"dirs": [data_dir], "bucket_dirs": None, "n_buckets": None})
+
+    # reference-surface aliases (K1/K2)
+    overwrite = replace_atomic
+
+    def append(self, df: DataFrame, name: str) -> None:
+        """K2 — append = new data dir + manifest listing old dirs + new."""
+        manifest = self.latest_manifest(name)
+        data_dir = self._new_data_dir(name)
+        df.write.mode("overwrite").parquet(data_dir)
+        dirs = (manifest["dirs"] if manifest else []) + [data_dir]
+        self._commit(name, {"dirs": dirs, "bucket_dirs": None, "n_buckets": None})
+
+    def drop(self, name: str) -> None:
+        self.fs.delete(self.table_dir(name))
+
+
+class BucketedSCD2:
+    """SCD Type-2 maintenance over a bucketed dimension in a
+    :class:`ManifestCatalog` — apply cost ∝ buckets containing
+    changed keys, with single-manifest atomicity."""
+
+    def __init__(self, catalog: ManifestCatalog, n_buckets: int = 64):
+        self.catalog = catalog
+        self.n_buckets = n_buckets
+
+    def _bucketed(self, df: DataFrame, keys: Sequence[str]) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(self.n_buckets))
+        )
+
+    def apply(
+        self,
+        source: DataFrame,
+        table: str,
+        keys: Sequence[str],
+        tracked: Sequence[str],
+        as_of=None,
+        dedup_order_by=None,
+        check_unique: bool = True,
+    ) -> dict:
+        """Returns {"changed_buckets": [...], "version": N} for
+        observability (BENCH asserts apply cost tracks bucket count)."""
+        cat, fs = self.catalog, self.catalog.fs
+        source = prepare_scd_source(source, keys, dedup_order_by, check_unique)
+        src = self._bucketed(source, keys)
+
+        manifest = cat.latest_manifest(table)
+        if manifest is None:
+            data_dir = cat._new_data_dir(table)
+            state = self._bucketed(
+                scd2_next_state(None, source, keys, tracked, as_of), keys
+            )
+            state.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
+            bucket_dirs = {
+                str(b): [f"{data_dir}/{BUCKET_COL}={b}"]
+                for b in self._buckets_in_dir(data_dir)
+            }
+            version = cat._commit(
+                table,
+                {"dirs": None, "bucket_dirs": bucket_dirs, "n_buckets": self.n_buckets},
+            )
+            return {"changed_buckets": sorted(int(b) for b in bucket_dirs), "version": version}
+
+        if manifest.get("n_buckets") != self.n_buckets:
+            raise ValueError(
+                f"table {table} committed with n_buckets={manifest.get('n_buckets')}, "
+                f"applier configured with {self.n_buckets}"
+            )
+        # buckets touched by this batch: distinct over small ints (≤ N)
+        changed = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        )
+        if not changed:
+            return {"changed_buckets": [], "version": manifest["version"]}
+
+        have_dirs = cat._dirs(manifest, changed)
+        current_state = (
+            cat.read(table, buckets=changed) if have_dirs else None
+        )  # all-new buckets → first-load semantics for this slice
+        next_state = scd2_next_state(current_state, source, keys, tracked, as_of)
+        data_dir = cat._new_data_dir(table)
+        self._bucketed(next_state, keys).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(data_dir)
+
+        bucket_dirs = dict(manifest["bucket_dirs"])
+        written = self._buckets_in_dir(data_dir)
+        for b in changed:
+            bucket_dirs[str(b)] = (
+                [f"{data_dir}/{BUCKET_COL}={b}"] if b in written else []
+            )  # bucket emptied (all rows filtered) → no dirs
+        version = cat._commit(
+            table,
+            {"dirs": None, "bucket_dirs": bucket_dirs, "n_buckets": self.n_buckets},
+        )
+        return {"changed_buckets": changed, "version": version}
+
+    def _buckets_in_dir(self, data_dir: str) -> set[int]:
+        out = set()
+        for p in self.catalog.fs.listdir(data_dir):
+            base = p.rsplit("/", 1)[-1]
+            if base.startswith(f"{BUCKET_COL}="):
+                out.add(int(base.split("=", 1)[1]))
+        return out
+
+    def read_current(self, table: str) -> DataFrame:
+        return self.catalog.read(table).filter(F.col("is_current")).drop(BUCKET_COL)
+
+    def read_all(self, table: str) -> DataFrame:
+        return self.catalog.read(table).drop(BUCKET_COL)

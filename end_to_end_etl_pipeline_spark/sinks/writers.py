@@ -83,11 +83,29 @@ def clustered_rewrite(
 
 
 def _swap_dirs(new: str, dest: str) -> None:
-    """Replace ``dest`` with ``new`` as atomically as local FS allows."""
+    """Replace ``dest`` with ``new`` via two renames. A crash between
+    them leaves ``dest`` missing with a ``__trash_`` sibling present —
+    ``_recover_swap`` repairs that window; readers racing the swap on
+    a shared local FS should use :class:`ManifestCatalog` instead
+    (single-pointer commits, no window at all)."""
     trash = f"{dest.rstrip('/')}__trash_{uuid.uuid4().hex[:8]}"
     os.rename(dest, trash)
     os.rename(new, dest)
     shutil.rmtree(trash, ignore_errors=True)
+
+
+def _recover_swap(dest: str) -> None:
+    """Roll back a torn ``_swap_dirs``: if ``dest`` vanished but its
+    trash sibling survives, restore the trash (the old, complete
+    state). Idempotent; no-op in the healthy case."""
+    if os.path.isdir(dest):
+        return
+    parent, base = os.path.dirname(dest), os.path.basename(dest)
+    if not os.path.isdir(parent):
+        return
+    trash = sorted(d for d in os.listdir(parent) if d.startswith(f"{base}__trash_"))
+    if trash:
+        os.rename(os.path.join(parent, trash[-1]), dest)
 
 
 class ParquetCatalog:
@@ -111,6 +129,7 @@ class ParquetCatalog:
         """K10 — table-existence probe (reference branches create-vs-
         merge on it, ``medallion/silver/b2s_yfinance.py:39-44``)."""
         p = self.path(name)
+        _recover_swap(p)
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f.startswith("part-") or f.startswith("_SUCCESS")
             for root_, _dirs, files in os.walk(p)
@@ -118,6 +137,7 @@ class ParquetCatalog:
         )
 
     def read(self, name: str) -> DataFrame:
+        _recover_swap(self.path(name))
         return self.spark.read.parquet(self.path(name))
 
     def overwrite(self, df: DataFrame, name: str, partition_by=None) -> None:
@@ -132,6 +152,7 @@ class ParquetCatalog:
         intact (fixes SURVEY.md §2.11-5's torn SCD2 two-transaction
         window at the storage layer)."""
         dest = self.path(name)
+        _recover_swap(dest)
         if not os.path.isdir(dest):
             write_overwrite(df, dest, partition_by)
             return
