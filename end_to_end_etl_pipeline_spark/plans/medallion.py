@@ -58,6 +58,19 @@ from end_to_end_etl_pipeline_spark.sources.readers import (
 )
 
 
+def _order_expr(e: str):
+    """Parse a config ordering string, honoring a trailing ASC/DESC.
+    (Plain ``F.expr("col DESC")`` would silently treat DESC as an
+    implicit column alias and sort ascending.)"""
+    s = e.strip()
+    low = s.lower()
+    if low.endswith(" desc"):
+        return F.expr(s[: -len(" desc")]).desc()
+    if low.endswith(" asc"):
+        return F.expr(s[: -len(" asc")]).asc()
+    return F.expr(s)
+
+
 class MedallionPipeline:
     def __init__(self, spark: SparkSession, catalog_root: str):
         self.spark = spark
@@ -122,7 +135,7 @@ class MedallionPipeline:
 
         dedup = spec.get("dedup")
         if dedup:
-            order = [F.expr(e) for e in dedup.get("order_by", [])] or None
+            order = [_order_expr(e) for e in dedup.get("order_by", [])] or None
             df = dedup_by_key(df, dedup["keys"], order_by=order)
 
         post_filter = spec.get("filter")
