@@ -403,3 +403,41 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("r_name", "n_name").agg(
         F.count("c_custkey").alias("n_customers")
     )
+
+
+@register(
+    "purchase_last_view_asof",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS view_event_id, ts AS view_ts
+          FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.event_id, p.ts, v.view_event_id, v.view_ts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    """,
+    doc="Backward as-of join (purchase -> latest prior view per user): "
+    "union-sort + window carry-forward, one shuffle on the key — no "
+    "range explosion (operators/joins.py asof_join; natural extension "
+    "SURVEY §2.4 flags for the reference's trading data).",
+    tags=("parity", "joins"),
+)
+def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.joins import asof_join
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("__vts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="__vts",
+        right_cols=["view_event_id", "view_ts"],
+    )

@@ -1,0 +1,133 @@
+"""Unit sweep over operators with no prior test/oracle exercise
+(round-1 verdict: "no §2 row left untested"): sanitize, array<struct>
+flatten, as-of join edges, running totals, quarantine split,
+clustered rewrite, partitioned append, rows source, SCD guards."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.cleaning import (
+    flatten_exploded,
+    sanitize_column_names,
+)
+from end_to_end_etl_pipeline_spark.operators.dq import (
+    bounds_rule,
+    not_null_rule,
+    quarantine_split,
+)
+from end_to_end_etl_pipeline_spark.operators.joins import asof_join
+from end_to_end_etl_pipeline_spark.operators.scd import prepare_scd_source
+from end_to_end_etl_pipeline_spark.operators.windows import running_total
+from end_to_end_etl_pipeline_spark.sinks.writers import (
+    clustered_rewrite,
+    write_append,
+    write_overwrite,
+)
+from end_to_end_etl_pipeline_spark.sources.readers import rows_source
+
+
+def test_sanitize_column_names(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["Adj Close", "Stock Splits%", "__weird__"])
+    assert sanitize_column_names(df).columns == ["adj_close", "stock_splits", "weird"]
+
+
+def test_flatten_exploded_array_struct(spark):
+    df = spark.createDataFrame(
+        [("C1", [("Ann", "director"), ("Bob", "secretary")]),
+         ("C2", []),          # empty array: inner explode drops the row
+         ("C3", None)],       # null array: dropped too
+        "company string, items array<struct<name:string,role:string>>",
+    )
+    out = flatten_exploded(df, key="company", array_col="items")
+    assert out.columns == ["company", "name", "role"]
+    assert sorted((r.company, r.name, r.role) for r in out.collect()) == [
+        ("C1", "Ann", "director"), ("C1", "Bob", "secretary")
+    ]
+
+
+def test_asof_join_backward_and_equal_ts(spark):
+    left = spark.createDataFrame(
+        [("u1", "2026-01-05"), ("u1", "2026-01-10"), ("u2", "2026-01-05")],
+        "k string, t string",
+    )
+    right = spark.createDataFrame(
+        [("u1", "2026-01-01", 1.0), ("u1", "2026-01-10", 2.0),  # equal-ts visible
+         ("u2", "2026-01-06", 9.0)],                            # after left: unmatched
+        "k string, rt string, v double",
+    )
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                    right_cols=["v"])
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got[("u1", "2026-01-05")] == 1.0
+    assert got[("u1", "2026-01-10")] == 2.0  # right row at exactly left_time wins
+    assert got[("u2", "2026-01-05")] is None
+
+
+def test_running_total(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 5.0), ("a", 3, 2.5), ("b", 1, 1.0)],
+        "k string, seq int, v double",
+    )
+    out = running_total(df, ["k"], "seq", "v", "rt")
+    got = {(r.k, r.seq): r.rt for r in out.collect()}
+    assert got == {("a", 1): 10.0, ("a", 2): 15.0, ("a", 3): 17.5, ("b", 1): 1.0}
+
+
+def test_quarantine_split(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (None, 3.0), (3, -7.0)], "k int, v double"
+    )
+    good, bad = quarantine_split(df, not_null_rule(["k"]), bounds_rule({"v": (0, None)}))
+    assert [r.k for r in good.collect()] == [1]
+    assert sorted(r.v for r in bad.collect()) == [-7.0, 3.0]
+    assert good.count() + bad.count() == df.count()
+
+
+def test_clustered_rewrite_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    write_overwrite(df, path)
+    before = sorted(r.v for r in spark.read.parquet(path).collect())
+    clustered_rewrite(spark, path, cluster_by=["k"], target_partitions=2)
+    after_df = spark.read.parquet(path)
+    assert sorted(r.v for r in after_df.collect()) == before
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) <= 2  # compacted
+
+
+def test_write_append_partitioned(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df1 = spark.createDataFrame([("2026-01", 1), ("2026-02", 2)], "month string, v int")
+    write_overwrite(df1, path, partition_by=["month"])
+    assert os.path.isdir(os.path.join(path, "month=2026-01"))  # hive layout
+    write_append(
+        spark.createDataFrame([("2026-02", 3)], "month string, v int"),
+        path,
+        partition_by=["month"],
+    )
+    out = spark.read.parquet(path)
+    assert out.count() == 3
+    # partition pruning reads only the one directory
+    assert out.filter(F.col("month") == "2026-02").count() == 2
+
+
+def test_rows_source_ddl_schema(spark):
+    df = rows_source(spark, [(1, "x"), (2, "y")], "id bigint, name string")
+    assert df.schema.simpleString() == "struct<id:bigint,name:string>"
+    assert df.count() == 2
+
+
+def test_prepare_scd_source_guards(spark):
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c")], "k int, v string"
+    )
+    # duplicate keys fail fast by default
+    with pytest.raises(ValueError, match="duplicate business keys"):
+        prepare_scd_source(src, ["k"])
+    # a deterministic keep-policy resolves them; null keys always drop
+    out = prepare_scd_source(src, ["k"], dedup_order_by=[F.col("v").asc()])
+    assert [(r.k, r.v) for r in out.collect()] == [(1, "a")]
