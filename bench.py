@@ -32,6 +32,12 @@ BENCH_QUERIES = [
     "dedup_exact_text",
     "text_quality",
     "label_centroids",
+    # round 2: LLM-pipeline operators at bench scale
+    "near_dup_pairs",
+    "cosine_topk",
+    "doc_fingerprints",
+    "purchase_last_view_asof",
+    "scd2_transition",
 ]
 
 

