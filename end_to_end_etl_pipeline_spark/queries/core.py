@@ -441,3 +441,89 @@ def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="__vts",
         right_cols=["view_event_id", "view_ts"],
     )
+
+
+@register(
+    "order_priority_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent,
+           round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high,
+           round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium,
+           round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS not_specified,
+           round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="groupBy().pivot() with an explicit value list (no extra "
+    "distinct-scan job; SURVEY §2.5 'free in Spark' extension).",
+    tags=("parity",),
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renames = {
+        "1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified", "5-LOW": "low",
+    }
+    for old, new in renames.items():
+        pivoted = pivoted.withColumnRenamed(old, new)
+    return pivoted
+
+
+@register(
+    "segment_customer_setops",
+    oracle="""
+    SELECT c_custkey, 'both' AS src FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT c_custkey, 'building_only' AS src FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="INTERSECT / EXCEPT set operators (SURVEY §2.7: absent from the "
+    "reference, free in Spark).",
+    tags=("parity",),
+)
+def segment_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = building.intersect(urgent).withColumn("src", F.lit("both"))
+    only = building.exceptAll(urgent).distinct().withColumn(
+        "src", F.lit("building_only")
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "lineitem_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (SURVEY §2.5 extension; rollup already "
+    "covered by region_rollup).",
+    tags=("parity",),
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )

@@ -177,7 +177,15 @@ class ManifestCatalog:
         dirs = self._dirs(manifest, buckets)
         if not dirs:
             raise FileNotFoundError(f"table {name}: no data dirs for {buckets=}")
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        if len(dirs) > 1:
+            # append-path schema evolution (K9): dirs committed before a
+            # column existed read as NULL — the reference needs ALTER
+            # TABLE ADD COLUMN for this (b2s_yfinance.py:46-61); merged
+            # footers make it automatic. Single-dir reads skip the
+            # footer-merge job.
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     def replace_atomic(self, df: DataFrame, name: str, partition_by=None) -> None:
         """K1 — full refresh as one manifest commit (readers see old or

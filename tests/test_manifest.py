@@ -131,3 +131,17 @@ def test_parquet_catalog_recovers_torn_swap(spark, tmp_path):
     os.rename(dest, dest + "__trash_deadbeef")  # simulate crash mid-swap
     assert cat.exists("t")  # recovery restored the old state
     assert sorted(r.k for r in cat.read("t").collect()) == [1]
+
+
+def test_append_schema_evolution(spark, cat):
+    """K9: a column added in a later append reads as NULL for older
+    data dirs (the reference needs ALTER TABLE ADD COLUMN for this,
+    b2s_yfinance.py:46-61)."""
+    cat.replace_atomic(_df(spark, [(1, "a")]), "t")
+    wider = spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double")
+    cat.append(wider, "t")
+    out = cat.read("t")
+    assert set(out.columns) == {"k", "v", "score"}
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].score is None  # backfilled NULL on the old dir
+    assert rows[2].score == 9.5
