@@ -1,0 +1,13 @@
+from end_to_end_etl_pipeline_spark.streaming.jobs import (
+    foreach_batch_scd1,
+    read_stream_files,
+    stream_dedup,
+    windowed_counts,
+)
+
+__all__ = [
+    "foreach_batch_scd1",
+    "read_stream_files",
+    "stream_dedup",
+    "windowed_counts",
+]

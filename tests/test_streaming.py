@@ -1,0 +1,98 @@
+"""Structured Streaming surface: file-source stream → windowed agg /
+dedup / foreachBatch SCD1 upsert, run to completion with the
+availableNow trigger and compared against batch equivalents."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.sinks.writers import ParquetCatalog
+from end_to_end_etl_pipeline_spark.streaming import (
+    foreach_batch_scd1,
+    read_stream_files,
+    stream_dedup,
+    windowed_counts,
+)
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+def _write_batch(d, name, rows):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture
+def stream_dir(tmp_path):
+    d = str(tmp_path / "in")
+    _write_batch(d, "b1.json", [
+        {"event_id": 1, "ts": "2026-01-01T00:10:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": "2026-01-01T00:20:00Z", "user_id": 1, "event_type": "click", "value": 2.0},
+        {"event_id": 3, "ts": "2026-01-01T01:05:00Z", "user_id": 2, "event_type": "view", "value": 3.0},
+    ])
+    _write_batch(d, "b2.json", [
+        {"event_id": 4, "ts": "2026-01-01T01:45:00Z", "user_id": 1, "event_type": "view", "value": 4.0},
+        {"event_id": 4, "ts": "2026-01-01T01:45:00Z", "user_id": 1, "event_type": "view", "value": 4.0},  # dup
+        {"event_id": 5, "ts": "2026-01-01T02:30:00Z", "user_id": 2, "event_type": "click", "value": 5.0},
+    ])
+    return d
+
+
+def test_windowed_counts_matches_batch(spark, stream_dir, tmp_path):
+    stream = read_stream_files(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+    agg = windowed_counts(stream, "ts", window="1 hour", watermark="2 hours",
+                          group_cols=["event_type"])
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): r.n
+        for r in spark.table("win_counts").collect()
+    }
+    batch = spark.read.schema(SCHEMA).json(stream_dir)
+    expect = {
+        (str(r.ws), r.event_type): r.n
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
+    # 01:00 window 'view': u2@01:05 + u1@01:45 delivered twice = 3
+    assert got[("2026-01-01 01:00:00", "view")] == 3
+
+
+def test_stream_dedup_drops_replays(spark, stream_dir, tmp_path):
+    stream = read_stream_files(spark, stream_dir, SCHEMA)
+    deduped = stream_dedup(stream, ["event_id"], "ts")
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.table("dedup_out")
+    assert out.count() == 5  # 6 rows in, one exact replay dropped
+    assert out.select("event_id").distinct().count() == 5
+
+
+def test_foreach_batch_scd1_upsert(spark, stream_dir, tmp_path):
+    catalog = ParquetCatalog(spark, str(tmp_path / "lake"))
+    stream = read_stream_files(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+    q = foreach_batch_scd1(
+        stream,
+        catalog,
+        "silver.user_last_event",
+        keys=["user_id"],
+        dedup_order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+        checkpoint_dir=str(tmp_path / "ck3"),
+    )
+    q.awaitTermination(120)
+    final = {r.user_id: r for r in catalog.read("silver.user_last_event").collect()}
+    # latest event per user across ALL micro-batches
+    assert final[1].event_id == 4 and final[1].value == 4.0
+    assert final[2].event_id == 5 and final[2].value == 5.0
