@@ -118,3 +118,80 @@ def foreach_batch_scd1(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    Arrow-batched ``applyInPandasWithState`` — the escape hatch for
+    stream semantics the built-in operators can't express (built-in
+    ``session_window`` covers plain gap windows; this shape is where
+    custom per-key state logic plugs in).
+
+    Per user, consecutive events ≤ ``gap_minutes`` apart form a
+    session; a longer gap closes it. Closed sessions emit immediately
+    (in-batch gaps) or via event-time timeout once the watermark
+    passes the open session's deadline — so state per key is one
+    open session, bounded by the watermark like every stateful op.
+
+    Emits (user, session_start, session_end, n_events).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        f"{user_col} bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    )
+    state_schema = "start_ms bigint, last_ms bigint, n bigint"
+
+    def _emit(user, sessions):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                user_col: [user] * len(sessions),
+                "session_start": [pd.to_datetime(s, unit="ms") for s, _e, _n in sessions],
+                "session_end": [pd.to_datetime(e, unit="ms") for _s, e, _n in sessions],
+                "n_events": [n for _s, _e, n in sessions],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield _emit(user, [(start_ms, last_ms, n)])
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend((pdf[ts_col].astype("int64") // 1_000_000).tolist())
+        ts.sort()
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts:
+            if start_ms is None:
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n))
+                start_ms, last_ms, n = t, t, 1
+            else:
+                last_ms, n = max(last_ms, t), n + 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        if closed:
+            yield _emit(user, closed)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

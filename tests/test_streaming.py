@@ -96,3 +96,36 @@ def test_foreach_batch_scd1_upsert(spark, stream_dir, tmp_path):
     # latest event per user across ALL micro-batches
     assert final[1].event_id == 4 and final[1].value == 4.0
     assert final[2].event_id == 5 and final[2].value == 5.0
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.streaming.jobs import sessionize
+
+    d = str(tmp_path / "sess_in")
+    _write_batch(d, "b1.json", [
+        {"event_id": 1, "ts": "2026-01-01T00:00:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": "2026-01-01T00:10:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 3, "ts": "2026-01-01T02:00:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 4, "ts": "2026-01-01T00:05:00Z", "user_id": 2, "event_type": "view", "value": 1.0},
+    ])
+    _write_batch(d, "b2.json", [
+        {"event_id": 5, "ts": "2026-01-01T03:00:00Z", "user_id": 2, "event_type": "view", "value": 1.0},
+    ])
+    stream = read_stream_files(spark, d, SCHEMA)
+    sessions = sessionize(stream, "user_id", "ts", gap_minutes=30)
+    q = (sessions.writeStream.format("memory").queryName("sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck4"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("sessions").collect()
+    )
+    # u1: events 00:00+00:10 close when 02:00 arrives (in-batch gap);
+    # u2: 00:05 closes via event-time timeout once the watermark
+    # (03:00 - 2h = 01:00) passes its 00:35 deadline.
+    assert (1, "2026-01-01 00:00:00", "2026-01-01 00:10:00", 2) in got
+    assert (2, "2026-01-01 00:05:00", "2026-01-01 00:05:00", 1) in got
+    # open sessions (u1@02:00, u2@03:00) remain in state, not emitted
+    assert len(got) == 2
