@@ -72,9 +72,14 @@ def _order_expr(e: str):
 
 
 class MedallionPipeline:
-    def __init__(self, spark: SparkSession, catalog_root: str):
+    """``catalog`` is pluggable: the local-dev ``ParquetCatalog``
+    (default) or ``sinks.manifest.ManifestCatalog`` for
+    object-store-portable manifest commits — every layer only uses
+    the shared exists/read/replace_atomic surface."""
+
+    def __init__(self, spark: SparkSession, catalog_root: str, catalog=None):
         self.spark = spark
-        self.catalog = ParquetCatalog(spark, catalog_root)
+        self.catalog = catalog or ParquetCatalog(spark, catalog_root)
         self.scd = SCDEngine(self.catalog)
 
     # -- bronze ----------------------------------------------------------

@@ -211,6 +211,96 @@ class ManifestCatalog:
     def drop(self, name: str) -> None:
         self.fs.delete(self.table_dir(name))
 
+    # -- maintenance ----------------------------------------------------
+    def optimize(
+        self,
+        name: str,
+        cluster_by: Sequence[str] | None = None,
+        target_partitions: int | None = None,
+    ) -> None:
+        """K8 — compaction (+ optional clustering): rewrite the
+        current table state into one fresh data dir, sorted within
+        partitions on ``cluster_by`` so parquet row-group min/max
+        stats give data skipping (the OPTIMIZE/ZORDER stand-in,
+        reference ``medallion/gold/s2g.py:98-101``). Readers are
+        never disturbed: old dirs stay referenced by old manifests
+        until :meth:`vacuum`."""
+        manifest = self.latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} has no committed manifest")
+        bucketed = manifest.get("bucket_dirs") is not None
+        df = self.read(name)
+        if cluster_by:
+            n = target_partitions or self.spark.sparkContext.defaultParallelism
+            df = df.repartition(n, *cluster_by).sortWithinPartitions(*cluster_by)
+        elif target_partitions:
+            df = df.coalesce(target_partitions)
+        data_dir = self._new_data_dir(name)
+        if bucketed:
+            # bucket subdir reads drop the partition column; recompute
+            # it from the manifest's recorded business keys
+            keys = manifest["bucket_keys"]
+            df = df.withColumn(
+                BUCKET_COL,
+                F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(manifest["n_buckets"])),
+            )
+            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
+            bucket_dirs = {}
+            for p in self.fs.listdir(data_dir):
+                base = p.rsplit("/", 1)[-1]
+                if base.startswith(f"{BUCKET_COL}="):
+                    bucket_dirs[base.split("=", 1)[1]] = [p]
+            self._commit(
+                name,
+                {"dirs": None, "bucket_dirs": bucket_dirs,
+                 "n_buckets": manifest["n_buckets"],
+                 "bucket_keys": list(keys)},
+            )
+        else:
+            df.write.mode("overwrite").parquet(data_dir)
+            self._commit(
+                name, {"dirs": [data_dir], "bucket_dirs": None, "n_buckets": None}
+            )
+
+    def vacuum(self, name: str, keep_versions: int = 1) -> list[str]:
+        """Garbage-collect data dirs referenced by no retained
+        manifest (superseded rewrites AND crash orphans that never
+        got a manifest), plus manifests older than the retention
+        window. Runs strictly on already-committed state, so it can
+        never race a reader of a retained version. Returns deleted
+        data-dir paths."""
+        versions = self._versions(name)
+        if not versions:
+            return []
+        retained = versions[-keep_versions:]
+        referenced: set[str] = set()
+        for v in retained:
+            m = json.loads(
+                self.fs.read_text(f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(v)}")
+            )
+            dirs = (
+                [d for ds in m["bucket_dirs"].values() for d in ds]
+                if m.get("bucket_dirs") is not None
+                else m["dirs"]
+            )
+            # normalize bucket subdirs back to their data/<uuid> root
+            for d in dirs:
+                parts = d.rstrip("/").split("/")
+                while len(parts) > 1 and parts[-2] != "data":
+                    parts.pop()
+                # Hadoop Path canonicalization: file:///x and file:/x
+                # must compare equal
+                referenced.add(str(self.fs.path("/".join(parts))))
+        deleted = []
+        for p in self.fs.listdir(f"{self.table_dir(name)}/data"):
+            if str(self.fs.path(p)) not in referenced:
+                self.fs.delete(p)
+                deleted.append(p)
+        for v in versions:
+            if v not in retained:
+                self.fs.delete(f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(v)}")
+        return deleted
+
 
 class BucketedSCD2:
     """SCD Type-2 maintenance over a bucketed dimension in a
@@ -255,7 +345,8 @@ class BucketedSCD2:
             }
             version = cat._commit(
                 table,
-                {"dirs": None, "bucket_dirs": bucket_dirs, "n_buckets": self.n_buckets},
+                {"dirs": None, "bucket_dirs": bucket_dirs, "n_buckets": self.n_buckets,
+                 "bucket_keys": list(keys)},
             )
             return {"changed_buckets": sorted(int(b) for b in bucket_dirs), "version": version}
 
@@ -289,7 +380,8 @@ class BucketedSCD2:
             )  # bucket emptied (all rows filtered) → no dirs
         version = cat._commit(
             table,
-            {"dirs": None, "bucket_dirs": bucket_dirs, "n_buckets": self.n_buckets},
+            {"dirs": None, "bucket_dirs": bucket_dirs, "n_buckets": self.n_buckets,
+                 "bucket_keys": list(keys)},
         )
         return {"changed_buckets": changed, "version": version}
 

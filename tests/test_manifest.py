@@ -145,3 +145,42 @@ def test_append_schema_evolution(spark, cat):
     rows = {r.k: r for r in out.collect()}
     assert rows[1].score is None  # backfilled NULL on the old dir
     assert rows[2].score == 9.5
+
+
+def test_optimize_compacts_and_vacuum_collects(spark, cat):
+    cat.replace_atomic(_df(spark, [(1, "a")]), "t")
+    cat.append(_df(spark, [(2, "b")]), "t")
+    cat.append(_df(spark, [(3, "c")]), "t")
+    assert len(cat.latest_manifest("t")["dirs"]) == 3
+    # crash orphan: data written, never committed
+    orphan = cat._new_data_dir("t")
+    _df(spark, [(99, "zz")]).write.parquet(orphan)
+
+    cat.optimize("t", cluster_by=["k"], target_partitions=1)
+    assert len(cat.latest_manifest("t")["dirs"]) == 1
+    assert sorted(r.k for r in cat.read("t").collect()) == [1, 2, 3]
+
+    deleted = cat.vacuum("t", keep_versions=1)
+    # 3 superseded dirs + 1 orphan gone, compacted dir retained
+    assert len(deleted) == 4
+    assert sorted(r.k for r in cat.read("t").collect()) == [1, 2, 3]
+    assert cat._versions("t") == [cat.latest_manifest("t")["version"]]
+    data_dirs = cat.fs.listdir(cat.table_dir("t") + "/data")
+    assert len(data_dirs) == 1
+
+
+def test_optimize_preserves_buckets(spark, cat):
+    eng = BucketedSCD2(cat, n_buckets=4)
+    eng.apply(_src(spark, [(i, f"v{i}") for i in range(12)]), "d", ["k"], ["attr"],
+              "2026-01-01 00:00:00")
+    eng.apply(_src(spark, [(1, "x")]), "d", ["k"], ["attr"], "2026-02-01 00:00:00")
+    before = sorted((r.k, r.attr, r.is_current) for r in eng.read_all("d").collect())
+    cat.optimize("d")
+    after = sorted((r.k, r.attr, r.is_current) for r in eng.read_all("d").collect())
+    assert after == before
+    m = cat.latest_manifest("d")
+    assert m["n_buckets"] == 4
+    # every bucket now points at exactly one (compacted) dir
+    assert all(len(ds) == 1 for ds in m["bucket_dirs"].values())
+    cat.vacuum("d", keep_versions=1)
+    assert sorted((r.k, r.attr, r.is_current) for r in eng.read_all("d").collect()) == before

@@ -163,8 +163,21 @@ def _config(dirs, as_of):
     }
 
 
-def test_medallion_end_to_end(spark, tmp_path, fixture_dirs):
-    pipe = MedallionPipeline(spark, str(tmp_path / "lake"))
+@pytest.fixture(params=["parquet", "manifest"])
+def pipe_factory(request, spark, tmp_path):
+    def make():
+        if request.param == "manifest":
+            from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+            cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+            return MedallionPipeline(spark, str(tmp_path / "lake"), catalog=cat)
+        return MedallionPipeline(spark, str(tmp_path / "lake"))
+
+    return make
+
+
+def test_medallion_end_to_end(spark, tmp_path, fixture_dirs, pipe_factory):
+    pipe = pipe_factory()
     pipe.run(_config(fixture_dirs, "2026-01-01 00:00:00"))
 
     # -- silver company_master ---------------------------------------
