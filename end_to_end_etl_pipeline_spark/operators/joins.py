@@ -95,3 +95,32 @@ def asof_join(
     for c in right_cols:
         out = out.withColumnRenamed(f"__r_{c}", c)
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    salt_col: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the left side spreads each hot key
+    over ``n_salt`` sub-keys (deterministic salt from ``salt_col``,
+    no RNG — reruns shuffle identically), the right side replicates
+    each row ``n_salt`` times. One key's rows land on ``n_salt``
+    reducers instead of one, at the cost of an ``n_salt``× copy of
+    the (small) right side. Same result set as the unsalted join.
+
+    Use when one side has heavy key skew AND the right side is too
+    big to broadcast; otherwise AQE's skew-join split (enabled in the
+    session factory) usually suffices.
+    """
+    keys = list(keys)
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_col)), F.lit(n_salt))
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return salted_left.join(salted_right, [*keys, "__salt"], how).drop("__salt")

@@ -1,0 +1,59 @@
+"""Scale-path join strategies: bucketed co-location (exchange-free
+plans) and deterministic skew salting."""
+
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.joins import salted_join
+from end_to_end_etl_pipeline_spark.sinks.bucketing import (
+    co_located_join,
+    write_bucketed_table,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    try:
+        write_bucketed_table(left, "bk_left", ["k"], n_buckets=8)
+        write_bucketed_table(right, "bk_right", ["k"], n_buckets=8)
+        joined = co_located_join(
+            spark, "bk_left", "bk_right", ["k"], force_sort_merge=True
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucket co-location: no shuffle
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        assert joined.count() == 500
+        row = joined.filter(F.col("k") == 7).collect()[0]
+        assert (row.lv, row.rv) == (14, 21)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of left rows share key 0
+    left = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("rv")
+    )
+    plain = left.join(right, ["k"]).select("k", "rowid", "rv")
+    salted = salted_join(left, right, ["k"], salt_col="rowid", n_salt=8).select(
+        "k", "rowid", "rv"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # replication really spread the hot key across salt partitions
+    spread = (
+        left.withColumn("__salt", F.pmod(F.hash(F.col("rowid")), F.lit(8)))
+        .filter(F.col("k") == 0)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
