@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "purchase_last_view_asof",
     "scd2_transition",
+    "user_sessions",
 ]
 
 

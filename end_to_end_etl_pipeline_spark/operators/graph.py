@@ -1,0 +1,58 @@
+"""Graph-ish operators for dedup pipelines: connected components over
+near-duplicate pair edges, so each duplicate *cluster* keeps one
+canonical representative (pairs alone can't dedup transitively:
+A≈B, B≈C must collapse A, B, C together).
+
+Iterative min-label propagation: every node repeatedly adopts the
+smallest label among itself and its neighbors; converges in
+O(component diameter) rounds (near-dup clusters are shallow — pairs
+and small stars — so a handful of rounds closes them). Each round is
+one join + one aggregate, both shuffling on node id; frames persist
+between rounds and the previous round unpersists, so memory stays
+one labels-table deep. The convergence probe is a count() per round
+— the deliberate driver-side action that bounds the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``edges``;
+    cluster_id = the minimum node id in the component."""
+    sym = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select("n").distinct().withColumn("label", F.col("n")).persist()
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.select(F.col("n").alias("m"), "label"), "m"
+        ).select("n", "label")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("n").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.join(
+                labels.select("n", F.col("label").alias("__old")), "n"
+            )
+            .filter(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("n").alias("node"), F.col("label").alias("cluster_id"))

@@ -527,3 +527,41 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
     )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w < INTERVAL 4 HOUR THEN 0 ELSE 1 END
+               AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS last_event,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Batch gap sessionization via session_window (events < 4h apart "
+    "chain); oracle = islands-and-gaps lag/cumsum. Streaming twin: "
+    "streaming/jobs.sessionize.",
+    tags=("parity", "sessions"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "4 hours"))
+        .agg(F.max("ts").alias("last_event"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "last_event",
+            "n_events",
+        )
+    )

@@ -134,7 +134,9 @@ def _nibble_int(col: str, start: int, width: int = 8) -> str:
 _K, _B, _R = 15, 3, 5  # 3 bands x 5 rows: P(cand)≈0.99 at J=0.95, ≈0.09 at J=0.5
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """CTE chain ending in ``pairs`` (the verified near-dup pairs) —
+    shared by the pairs oracle and the clusters oracle."""
     mins = ",\n           ".join(
         f"min((h1 + {k} * h2) % 4294967296) AS m{k}" for k in range(_K)
     )
@@ -144,8 +146,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(_B)
     )
-    return f"""
-    WITH {_SQL_CORPUS}, {_SQL_SHINGLES},
+    return f"""{_SQL_CORPUS}, {_SQL_SHINGLES},
     hashed AS (
       SELECT doc_id,
              {_nibble_int('h', 1)} AS h1,
@@ -173,13 +174,34 @@ def _minhash_oracle() -> str:
       JOIN shd sa ON sa.doc_id = c.doc_a
       JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(ci AS DOUBLE) / (na.n + nb.n - ci), 6) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE CAST(ci AS DOUBLE) / (na.n + nb.n - ci) >= 0.6
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_pair_ctes()}\n    SELECT doc_a, doc_b, jaccard FROM pairs"
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT a, a FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
     )
-    SELECT i.doc_a, i.doc_b,
-           round(CAST(ci AS DOUBLE) / (na.n + nb.n - ci), 6) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.doc_a
-    JOIN sizes nb ON nb.doc_id = i.doc_b
-    WHERE CAST(ci AS DOUBLE) / (na.n + nb.n - ci) >= 0.6
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
     """
 
 
@@ -460,3 +482,24 @@ def binary_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return binary_stats(with_binary_payload(docs, "text"), "doc_id", "payload")
+
+
+@register(
+    "near_dup_clusters",
+    oracle=_clusters_oracle(),
+    doc="Transitive near-dup clustering: connected components over the "
+    "MinHash-LSH pair graph via iterative min-label propagation "
+    "(A~B, B~C collapse to one cluster); oracle = recursive-CTE "
+    "transitive closure.",
+    tags=("north-star", "dedup"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = _variant_corpus(docs)
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", shingle_len=6, num_hashes=_K, bands=_B, threshold=0.6
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
