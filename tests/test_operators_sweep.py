@@ -131,3 +131,14 @@ def test_prepare_scd_source_guards(spark):
     # a deterministic keep-policy resolves them; null keys always drop
     out = prepare_scd_source(src, ["k"], dedup_order_by=[F.col("v").asc()])
     assert [(r.k, r.v) for r in out.collect()] == [(1, "a")]
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The documented scale-out variant of exact countDistinct (A2):
+    HLL sketch, mergeable map-side, no exact-distinct shuffle."""
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    exact = df.select(F.countDistinct("o_custkey").alias("n")).collect()[0].n
+    approx = df.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
+    ).collect()[0].n
+    assert abs(approx - exact) / exact < 0.05
