@@ -61,10 +61,20 @@ def dedup_exact_hash(
     collapses duplicate hashes before the exchange (a skewed hash with
     a million copies costs one partial row per map task, not one
     reduce-side task holding all copies) — then a semi-join on
-    (hash, id) recovers the surviving full rows."""
+    (hash, id) recovers the surviving full rows.
+
+    ``id_col`` must be a unique row identifier. The id leg of the
+    semi-join is null-safe so an all-NULL-id hash group survives
+    (rather than vanishing); rows sharing (hash, id) — a violated
+    uniqueness contract — would all survive."""
     hashed = df.withColumn(
         hash_col,
         F.md5(F.concat_ws("␟", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in content_cols])),
     )
-    winners = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
-    return hashed.join(winners, [hash_col, id_col], "left_semi")
+    winners = hashed.groupBy(hash_col).agg(F.min(id_col).alias("__win_id"))
+    return hashed.join(
+        winners,
+        (hashed[hash_col] == winners[hash_col])
+        & hashed[id_col].eqNullSafe(winners["__win_id"]),
+        "left_semi",
+    )

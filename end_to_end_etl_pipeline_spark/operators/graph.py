@@ -54,5 +54,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); returning partial "
+            "labels would silently split real clusters — raise max_iter"
+        )
     sym.unpersist()
     return labels.select(F.col("n").alias("node"), F.col("label").alias("cluster_id"))

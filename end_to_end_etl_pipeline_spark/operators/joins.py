@@ -115,7 +115,15 @@ def salted_join(
     Use when one side has heavy key skew AND the right side is too
     big to broadcast; otherwise AQE's skew-join split (enabled in the
     session factory) usually suffices.
+
+    Only left-preserving join types are valid: a right/full outer
+    would surface each unmatched right row once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r} "
+            "(an unmatched right row would appear once per salt replica)"
+        )
     keys = list(keys)
     salted_left = left.withColumn(
         "__salt", F.pmod(F.hash(F.col(salt_col)), F.lit(n_salt))

@@ -50,7 +50,9 @@ def binary_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         F.col(id_col),
         F.length(b).cast("long").alias("n_bytes"),
         F.md5(b).alias("content_md5"),
-        F.substring(F.hex(b), 1, 8).alias("magic_hex"),
+        # slice the 4 bytes BEFORE hex — hex(payload) would materialize
+        # a string 2x a multi-MB payload just to keep 8 chars
+        F.hex(F.substring(b, 1, 4)).alias("magic_hex"),
     )
 
 

@@ -581,7 +581,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
     GROUP BY 1, 3, 4
     QUALIFY row_number() OVER (
-      ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, l_orderkey) <= 10
+      ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+               l_orderkey) <= 10
     """,
     doc="TPC-H Q3 shape: selective filters on three tables pushed to "
     "the scans, join, agg, global top-10 via TakeOrderedAndProject "

@@ -99,6 +99,15 @@ class HadoopFS:
     def delete(self, p: str) -> None:
         self.fs.delete(self.path(p), True)
 
+    def qualified(self, p: str) -> str:
+        """Fully-qualified URI (scheme + authority) — the ONLY safe
+        form for path equality: '/x' and 'file:/x' name the same dir
+        but never compare equal as strings."""
+        return str(self.fs.makeQualified(self.path(p)))
+
+    def mtime_ms(self, p: str) -> int:
+        return int(self.fs.getFileStatus(self.path(p)).getModificationTime())
+
 
 class ManifestCatalog:
     """``zone.table`` → ``<root>/zone/table`` with versioned-manifest
@@ -201,8 +210,15 @@ class ManifestCatalog:
     overwrite = replace_atomic
 
     def append(self, df: DataFrame, name: str) -> None:
-        """K2 — append = new data dir + manifest listing old dirs + new."""
+        """K2 — append = new data dir + manifest listing old dirs + new.
+        Bucketed tables reject plain appends (they would break the
+        bucket→dir mapping): route changes through ``BucketedSCD2``."""
         manifest = self.latest_manifest(name)
+        if manifest is not None and manifest.get("bucket_dirs") is not None:
+            raise ValueError(
+                f"table {name} is bucketed; append via BucketedSCD2.apply, "
+                "not ManifestCatalog.append"
+            )
         data_dir = self._new_data_dir(name)
         df.write.mode("overwrite").parquet(data_dir)
         dirs = (manifest["dirs"] if manifest else []) + [data_dir]
@@ -262,13 +278,24 @@ class ManifestCatalog:
                 name, {"dirs": [data_dir], "bucket_dirs": None, "n_buckets": None}
             )
 
-    def vacuum(self, name: str, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, name: str, keep_versions: int = 1, min_age_seconds: int = 3600
+    ) -> list[str]:
         """Garbage-collect data dirs referenced by no retained
         manifest (superseded rewrites AND crash orphans that never
         got a manifest), plus manifests older than the retention
-        window. Runs strictly on already-committed state, so it can
-        never race a reader of a retained version. Returns deleted
-        data-dir paths."""
+        window. Returns deleted data-dir paths.
+
+        Committed retained versions can never be collected, so vacuum
+        never races a reader. ``min_age_seconds`` protects in-flight
+        *writers*: a concurrent commit's data dir exists before its
+        manifest does and would otherwise look like an orphan — only
+        dirs older than the age floor are eligible (the same reason
+        Delta/Iceberg vacuums have a retention threshold). Paths are
+        compared fully-qualified: '/x' vs 'file:/x' string inequality
+        must not defeat the referenced-set check."""
+        import time as _time
+
         versions = self._versions(name)
         if not versions:
             return []
@@ -288,14 +315,16 @@ class ManifestCatalog:
                 parts = d.rstrip("/").split("/")
                 while len(parts) > 1 and parts[-2] != "data":
                     parts.pop()
-                # Hadoop Path canonicalization: file:///x and file:/x
-                # must compare equal
-                referenced.add(str(self.fs.path("/".join(parts))))
+                referenced.add(self.fs.qualified("/".join(parts)))
+        now_ms = int(_time.time() * 1000)
         deleted = []
         for p in self.fs.listdir(f"{self.table_dir(name)}/data"):
-            if str(self.fs.path(p)) not in referenced:
-                self.fs.delete(p)
-                deleted.append(p)
+            if self.fs.qualified(p) in referenced:
+                continue
+            if now_ms - self.fs.mtime_ms(p) < min_age_seconds * 1000:
+                continue  # possibly an in-flight writer's dir
+            self.fs.delete(p)
+            deleted.append(p)
         for v in versions:
             if v not in retained:
                 self.fs.delete(f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(v)}")

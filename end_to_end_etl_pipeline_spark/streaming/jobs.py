@@ -77,10 +77,15 @@ def stream_dedup(
     ts_col: str,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming exact dedup: first arrival per key wins; key state is
-    dropped once the watermark passes (bounded memory — the streaming
-    twin of ``operators/dedup.dedup_by_key``)."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+    """Streaming exact dedup on the KEYS alone: first arrival per key
+    wins, including re-deliveries that were re-stamped with a
+    different event time (the at-least-once norm); key state drops
+    once the watermark passes (bounded memory — the streaming twin of
+    ``operators/dedup.dedup_by_key``). Plain
+    ``dropDuplicates([*keys, ts])`` would keep a re-stamped replay."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 def foreach_batch_scd1(
@@ -144,8 +149,9 @@ def sessionize(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = gap_minutes * 60 * 1000
+    user_type = events.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} bigint, session_start timestamp, "
+        f"{user_col} {user_type}, session_start timestamp, "
         "session_end timestamp, n_events bigint"
     )
     state_schema = "start_ms bigint, last_ms bigint, n bigint"

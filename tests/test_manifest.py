@@ -160,7 +160,7 @@ def test_optimize_compacts_and_vacuum_collects(spark, cat):
     assert len(cat.latest_manifest("t")["dirs"]) == 1
     assert sorted(r.k for r in cat.read("t").collect()) == [1, 2, 3]
 
-    deleted = cat.vacuum("t", keep_versions=1)
+    deleted = cat.vacuum("t", keep_versions=1, min_age_seconds=0)
     # 3 superseded dirs + 1 orphan gone, compacted dir retained
     assert len(deleted) == 4
     assert sorted(r.k for r in cat.read("t").collect()) == [1, 2, 3]
@@ -182,5 +182,23 @@ def test_optimize_preserves_buckets(spark, cat):
     assert m["n_buckets"] == 4
     # every bucket now points at exactly one (compacted) dir
     assert all(len(ds) == 1 for ds in m["bucket_dirs"].values())
-    cat.vacuum("d", keep_versions=1)
+    cat.vacuum("d", keep_versions=1, min_age_seconds=0)
     assert sorted((r.k, r.attr, r.is_current) for r in eng.read_all("d").collect()) == before
+
+
+def test_vacuum_safe_on_schemeless_root_and_young_dirs(spark, tmp_path):
+    """Regression: a plain-path root (no file:// scheme) must not
+    defeat the referenced-set check (qualified-path comparison), and
+    dirs younger than the age floor survive as possible in-flight
+    writers."""
+    cat = ManifestCatalog(spark, str(tmp_path / "lake2"))  # no scheme
+    cat.replace_atomic(_df(spark, [(1, "a")]), "t")
+    cat.replace_atomic(_df(spark, [(2, "b")]), "t")
+    deleted = cat.vacuum("t", keep_versions=1, min_age_seconds=0)
+    assert len(deleted) == 1  # only the superseded v1 dir
+    assert sorted(r.k for r in cat.read("t").collect()) == [2]
+    # the default age floor protects a young in-flight writer's dir
+    inflight = cat._new_data_dir("t")
+    _df(spark, [(9, "z")]).write.parquet(inflight)  # not yet committed
+    assert cat.vacuum("t", keep_versions=1) == []
+    assert cat.fs.exists(inflight)

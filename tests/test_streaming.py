@@ -36,7 +36,8 @@ def stream_dir(tmp_path):
     ])
     _write_batch(d, "b2.json", [
         {"event_id": 4, "ts": "2026-01-01T01:45:00Z", "user_id": 1, "event_type": "view", "value": 4.0},
-        {"event_id": 4, "ts": "2026-01-01T01:45:00Z", "user_id": 1, "event_type": "view", "value": 4.0},  # dup
+        {"event_id": 4, "ts": "2026-01-01T01:45:00Z", "user_id": 1, "event_type": "view", "value": 4.0},  # exact dup
+        {"event_id": 3, "ts": "2026-01-01T01:07:00Z", "user_id": 2, "event_type": "view", "value": 3.0},  # re-stamped replay
         {"event_id": 5, "ts": "2026-01-01T02:30:00Z", "user_id": 2, "event_type": "click", "value": 5.0},
     ])
     return d
@@ -63,8 +64,8 @@ def test_windowed_counts_matches_batch(spark, stream_dir, tmp_path):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert got == expect
-    # 01:00 window 'view': u2@01:05 + u1@01:45 delivered twice = 3
-    assert got[("2026-01-01 01:00:00", "view")] == 3
+    # 01:00 window 'view': u2@01:05 + its 01:07 re-stamp + u1@01:45 x2 = 4
+    assert got[("2026-01-01 01:00:00", "view")] == 4
 
 
 def test_stream_dedup_drops_replays(spark, stream_dir, tmp_path):
@@ -76,7 +77,7 @@ def test_stream_dedup_drops_replays(spark, stream_dir, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     out = spark.table("dedup_out")
-    assert out.count() == 5  # 6 rows in, one exact replay dropped
+    assert out.count() == 5  # 7 rows in: exact dup AND re-stamped replay dropped
     assert out.select("event_id").distinct().count() == 5
 
 
