@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "purchase_last_view_asof",
     "scd2_transition",
     "user_sessions",
+    "shipping_priority",
 ]
 
 

@@ -610,3 +610,83 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@register(
+    "rolling_segment_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, month, revenue,
+           round(avg(revenue) OVER (
+             PARTITION BY c_mktsegment ORDER BY month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_3m_avg,
+           round(sum(revenue) OVER (
+             PARTITION BY c_mktsegment ORDER BY month
+             ROWS UNBOUNDED PRECEDING), 2) AS cumulative,
+           first_value(revenue) OVER (
+             PARTITION BY c_mktsegment ORDER BY month) AS first_month_revenue
+    FROM m
+    """,
+    doc="Explicit window frames (ROWS BETWEEN rolling avg, cumulative "
+    "sum, first_value) — frame-spec coverage beyond the reference's "
+    "bare lag (SURVEY §2.6).",
+    tags=("parity",),
+)
+def rolling_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    return monthly.select(
+        "c_mktsegment",
+        "month",
+        "revenue",
+        F.round(F.avg("revenue").over(w.rowsBetween(-2, 0)), 4).alias("rolling_3m_avg"),
+        F.round(
+            F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("cumulative"),
+        F.first("revenue").over(w).alias("first_month_revenue"),
+    )
+
+
+@register(
+    "part_string_features",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(p_name) AS name_rev,
+           translate(p_brand, '#', '-') AS brand_clean,
+           repeat(left(p_type, 3), 2) AS type_prefix2,
+           CAST(levenshtein(p_name, p_type) AS INT) AS name_type_dist,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS INT)
+             AS name_words
+    FROM part
+    """,
+    doc="String-function breadth (lpad/reverse/translate/repeat/left/"
+    "levenshtein) — zero-coverage category in the reference "
+    "(SURVEY §2.8).",
+    tags=("parity",),
+)
+def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_brand", "#", "-").alias("brand_clean"),
+        F.repeat(F.expr("left(p_type, 3)"), 2).alias("type_prefix2"),
+        F.levenshtein("p_name", "p_type").cast("int").alias("name_type_dist"),
+        (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "))) + 1)
+        .cast("int")
+        .alias("name_words"),
+    )

@@ -503,3 +503,61 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "boilerplate_ratio",
+    oracle="""
+    WITH kg AS (
+      SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 8)) AS h,
+             greatest(length(text) - 7, 0) AS nk
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i
+            FROM documents)
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             pos, nk
+      FROM kg
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= nk - 3),
+    common AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 3)
+    SELECT f.doc_id,
+           count(*) AS n_fps,
+           count(c.fp) AS n_boilerplate,
+           round(CAST(count(c.fp) AS DOUBLE) / count(*), 6) AS boilerplate_ratio
+    FROM fps f LEFT JOIN common c ON f.fp = c.fp
+    GROUP BY f.doc_id
+    """,
+    doc="Boilerplate detection: winnowing fingerprints shared by >= 3 "
+    "docs are 'boilerplate'; per-doc contamination ratio — the "
+    "standard cross-document repeated-substring filter for training "
+    "corpora.",
+    tags=("north-star", "text"),
+)
+def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(docs, "doc_id", "text", kgram=8, window=4).persist()
+    common = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 3)
+        .select("fp", F.lit(1).alias("__common"))
+    )
+    return (
+        fps.join(common, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.count("__common").alias("n_boilerplate"),
+            F.round(F.count("__common").cast("double") / F.count("*"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
