@@ -142,7 +142,10 @@ class ManifestCatalog:
         versions = self._versions(name)
         if not versions:
             return None
-        path = f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(versions[-1])}"
+        return self.manifest_at(name, versions[-1])
+
+    def manifest_at(self, name: str, version: int) -> dict:
+        path = f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(version)}"
         return json.loads(self.fs.read_text(path))
 
     def _commit(self, name: str, manifest: dict) -> int:
@@ -175,12 +178,23 @@ class ManifestCatalog:
             return sorted({d for _b, ds in sel for d in ds})
         return list(manifest["dirs"])
 
-    def read(self, name: str, buckets: Sequence[int] | None = None) -> DataFrame:
-        """Resolve the latest manifest and scan exactly its dirs.
-        ``buckets`` prunes a bucketed table to the named buckets'
-        subdirectories — partition pruning by manifest, no listing of
-        unrelated data."""
-        manifest = self.latest_manifest(name)
+    def read(
+        self,
+        name: str,
+        buckets: Sequence[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Resolve a manifest (latest, or ``version`` for time travel
+        — immutable data dirs make every retained version readable
+        until vacuumed) and scan exactly its dirs. ``buckets`` prunes
+        a bucketed table to the named buckets' subdirectories —
+        partition pruning by manifest, no listing of unrelated
+        data."""
+        manifest = (
+            self.manifest_at(name, version)
+            if version is not None
+            else self.latest_manifest(name)
+        )
         if manifest is None:
             raise FileNotFoundError(f"table {name} has no committed manifest")
         dirs = self._dirs(manifest, buckets)

@@ -202,3 +202,16 @@ def test_vacuum_safe_on_schemeless_root_and_young_dirs(spark, tmp_path):
     _df(spark, [(9, "z")]).write.parquet(inflight)  # not yet committed
     assert cat.vacuum("t", keep_versions=1) == []
     assert cat.fs.exists(inflight)
+
+
+def test_time_travel_reads(spark, cat):
+    cat.replace_atomic(_df(spark, [(1, "a")]), "t")
+    cat.replace_atomic(_df(spark, [(2, "b"), (3, "c")]), "t")
+    assert sorted(r.k for r in cat.read("t").collect()) == [2, 3]
+    assert sorted(r.k for r in cat.read("t", version=1).collect()) == [1]
+    # vacuumed versions are gone (data dirs collected)
+    cat.vacuum("t", keep_versions=1, min_age_seconds=0)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        cat.read("t", version=1).collect()
