@@ -118,24 +118,66 @@ def winnow_fingerprint_array(
     ``array_min`` over slices, so fingerprinting is a shuffle-free
     projection that scales with executors linearly. Documents too
     short for one full window get an empty array."""
+    return df.withColumn(out_col, F.expr(_fps_expr(text_col, kgram, window)))
+
+
+def _fps_expr(text_col: str, kgram: int, window: int) -> str:
+    """SQL for the distinct winnowing-fingerprint array of one row.
+
+    The k-gram hash array is let-bound via a 1-element transform: the
+    lambda variable `kh` is evaluated ONCE per row. A plain
+    withColumn alias would be inlined by CollapseProject into every
+    window position, turning O(L) digests into O(L·W) — measured 30×
+    slower. Window minima are ``least`` over ``element_at`` probes
+    (O(1) each, no per-window slice allocation — ~2× faster than
+    slice+array_min)."""
     kh = (
         f"CASE WHEN length({text_col}) >= {kgram} THEN "
         f"transform(sequence(1, length({text_col}) - {kgram} + 1), "
         f"i -> md5(substring({text_col}, i, {kgram}))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    # let-binding via a 1-element transform: the lambda variable `kh`
-    # is evaluated ONCE per row. A plain withColumn alias would be
-    # inlined by CollapseProject into every window position, turning
-    # O(L) digests into O(L·W) — measured 30× slower.
-    fps = (
+    probes = ", ".join(f"element_at(kh, p + {d})" for d in range(window))
+    win_min = probes if window == 1 else f"least({probes})"
+    return (
         f"transform(array({kh}), kh -> "
         f"CASE WHEN size(kh) >= {window} THEN "
         f"array_distinct(transform(sequence(1, size(kh) - {window} + 1), "
-        f"p -> array_min(slice(kh, p, {window})))) "
+        f"p -> {win_min})) "
         f"ELSE CAST(array() AS array<string>) END)[0]"
     )
-    return df.withColumn(out_col, F.expr(fps))
+
+
+def winnow_fingerprint_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    kgram: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document fingerprint summary (n_fingerprints, min_fp,
+    max_fp) computed entirely per-row — docs with no fingerprints are
+    dropped.
+
+    Two plans this deliberately avoids: (a) explode + groupBy forces
+    a SortAggregate (min/max over md5 STRINGS has no mutable hash
+    buffer), sorting every fingerprint row — measured ~9× slower;
+    (b) selecting three scalars from a struct column would let
+    CollapseProject inline (= recompute) the whole winnowing
+    expression into each output. The struct is instead pushed through
+    an ``explode(array(struct))`` Generate, which is a per-row
+    single-evaluation barrier the optimizer cannot collapse — no
+    shuffle, no cache."""
+    stats = (
+        f"transform(array(({_fps_expr(text_col, kgram, window)})), a -> named_struct("
+        "'n_fingerprints', CAST(size(a) AS BIGINT), "
+        "'min_fp', array_min(a), 'max_fp', array_max(a)))[0]"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array(F.expr(stats))).alias("__s"))
+        .select(id_col, "__s.*")
+        .filter(F.col("n_fingerprints") > 0)
+    )
 
 
 def winnow_fingerprints(

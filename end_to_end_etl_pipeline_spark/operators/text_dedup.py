@@ -131,6 +131,50 @@ def minhash_signatures_cw(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_hashes_arr(
+    df_with_shingles: DataFrame, id_col: str, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """(id, band, band_hash) computed entirely per-row from a
+    ``shingles`` array — the fused fast path for the
+    shingle→MinHash→LSH chain.
+
+    Versus the explode/groupBy route (:func:`minhash_signatures_cw` +
+    :func:`lsh_bands`), this never materializes one row per shingle
+    and never shuffles at shingle granularity: the md5 digest per
+    shingle is evaluated ONCE (nested 1-element-transform let-binding
+    — CollapseProject would otherwise inline it per derived hash),
+    the B×R Carter-Wegman minima run as array passes inside one
+    expression, and only the B ``(id, band, band_hash)`` rows ever
+    leave the projection. Values are bit-identical to the explode
+    route, so the DuckDB oracles are unchanged.
+
+    Docs with no shingles emit no band rows (same as the groupBy
+    route, where they have no signature row)."""
+    hp = (
+        "transform(shingles, s -> transform(array(md5(s)), d -> named_struct("
+        "'h1', CAST(conv(substring(d, 1, 8), 16, 10) AS BIGINT), "
+        "'h2', CAST(conv(substring(d, 9, 8), 16, 10) AS BIGINT)))[0])"
+    )
+    band_strs = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(
+            f"CAST(array_min(transform(hp, p -> (p.h1 + {b * rows + r} * p.h2) % {_MOD})) AS STRING)"
+            for r in range(rows)
+        )
+        + "))"
+        for b in range(bands)
+    )
+    bands_expr = (
+        f"transform(array({hp}), hp -> CASE WHEN size(hp) = 0 "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE array({band_strs}) END)[0]"
+    )
+    return df_with_shingles.select(
+        F.col(id_col),
+        F.posexplode(F.expr(bands_expr)).alias("band", "band_hash"),
+    )
+
+
 def lsh_bands(
     signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4
 ) -> DataFrame:
@@ -214,33 +258,48 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """shingle → MinHash → LSH band-bucket → exact-Jaccard verify.
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a <
-    id_b. Never materializes the all-pairs space; the exact-Jaccard
-    pass explodes shingles only for documents that appear in some
-    LSH candidate pair."""
+    id_b. Never materializes the all-pairs space: candidate bands are
+    computed per-row (:func:`band_hashes_arr` — no shingle-level
+    explode or shuffle), and the exact-Jaccard pass is
+    ``array_intersect`` over the candidate docs' distinct-shingle
+    arrays with the candidate pairs broadcast — two broadcast hash
+    joins, zero additional shuffles."""
     rows = num_hashes // bands
-    sh = char_shingles(df, id_col, text_col, n=shingle_len)
-    sig = minhash_signatures_cw(sh, id_col, num_hashes)
-    # candidates and candidate-doc shingle sets are consumed by
-    # several joins below — persist them (they're candidate-scale,
-    # small by the LSH promise) so the shingle+signature pipeline
-    # runs once, not once per consuming branch.
-    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows), id_col).persist()
+    sarr = shingle_array(df, id_col, text_col, n=shingle_len)
+    # candidates are consumed by three joins below — persist them
+    # (candidate-scale, small by the LSH promise) so the fused
+    # shingle+band pipeline runs once, not once per consuming branch.
+    cand = lsh_candidate_pairs(band_hashes_arr(sarr, id_col, bands, rows), id_col).persist()
     docs_in_pairs = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # exact-verify pass re-shingles only candidate docs
-    shd = (
-        shingle_array(df, id_col, text_col, n=shingle_len)
-        .join(F.broadcast(docs_in_pairs), id_col, "left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct("shingles")).alias("shingle"),
-        )
-        .persist()
+    # exact-verify pass re-shingles only candidate docs; the shingle
+    # re-projection is cheap (no hashing) so no persist is needed
+    sets_ = sarr.join(F.broadcast(docs_in_pairs), id_col, "left_semi").select(
+        F.col(id_col), F.array_distinct("shingles").alias("sset")
     )
-    jac = jaccard_on_pairs(cand, shd, id_col)
+    jac = (
+        F.broadcast(cand)
+        .join(sets_.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a")), "id_a")
+        .join(sets_.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("__ci"),
+            F.size("set_a").alias("__na"),
+            F.size("set_b").alias("__nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__ci").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__ci"))
+            ).alias("jaccard"),
+        )
+    )
     return jac.filter(F.col("jaccard") >= threshold)
 
 

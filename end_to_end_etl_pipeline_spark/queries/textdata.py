@@ -445,20 +445,11 @@ def doc_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_etl_pipeline_spark.operators.text_analysis import (
-        winnow_fingerprint_array,
+        winnow_fingerprint_stats,
     )
 
     docs = _spread(load(spark, sf_dir, "documents"))
-    # persist: the fps column is consumed by 4 expressions below, and
-    # CollapseProject would otherwise inline (= recompute) the whole
-    # winnowing expression into each one
-    arr = winnow_fingerprint_array(docs, "doc_id", "text", kgram=8, window=4).persist()
-    return arr.filter(F.size("fps") > 0).select(
-        "doc_id",
-        F.size("fps").cast("long").alias("n_fingerprints"),
-        F.array_min("fps").alias("min_fp"),
-        F.array_max("fps").alias("max_fp"),
-    )
+    return winnow_fingerprint_stats(docs, "doc_id", "text", kgram=8, window=4)
 
 
 @register(
