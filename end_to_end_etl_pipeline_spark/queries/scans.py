@@ -121,6 +121,8 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         SCRATCH, os.path.basename(sf_dir.rstrip("/")), "supplier_csv"
     )
+    from end_to_end_etl_pipeline_spark.sinks.writers import write_csv
+
     supplier = load(spark, sf_dir, "supplier")
-    supplier.write.mode("overwrite").option("header", True).csv(base)
+    write_csv(supplier, base)
     return read_csv(spark, base, SUPPLIER_SCHEMA)

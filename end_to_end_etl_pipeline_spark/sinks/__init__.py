@@ -2,6 +2,7 @@ from end_to_end_etl_pipeline_spark.sinks.writers import (
     ParquetCatalog,
     clustered_rewrite,
     write_append,
+    write_csv,
     write_overwrite,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "ParquetCatalog",
     "clustered_rewrite",
     "write_append",
+    "write_csv",
     "write_overwrite",
 ]

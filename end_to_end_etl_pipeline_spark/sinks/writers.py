@@ -55,6 +55,26 @@ def write_append(
     writer.parquet(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """K7 — headered CSV sink (reference exports intermediate frames
+    to CSV in ``aws/y_finance_raw_ingestion.ipynb`` cells 4/6/8).
+
+    Distributed write — one file per partition, no driver collect.
+    CSV is untyped on disk; pair with :func:`sources.readers.read_csv`
+    and an explicit schema for a lossless round-trip (proved by the
+    ``csv_scan_roundtrip`` oracle query)."""
+    writer = df.write.mode(mode).option("header", header)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
 def clustered_rewrite(
     spark: SparkSession,
     path: str,
