@@ -78,16 +78,58 @@ def cosine_topk(
     )
 
 
+def ensure_codegen_fields(spark, n: int) -> None:
+    """Raise ``spark.sql.codegen.maxFields`` to at least ``n``.
+
+    A dim-wide element-wise aggregate carries 2×dim buffer slots
+    (sum+count per avg); past the default maxFields=100 Spark drops
+    the stage out of whole-stage codegen into interpreted row-at-a-
+    time aggregation. At sf0.1/dim=64 the difference is within noise
+    (the vectorized parquet scan dominates), but the fallback cost
+    grows with rows × buffers, so keep codegen on for the 100-TB
+    case. Runtime-settable SQL conf — the engine self-configures even
+    under the driver's plain SparkSession."""
+    cur = int(spark.conf.get("spark.sql.codegen.maxFields", "100"))
+    if cur < n:
+        spark.conf.set("spark.sql.codegen.maxFields", str(n))
+
+
 def label_centroids_array(
-    corpus: DataFrame, label_col: str, vec_col: str, round_dp: int = 6
+    corpus: DataFrame,
+    label_col: str,
+    vec_col: str,
+    round_dp: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """(label, pos, cv): per-cell centroid components, rounded so the
-    quantizer is bit-identical across engines/runs. posexplode + two
-    shuffles over (label, pos) — partial aggregation keeps the
-    exchange at cells × dim rows."""
+    quantizer is bit-identical across engines/runs.
+
+    With ``dim`` given (fixed-width embeddings — the normal case) the
+    element-wise average runs as ``dim`` scalar ``avg`` buffers in ONE
+    groupBy(label): the map side never materializes rows × dim
+    exploded rows, partial aggregation reduces each partition to
+    cells × dim buffer values, and the single exchange carries only
+    those. Without ``dim`` it falls back to posexplode +
+    groupBy(label, pos), which inflates the pre-agg row count by
+    × dim and shuffles on a (cells × dim)-key space."""
+    v = F.col(vec_col).cast("array<double>")
+    if dim is not None:
+        ensure_codegen_fields(corpus.sparkSession, 2 * dim + 32)
+        # element-then-cast, NOT cast-then-element: casting the whole
+        # array inside each of the dim buffer expressions would redo
+        # the O(dim) array cast per buffer — O(dim²) per row.
+        agg = corpus.groupBy(F.col(label_col).alias("label")).agg(
+            *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"__a{i}") for i in range(dim)]
+        )
+        return agg.select(
+            "label",
+            F.posexplode(
+                F.array(*[F.round(F.col(f"__a{i}"), round_dp) for i in range(dim)])
+            ).alias("pos0", "cv"),
+        ).select("label", (F.col("pos0") + 1).alias("pos"), "cv")
     exploded = corpus.select(
         F.col(label_col).alias("label"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
+        F.posexplode(v).alias("pos0", "v"),
     )
     return (
         exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
@@ -105,13 +147,16 @@ def cosine_topk_ivf(
     k: int = 5,
     nprobe: int = 2,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF probe: rank cells by query↔centroid cosine (rounded 6dp,
     tie → label asc), exact-score the ``nprobe`` nearest cells only.
     Returns (query_id, match_id, cosine) like :func:`cosine_topk` —
     identical results whenever the true top-k lives in the probed
-    cells (the recall/cost dial is ``nprobe``)."""
-    cent = label_centroids_array(corpus, label_col, vec_col)
+    cells (the recall/cost dial is ``nprobe``). Pass ``dim`` (the
+    fixed embedding width) so the quantizer build avoids the
+    posexplode row inflation — see :func:`label_centroids_array`."""
+    cent = label_centroids_array(corpus, label_col, vec_col, dim=dim)
     qq = queries.select(
         F.col(query_id).alias("query_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from end_to_end_etl_pipeline_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
+    ensure_codegen_fields,
     sign_lsh_near_dup_pairs,
 )
 from end_to_end_etl_pipeline_spark.queries.catalog import load, register
@@ -29,6 +30,14 @@ _COS = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+
+def _dim(emb: DataFrame) -> int:
+    """Fixed embedding width, probed from one row (a single-row job
+    over just the vector column — negligible, and it lets the
+    centroid build run as per-index agg buffers instead of a
+    posexplode that inflates the pre-agg row count × dim)."""
+    return emb.select(F.size(F.col("embedding")).alias("d")).first()["d"]
 
 
 @register(
@@ -43,21 +52,28 @@ _COS = (
     )
     GROUP BY label, pos
     """,
-    doc="Per-label centroid via posexplode + groupBy(label, pos) — array agg at scale.",
+    doc="Per-label centroid as dim scalar avg buffers in one "
+    "groupBy(label) — element-wise array agg with no posexplode row "
+    "inflation; the tiny cells × dim result is exploded post-agg.",
     tags=("north-star", "vectors"),
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    exploded = emb.select(
+    dim = _dim(emb)
+    ensure_codegen_fields(spark, 2 * dim + 32)
+    # element-then-cast: casting the whole array per buffer would be
+    # O(dim²) per row (see operators/similarity.label_centroids_array)
+    agg = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.col("embedding")[i].cast("double")).alias(f"__a{i}") for i in range(dim)],
+    )
+    return agg.select(
         "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
-    )
-    return (
-        exploded.withColumn("pos", (F.col("pos0") + 1).cast("int"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count("*").alias("n"))
-        .drop("pos0")
-    )
+        "n",
+        F.posexplode(
+            F.array(*[F.round(F.col(f"__a{i}"), 6) for i in range(dim)])
+        ).alias("pos0", "centroid_v"),
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "centroid_v", "n")
 
 
 @register(
@@ -135,6 +151,7 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         k=5,
         nprobe=2,
+        dim=_dim(emb),
     )
 
 
