@@ -1,6 +1,8 @@
 from end_to_end_etl_pipeline_spark.streaming.jobs import (
     foreach_batch_scd1,
     read_stream_files,
+    running_profile,
+    sessionize,
     stream_dedup,
     windowed_counts,
 )
@@ -8,6 +10,8 @@ from end_to_end_etl_pipeline_spark.streaming.jobs import (
 __all__ = [
     "foreach_batch_scd1",
     "read_stream_files",
+    "running_profile",
+    "sessionize",
     "stream_dedup",
     "windowed_counts",
 ]

@@ -125,6 +125,90 @@ def foreach_batch_scd1(
     return writer.start()
 
 
+def running_profile(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str | None = None,
+    watermark: str = "2 hours",
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Per-key running profile (event count, first/last seen,
+    optional value sum) via ``transformWithStateInPandas`` — the
+    Spark 4.x typed-state successor to ``applyInPandasWithState``
+    (:func:`sessionize` keeps the older API as the portability path).
+
+    What the new API buys at scale: named state variables with
+    per-state TTL (``state_ttl_minutes`` evicts profiles for keys
+    gone quiet without a watermark dance — unbounded key spaces stay
+    bounded), and an operator contract (init/handleInputRows/close)
+    that composes with value/list/map state and timers instead of one
+    tuple per key. Emits one updated profile row per key per
+    micro-batch (Update mode); state is one fixed-width tuple per
+    key. Arrow-batched: each group's rows arrive as pandas frames,
+    aggregated vectorized — no per-row Python.
+
+    Runtime note: executing this operator needs the ``protobuf``
+    package (the transformWithState Python worker speaks protobuf to
+    the JVM state server). Plan construction and schema analysis do
+    not — environments without protobuf can still build and inspect
+    the query (the e2e test skips itself there).
+
+    Emits (key, n_events, first_seen, last_seen[, value_sum]).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    has_val = value_col is not None
+    out_schema = (
+        f"{key_col} {key_type}, n_events bigint, "
+        "first_seen timestamp, last_seen timestamp"
+        + (", value_sum double" if has_val else "")
+    )
+    ttl_ms = state_ttl_minutes * 60 * 1000 if state_ttl_minutes else None
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "profile",
+                "n bigint, first_ms bigint, last_ms bigint, vsum double",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._state.get() if self._state.exists() else None
+            n, first_ms, last_ms, vsum = prev or (0, None, None, 0.0)
+            for pdf in rows:
+                ms = pdf[ts_col].astype("int64") // 1_000_000
+                n += len(pdf)
+                first_ms = ms.min() if first_ms is None else min(first_ms, ms.min())
+                last_ms = ms.max() if last_ms is None else max(last_ms, ms.max())
+                if has_val:
+                    vsum += float(pdf[value_col].fillna(0.0).sum())
+            self._state.update((int(n), int(first_ms), int(last_ms), float(vsum)))
+            out = {
+                key_col: [key[0]],
+                "n_events": [int(n)],
+                "first_seen": [pd.to_datetime(first_ms, unit="ms")],
+                "last_seen": [pd.to_datetime(last_ms, unit="ms")],
+            }
+            if has_val:
+                out["value_sum"] = [float(vsum)]
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            _Profile(), out_schema, "Update", "EventTime"
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str,

@@ -130,3 +130,60 @@ def test_sessionize_stateful(spark, tmp_path):
     assert (2, "2026-01-01 00:05:00", "2026-01-01 00:05:00", 1) in got
     # open sessions (u1@02:00, u2@03:00) remain in state, not emitted
     assert len(got) == 2
+
+
+def test_running_profile_plan_builds(spark, tmp_path):
+    """Plan construction + output schema for the typed-state profile.
+    Runs everywhere: analysis needs no protobuf, only execution does."""
+    from end_to_end_etl_pipeline_spark.streaming.jobs import running_profile
+
+    d = str(tmp_path / "prof_plan_in")
+    _write_batch(d, "b1.json", [
+        {"event_id": 1, "ts": "2026-01-01T00:00:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+    ])
+    stream = read_stream_files(spark, d, SCHEMA)
+    prof = running_profile(stream, "user_id", "ts", value_col="value")
+    assert prof.isStreaming
+    assert [f.name for f in prof.schema.fields] == [
+        "user_id", "n_events", "first_seen", "last_seen", "value_sum"]
+
+
+def test_running_profile_typed_state(spark, tmp_path):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas launches a protobuf-speaking "
+        "state-server worker; container lacks protobuf",
+    )
+    from end_to_end_etl_pipeline_spark.streaming.jobs import running_profile
+
+    d = str(tmp_path / "prof_in")
+    _write_batch(d, "b1.json", [
+        {"event_id": 1, "ts": "2026-01-01T00:00:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": "2026-01-01T00:10:00Z", "user_id": 1, "event_type": "view", "value": 2.5},
+        {"event_id": 3, "ts": "2026-01-01T00:05:00Z", "user_id": 2, "event_type": "view", "value": 3.0},
+    ])
+    _write_batch(d, "b2.json", [
+        {"event_id": 4, "ts": "2026-01-01T01:00:00Z", "user_id": 1, "event_type": "view", "value": 0.5},
+    ])
+    stream = read_stream_files(spark, d, SCHEMA, max_files_per_trigger=1)
+    prof = running_profile(stream, "user_id", "ts", value_col="value")
+    q = (prof.writeStream.format("memory").queryName("profiles")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck_prof"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("profiles").collect()
+    # Update mode: one row per key per micro-batch it appeared in.
+    # The LAST row per user carries the accumulated cross-batch state.
+    last = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.n_events)):
+        last[r.user_id] = r
+    assert last[1].n_events == 3
+    assert str(last[1].first_seen) == "2026-01-01 00:00:00"
+    assert str(last[1].last_seen) == "2026-01-01 01:00:00"
+    assert abs(last[1].value_sum - 4.0) < 1e-9
+    assert last[2].n_events == 1
+    assert abs(last[2].value_sum - 3.0) < 1e-9
+    # u1 appeared in both micro-batches -> an intermediate n_events=2
+    # row proves state carried across batches, not per-batch resets
+    assert {r.n_events for r in rows if r.user_id == 1} == {2, 3}
