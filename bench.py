@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "scd2_transition",
     "user_sessions",
     "shipping_priority",
+    # round 2b: compressed-ANN tier (train + encode + ADC + re-rank)
+    "pq_topk",
 ]
 
 

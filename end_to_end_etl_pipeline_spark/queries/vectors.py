@@ -204,3 +204,105 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sign_lsh_near_dup_pairs(
         corpus, "vec_id", "embedding", num_planes=8, threshold=0.9999
     )
+
+
+_PQ_M, _PQ_K = 16, 16  # 16 subspaces x 16 centroids: 64-dim -> 16 nibbles/vector
+
+
+@register(
+    "pq_topk",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id AS id,
+             CAST((pos - 1) // (dim // {_PQ_M}) AS INT) AS m,
+             CAST((pos - 1) % (dim // {_PQ_M}) + 1 AS INT) AS i,
+             x
+      FROM (SELECT vec_id, len(embedding) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+    ),
+    cb0 AS (
+      SELECT m, CAST(id % {_PQ_K} AS INT) AS code, i, round(avg(x), 6) AS c
+      FROM el GROUP BY m, code, i
+    ),
+    d1 AS (
+      SELECT e.id, e.m, b.code, round(sum((e.x - b.c) * (e.x - b.c)), 6) AS dist
+      FROM el e JOIN cb0 b ON e.m = b.m AND e.i = b.i
+      GROUP BY e.id, e.m, b.code
+    ),
+    a1 AS (
+      SELECT id, m, code FROM d1
+      QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY dist, code) = 1
+    ),
+    cb1 AS (
+      SELECT e.m, a.code, e.i, round(avg(e.x), 6) AS c
+      FROM el e JOIN a1 a ON e.id = a.id AND e.m = a.m
+      GROUP BY e.m, a.code, e.i
+    ),
+    d2 AS (
+      SELECT e.id, e.m, b.code, round(sum((e.x - b.c) * (e.x - b.c)), 6) AS dist
+      FROM el e JOIN cb1 b ON e.m = b.m AND e.i = b.i
+      GROUP BY e.id, e.m, b.code
+    ),
+    codes AS (
+      SELECT id, m, code FROM d2
+      QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY dist, code) = 1
+    ),
+    dt AS (
+      SELECT q.id AS query_id, q.m, b.code,
+             round(sum((q.x - b.c) * (q.x - b.c)), 6) AS d
+      FROM el q JOIN cb1 b ON q.m = b.m AND q.i = b.i
+      WHERE q.id < 10
+      GROUP BY q.id, q.m, b.code
+    ),
+    score AS (
+      SELECT t.query_id, s.id AS match_id, round(sum(t.d), 6) AS adc_dist
+      FROM codes s JOIN dt t ON s.m = t.m AND s.code = t.code AND s.id <> t.query_id
+      GROUP BY t.query_id, s.id
+    ),
+    short AS (
+      SELECT query_id, match_id FROM score
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, match_id) <= 25
+    ),
+    rerank AS (
+      SELECT s.query_id, s.match_id, round(sum((a.x - b.x) * (a.x - b.x)), 6) AS l2sq
+      FROM short s
+      JOIN el a ON a.id = s.query_id
+      JOIN el b ON b.id = s.match_id AND b.m = a.m AND b.i = a.i
+      GROUP BY s.query_id, s.match_id
+    )
+    SELECT query_id, match_id, l2sq FROM rerank
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    """,
+    doc="Product-quantization ANN with exact re-rank (IVFADC+R shape): "
+    "16 subspaces x 16 centroids, id%16 seeded + 1 Lloyd step (all "
+    "rounded 6dp -> the SQL oracle replays training exactly), codes are "
+    "a per-row projection, ADC keeps a 25-candidate shortlist per query "
+    "via M table lookups per doc, exact squared-L2 re-ranks to top-5.",
+    tags=("north-star", "vectors"),
+)
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=_PQ_M, num_centroids=_PQ_K, iters=1,
+    )
+    encoded = pq_encode(emb, "embedding", cb)
+    return pq_topk_rerank(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        encoded,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        cb,
+        k=5,
+        shortlist_factor=5,
+    )
