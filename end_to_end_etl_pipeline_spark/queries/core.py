@@ -690,3 +690,77 @@ def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("name_words"),
     )
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (Spark `percentile` == DuckDB "
+    "`quantile_cont`) per priority class — the distribution-profiling "
+    "aggregate a data-quality dashboard needs. Exact percentiles "
+    "sort within each group; at 100 TB swap in `approx_percentile` "
+    "(t-digest, one pass, mergeable) and accept the documented error "
+    "bound — same query shape.",
+    tags=("parity", "profiling"),
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.25D, 0.50D, 0.75D, 0.90D, 0.99D))"
+    )
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        pct.alias("__p"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        *[
+            F.round(F.col("__p")[i], 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p90", "p99"])
+        ],
+        "avg_price",
+    )
+
+
+@register(
+    "order_price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000) * 25000 AS DOUBLE) AS bucket_lo,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Fixed-width value histogram (floor-bucket groupBy): the "
+    "one-shuffle distribution sketch; bucket count is bounded by the "
+    "value range, not the row count, so the agg state stays tiny at "
+    "any scale.",
+    tags=("parity", "profiling"),
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000)
+    return (
+        orders.groupBy(
+            bucket.cast("bigint").alias("bucket"),
+            (bucket * 25000).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
