@@ -132,3 +132,70 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return salted_left.join(salted_right, [*keys, "__salt"], how).drop("__salt")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    before_seconds: int = 0,
+    after_seconds: int = 0,
+    bucket_seconds: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Time-range (interval) join: pair each left row with the right
+    rows of the same key whose ``right_time`` falls in
+    ``[left_time − before, left_time + after]``.
+
+    Spark OSS has no range-join optimization — a plain non-equi
+    condition degrades to a per-key cross join with a post-filter,
+    which explodes on hot keys. This implements the standard
+    **bucketed range join**: the left row is stamped with its time
+    bucket (``floor(epoch / bucket_seconds)``), the right row is
+    replicated to every bucket its match window can overlap
+    (``⌈(before+after)/bucket⌉ + 1`` copies — bounded, independent of
+    row counts), and the join becomes an equi-join on
+    ``(keys…, bucket)`` with the exact range predicate as a residual.
+    Shuffle is on (key, bucket) — hot keys spread over time buckets;
+    replication cost is the dial (default bucket = window span → ≤ 2
+    copies).
+
+    Right-side non-key columns must not collide with left column
+    names (pre-alias them) — both sides' payloads survive unrenamed.
+    ``how``: ``inner`` or ``left`` (left-preserving; the left side is
+    never replicated, so unmatched left rows appear exactly once).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"range_join supports inner/left only, got {how!r}")
+    if bucket_seconds is None:
+        bucket_seconds = max(before_seconds + after_seconds, 1)
+    on = list(on)
+    lt = F.col(left_time).cast("timestamp").cast("long")
+    rt = F.col(right_time).cast("timestamp").cast("long")
+    lb = left.withColumn("__bucket", F.floor(lt / bucket_seconds))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((rt - after_seconds) / bucket_seconds),
+                F.floor((rt + before_seconds) / bucket_seconds),
+            )
+        ),
+    )
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}") for c in right.columns if c not in on]
+    l, r = lb.alias("l"), rb.alias("r")
+    lts = F.col(f"l.{left_time}").cast("timestamp").cast("long")
+    rts = F.col(f"r.{right_time}").cast("timestamp").cast("long")
+    cond = F.col("l.__bucket") == F.col("r.__bucket")
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (rts >= lts - F.lit(before_seconds))
+        & (rts <= lts + F.lit(after_seconds))
+    )
+    joined = l.join(r, cond, "inner" if how == "inner" else "left_outer")
+    return joined.select(*lcols, *rcols)

@@ -764,3 +764,51 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "purchase_view_window",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           count(v.event_id) AS n_views_30m,
+           max(v.ts) AS last_view_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+     AND v.ts <= p.ts
+    GROUP BY 1, 2
+    """,
+    doc="Bucketed time-range join (operators/joins.range_join): views "
+    "in the 30 min before each purchase, per user. The right side "
+    "replicates to <= 2 time buckets and the join runs as an "
+    "equi-join on (user, bucket) with the range as residual - no "
+    "per-key cross join, hot users spread across time buckets.",
+    tags=("parity", "joins"),
+)
+def purchase_view_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_event_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = range_join(
+        purchases,
+        views,
+        ["user_id"],
+        "ts",
+        "v_ts",
+        before_seconds=1800,
+        after_seconds=0,
+        how="left",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("v_event_id").alias("n_views_30m"),
+        F.max("v_ts").alias("last_view_ts"),
+    )

@@ -142,3 +142,44 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
     ).collect()[0].n
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_range_join_boundaries_and_replication(spark):
+    """Bucketed range join: inclusive boundaries, cross-bucket matches,
+    left-preserving nulls, and no duplicate pairs from the right-side
+    bucket replication."""
+    from end_to_end_etl_pipeline_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, "2026-01-01 10:00:00"),
+            (2, 100, "2026-01-01 12:00:00"),  # no views in window
+            (3, 200, "2026-01-01 10:00:00"),
+        ],
+        "lid int, k int, lts string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, "2026-01-01 09:30:00"),  # == lt - before: inclusive
+            (11, 100, "2026-01-01 09:29:59"),  # 1s outside: excluded
+            (12, 100, "2026-01-01 09:59:00"),  # different bucket than 10:00 at w=1800
+            (13, 100, "2026-01-01 10:00:00"),  # == lt: inclusive (after=0)
+            (14, 100, "2026-01-01 10:00:01"),  # after window: excluded
+            (15, 200, "2026-01-01 09:45:00"),  # other key
+        ],
+        "rid int, k int, rts string",
+    )
+    out = range_join(
+        left, right, ["k"], "lts", "rts",
+        before_seconds=1800, after_seconds=0, how="left",
+    ).select("lid", "rid").collect()
+    pairs = sorted((r.lid, r.rid) for r in out)
+    assert pairs == [(1, 10), (1, 12), (1, 13), (2, None), (3, 15)]
+
+    inner = range_join(
+        left, right, ["k"], "lts", "rts",
+        before_seconds=1800, after_seconds=0, how="inner",
+    ).select("lid", "rid").collect()
+    assert sorted((r.lid, r.rid) for r in inner) == [
+        (1, 10), (1, 12), (1, 13), (3, 15)
+    ]
