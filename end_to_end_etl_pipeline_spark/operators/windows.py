@@ -67,3 +67,51 @@ def running_total(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Event-sequence funnel: per user, the earliest timestamp of each
+    stage that occurs STRICTLY after the previous stage's reached
+    timestamp (stage 1 = earliest occurrence outright). Returns one
+    row per user: (user, t_<stage>… , funnel_depth).
+
+    Implemented as chained conditional window mins over ONE
+    partitioning — ``min(CASE type = s AND ts > t_prev THEN ts END)
+    OVER (PARTITION BY user)`` per stage. Each stage's predicate
+    reads the previous stage's column (constant within the
+    partition), and Spark reuses the single
+    ``hashpartitioning(user)`` exchange across all the window
+    projections: one shuffle total, O(1) state per user, no per-user
+    event arrays — a hot user with millions of events costs the same
+    window pass as anyone else.
+    """
+    w = Window.partitionBy(user_col)
+    out = df
+    prev: Column | None = None
+    tcols = []
+    for s in stages:
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        tc = f"t_{s}"
+        out = out.withColumn(tc, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(tc)
+        tcols.append(tc)
+    depth = F.lit(0)
+    for i, tc in enumerate(tcols):
+        depth = F.when(F.col(tc).isNotNull(), i + 1).otherwise(depth)
+    # every t_<stage> is partition-constant; max() is just a
+    # deterministic "pick the value" after the rollup to one row/user
+    return (
+        out.groupBy(user_col)
+        .agg(
+            *[F.max(tc).alias(tc) for tc in tcols],
+        )
+        .withColumn("funnel_depth", depth.cast("int"))
+    )

@@ -812,3 +812,44 @@ def purchase_view_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v_event_id").alias("n_views_30m"),
         F.max("v_ts").alias("last_view_ts"),
     )
+
+
+@register(
+    "user_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1
+    )
+    SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                     WHEN s2.t_click IS NOT NULL THEN 2
+                     WHEN s1.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_depth
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    doc="view -> click -> purchase conversion funnel "
+    "(operators/windows.funnel_stages): chained conditional window "
+    "mins over one hashpartitioning(user) exchange - one shuffle, "
+    "O(1) state per user, vs the oracle's 3-pass min-join "
+    "formulation.",
+    tags=("parity", "windows"),
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.windows import funnel_stages
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_stages(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -183,3 +183,38 @@ def test_range_join_boundaries_and_replication(spark):
     assert sorted((r.lid, r.rid) for r in inner) == [
         (1, 10), (1, 12), (1, 13), (3, 15)
     ]
+
+
+def test_funnel_stages_partial_depths(spark):
+    """Strict-ordering funnel: a click at/before the first view must
+    not advance the funnel; depths 0-3 all reachable."""
+    from end_to_end_etl_pipeline_spark.operators.windows import funnel_stages
+
+    ev = spark.createDataFrame(
+        [
+            # u1: full conversion
+            (1, "view", "2026-01-01 10:00:00"),
+            (1, "click", "2026-01-01 10:05:00"),
+            (1, "purchase", "2026-01-01 10:10:00"),
+            # u2: click BEFORE view, purchase without click-after-view
+            (2, "click", "2026-01-01 09:00:00"),
+            (2, "view", "2026-01-01 10:00:00"),
+            (2, "purchase", "2026-01-01 11:00:00"),
+            # u3: click at exactly view ts (strict > excludes it)
+            (3, "view", "2026-01-01 10:00:00"),
+            (3, "click", "2026-01-01 10:00:00"),
+            # u4: no funnel events at all
+            (4, "error", "2026-01-01 10:00:00"),
+        ],
+        "user_id int, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.user_id: r
+        for r in funnel_stages(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out[1].funnel_depth == 3
+    assert out[2].funnel_depth == 1 and out[2].t_click is None
+    assert out[3].funnel_depth == 1
+    assert out[4].funnel_depth == 0 and out[4].t_view is None
