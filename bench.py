@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "shipping_priority",
     # round 2b: compressed-ANN tier (train + encode + ADC + re-rank)
     "pq_topk",
+    # round 2b: 6-way join with same-nation residual (TPC-H Q5 shape)
+    "local_supplier_volume",
 ]
 
 
