@@ -192,3 +192,26 @@ def winnow_fingerprints(
     pair detection)."""
     arr = winnow_fingerprint_array(df, id_col, text_col, kgram, window)
     return arr.select(F.col(id_col), F.explode("fps").alias("fp"))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization for dedup/tokenization pipelines:
+    lowercase, non-alphanumerics → space, whitespace collapsed, ends
+    trimmed. The output is the canonical form fed to shingling /
+    MinHash so that case and punctuation variants dedup together.
+
+    Pure codegen projection — zero shuffles, scales linearly. The
+    regexes are restricted to constructs with identical semantics in
+    Java regex (Spark) and RE2 (DuckDB): literal classes and ``\\s``.
+    Unicode NFC folding is intentionally out of scope (no Spark
+    builtin; a pandas_udf would put Python in the hot path for an
+    ASCII-dominant corpus).
+    """
+    x = F.lower(F.col(text_col))
+    x = F.regexp_replace(x, r"[^a-z0-9\s]", " ")
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return df.withColumn(out_col, x)

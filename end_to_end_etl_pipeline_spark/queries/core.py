@@ -987,3 +987,38 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
     )
+
+
+@register(
+    "salted_order_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="Skew-hardened fact-to-fact join: lineitem joins orders through "
+    "salted_join (8 deterministic salt replicas spread each hot "
+    "orderkey over 8 reducers; the orders side is replicated 8x), then "
+    "aggregates revenue per priority. The oracle is the PLAIN join - "
+    "proving the salting choreography is semantics-preserving, the "
+    "property that matters when AQE's skew split isn't available.",
+    tags=("parity", "joins", "scale"),
+)
+def salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], salt_col="l_orderkey", n_salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -552,3 +552,41 @@ def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "doc_normalized",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CASE WHEN norm_text = '' THEN 0
+                ELSE len(string_split(norm_text, ' ')) END AS n_tokens,
+           md5(norm_text) AS norm_hash
+    FROM norm
+    """,
+    doc="Canonical text normalization (lowercase, punctuation->space, "
+    "whitespace collapse) with post-normalization token count and "
+    "content hash - the canonicalization step ahead of shingling so "
+    "case/punctuation variants dedup together. Pure projection, no "
+    "shuffle.",
+    tags=("north-star", "text"),
+)
+def doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = normalize_text(docs, "text").drop("text")
+    return norm.select(
+        "doc_id",
+        "norm_text",
+        F.when(F.col("norm_text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("norm_text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.encode(F.col("norm_text"), "utf-8")).alias("norm_hash"),
+    )

@@ -4,6 +4,7 @@ from end_to_end_etl_pipeline_spark.streaming.jobs import (
     running_profile,
     sessionize,
     stream_dedup,
+    stream_static_join,
     windowed_counts,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "running_profile",
     "sessionize",
     "stream_dedup",
+    "stream_static_join",
     "windowed_counts",
 ]

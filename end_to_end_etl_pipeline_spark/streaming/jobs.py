@@ -88,6 +88,36 @@ def stream_dedup(
     )
 
 
+def stream_static_join(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    keys: Sequence[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of ``stream``
+    joins against the (batch) ``static_dim`` — the standard pattern
+    for stamping events with dimension attributes in flight.
+
+    The static side is re-evaluated per micro-batch (so a dimension
+    backed by a catalog table picks up new versions between
+    triggers), and ``broadcast_dim=True`` pins a broadcast-hash
+    plan: the stream side never shuffles, which is the property that
+    keeps per-trigger latency flat as the stream scales. Stateless —
+    no watermark needed.
+
+    ``how`` must be stream-side-preserving (``inner``/``left``/
+    ``left_semi``/``left_anti``): Spark cannot emit unmatched static
+    rows without scanning the unbounded stream.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"stream-static join must preserve the stream side, got how={how!r}"
+        )
+    dim = F.broadcast(static_dim) if broadcast_dim else static_dim
+    return stream.join(dim, list(keys), how)
+
+
 def foreach_batch_scd1(
     stream_df: DataFrame,
     catalog,

@@ -187,3 +187,36 @@ def test_running_profile_typed_state(spark, tmp_path):
     # u1 appeared in both micro-batches -> an intermediate n_events=2
     # row proves state carried across batches, not per-batch resets
     assert {r.n_events for r in rows if r.user_id == 1} == {2, 3}
+
+
+def test_stream_static_join_enriches_every_batch(spark, stream_dir, tmp_path):
+    from end_to_end_etl_pipeline_spark.streaming import stream_static_join
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id bigint, tier string"
+    )
+    stream = read_stream_files(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+    enriched = stream_static_join(stream, dim, ["user_id"])
+    q = (enriched.writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.table("enriched")
+    batch = spark.read.schema(SCHEMA).json(stream_dir).join(
+        F.broadcast(dim), ["user_id"], "left"
+    )
+    assert out.count() == batch.count() == 7
+    got = {(r.event_id, r.ts, r.tier) for r in out.collect()}
+    expect = {(r.event_id, r.ts, r.tier) for r in batch.collect()}
+    assert got == expect
+    assert {r.tier for r in out.collect()} == {"gold", "silver"}
+
+
+def test_stream_static_join_rejects_right_outer(spark, stream_dir):
+    from end_to_end_etl_pipeline_spark.streaming import stream_static_join
+
+    dim = spark.createDataFrame([(1, "gold")], "user_id bigint, tier string")
+    stream = read_stream_files(spark, stream_dir, SCHEMA)
+    with pytest.raises(ValueError, match="preserve the stream side"):
+        stream_static_join(stream, dim, ["user_id"], how="right")
