@@ -1,0 +1,107 @@
+"""Deterministic sampling, sharding, and sequence-packing operators
+for training-data pipelines (BASELINE.json north star; the reference
+has no sampling surface).
+
+Everything here is **content-addressed, RNG-free**: the unit of
+randomness is ``md5(id)`` truncated to 32 bits, so every engine,
+every rerun, and every scale factor assigns the same row to the same
+shard/split/bin. That property is what makes train/val/test splits
+reproducible across backfills and lets a DuckDB oracle replay the
+assignment exactly (`rand()`-based sampling can never be verified
+cross-engine).
+
+Scale notes: shard/split assignment is a pure projection (zero
+shuffles, whole-stage codegen). Packing is one window per shard —
+shards are the parallelism unit, so the caller shards first and the
+1000-executor cluster packs 1000+ shards independently; no global
+sort ever happens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, modulus: int) -> Column:
+    """``md5(id)``'s first 8 hex digits as a 32-bit int, mod
+    ``modulus``. The stable scalar behind every operator in this
+    module; portable to any engine with md5 (DuckDB replays it with
+    a per-nibble ``instr`` sum — see the query oracles)."""
+    h = F.md5(F.encode(col.cast("string"), "utf-8"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % modulus).cast(
+        "bigint"
+    )
+
+
+def hash_shard(
+    df: DataFrame, id_col: str, n_shards: int, out_col: str = "shard"
+) -> DataFrame:
+    """Stamp each row with its deterministic shard in ``[0, n_shards)``.
+
+    Shards are the unit of downstream parallelism (packing, per-shard
+    file writes, distributed tokenizer jobs): hash-based so adding
+    data never reassigns existing rows, unlike round-robin."""
+    return df.withColumn(out_col, hash_bucket(F.col(id_col), n_shards))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, int]],
+    denom: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``splits`` is
+    ``[(name, weight), ...]`` with weights summing to ``denom``; a
+    row lands in the split whose cumulative weight range contains
+    ``hash_bucket(id, denom)``.
+
+    Content-addressed, so the split is stable under re-runs,
+    appends, and repartitioning — the property that prevents
+    train/test leakage when the corpus is rebuilt."""
+    total = sum(w for _, w in splits)
+    if total != denom:
+        raise ValueError(f"split weights sum to {total}, expected denom={denom}")
+    b = hash_bucket(F.col(id_col), denom)
+    expr = None
+    upper = 0
+    for name, w in splits[:-1]:
+        upper += w
+        expr = F.when(b < upper, F.lit(name)) if expr is None else expr.when(
+            b < upper, F.lit(name)
+        )
+    last = F.lit(splits[-1][0])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str | None = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: within each shard, rows
+    ordered by id are laid end-to-end and cut into bins of
+    ``budget`` tokens — ``bin = floor(exclusive_prefix_sum /
+    budget)``. A document straddling a boundary stays in the bin its
+    first token falls in (streaming-concat packing, the standard
+    pretraining batcher shape).
+
+    One window per shard, no global sort: with ``shard_col`` set
+    (always, at scale — use :func:`hash_shard`) every shard packs
+    independently on its own executor. ``shard_col=None`` collapses
+    to a single partition and exists for small corpora/tests only.
+    """
+    part = [F.col(shard_col)] if shard_col else [F.lit(0)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(bin_col, F.floor(prefix / budget).cast("bigint"))

@@ -215,3 +215,39 @@ def normalize_text(
     x = F.regexp_replace(x, r"[^a-z0-9\s]", " ")
     x = F.trim(F.regexp_replace(x, r"\s+", " "))
     return df.withColumn(out_col, x)
+
+
+# PII patterns restricted to constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, \s. No backrefs, no lookaround (RE2 has neither).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "redacted",
+    count_cols: bool = True,
+) -> DataFrame:
+    """Scrub URLs, emails, and international-format phone numbers
+    from a text column, replacing each with a typed placeholder —
+    the standard pre-training privacy pass. Match counts (against
+    the ORIGINAL text) are emitted per category so downstream can
+    filter/audit PII-dense documents.
+
+    URL runs first so an address inside a URL is consumed as one
+    token. Pure codegen projection: N regex passes, zero shuffles,
+    linear scan — the shape that survives 100 TB.
+    """
+    out = df
+    if count_cols:
+        for name, pat, _ in PII_PATTERNS:
+            out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(out_col, red)

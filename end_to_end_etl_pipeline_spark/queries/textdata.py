@@ -590,3 +590,163 @@ def doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.md5(F.encode(F.col("norm_text"), "utf-8")).alias("norm_hash"),
     )
+
+
+# md5(id)'s first 8 hex digits as a 32-bit int — the DuckDB replay of
+# operators/sampling.hash_bucket (DuckDB has no conv(); per-nibble
+# instr sum instead).
+_SQL_H32 = (
+    "("
+    + " + ".join(
+        f"(instr('{HEX}', substring(md5(CAST({{c}} AS VARCHAR)), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "doc_split_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_SQL_H32.format(c="doc_id")} AS h32 FROM documents
+    )
+    SELECT doc_id,
+           h32 % 32 AS shard,
+           CASE WHEN h32 % 10000 < 9000 THEN 'train'
+                WHEN h32 % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+    doc="Deterministic content-addressed sharding + train/val/test "
+    "split (90/5/5): md5(doc_id) -> 32-bit int -> modular buckets. "
+    "RNG-free, so assignment is stable under re-runs, appends, and "
+    "repartitioning - the anti-leakage property. Pure projection, "
+    "zero shuffles.",
+    tags=("north-star", "sampling"),
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import (
+        hash_shard,
+        split_assign,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    sharded = hash_shard(docs, "doc_id", 32)
+    return split_assign(
+        sharded, "doc_id", [("train", 9000), ("val", 500), ("test", 500)]
+    ).select("doc_id", "shard", "split")
+
+
+@register(
+    "doc_packed_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_SQL_H32.format(c="doc_id")} % 8 AS shard,
+             len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT *,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT shard, bin,
+           count(*) AS n_docs,
+           sum(n_tokens) AS token_sum,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed
+    GROUP BY 1, 2
+    """,
+    doc="Greedy contiguous sequence packing: docs hash-sharded 8 "
+    "ways, laid end-to-end per shard in doc_id order, cut into "
+    "2048-token bins (bin = floor(exclusive_prefix / budget)) - the "
+    "pretraining batcher shape. One window per shard: shards pack "
+    "independently, no global sort at any scale.",
+    tags=("north-star", "sampling"),
+)
+def doc_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import (
+        hash_shard,
+        pack_sequences,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+        ).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        hash_shard(docs, "doc_id", 8), "doc_id", "n_tokens", 2048, shard_col="shard"
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("token_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "doc_pii_redacted",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com or https://ex.com/d/', CAST(doc_id AS VARCHAR),
+                      ' tel +1415', lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0'))
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9]{7,15}', '<PHONE>', 'g')) AS red_hash
+    FROM corpus
+    """,
+    doc="PII redaction pass: URLs/emails/intl phone numbers replaced "
+    "by typed placeholders, per-category match counts kept for "
+    "auditing. The synthetic corpus has no PII, so every 5th doc "
+    "gets a deterministic planted email+URL+phone both engines "
+    "construct identically; the full redacted text is compared by "
+    "hash. Three codegen regex passes, zero shuffles.",
+    tags=("north-star", "text"),
+)
+def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or https://ex.com/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" tel +1415"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = redact_pii(planted, "text")
+    return red.select(
+        "doc_id",
+        F.col("n_url").cast("bigint").alias("n_url"),
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.md5(F.encode(F.col("redacted"), "utf-8")).alias("red_hash"),
+    )

@@ -218,3 +218,50 @@ def test_funnel_stages_partial_depths(spark):
     assert out[2].funnel_depth == 1 and out[2].t_click is None
     assert out[3].funnel_depth == 1
     assert out[4].funnel_depth == 0 and out[4].t_view is None
+
+
+def test_split_assign_weights_and_determinism(spark):
+    from end_to_end_etl_pipeline_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", [("train", 9000), ("val", 500), ("test", 500)])
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]  # ~90/5/5
+    # content-addressed: same ids -> same assignment on rerun
+    again = {r.doc_id: r.split for r in split_assign(
+        df, "doc_id", [("train", 9000), ("val", 500), ("test", 500)]).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    with pytest.raises(ValueError, match="sum to"):
+        split_assign(df, "doc_id", [("a", 1), ("b", 2)])
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    from end_to_end_etl_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 600), (2, 600), (3, 600), (4, 600)], ["doc_id", "n_tokens"]
+    )
+    out = {r.doc_id: r.bin for r in pack_sequences(df, "doc_id", "n_tokens", 1000).collect()}
+    # exclusive prefixes 0,600,1200,1800 / 1000 -> bins 0,0,1,1
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+    # a doc straddling a boundary stays in the bin its first token is in
+    df2 = spark.createDataFrame([(1, 999), (2, 5000), (3, 1)], ["doc_id", "n_tokens"])
+    out2 = {r.doc_id: r.bin for r in pack_sequences(df2, "doc_id", "n_tokens", 1000).collect()}
+    assert out2 == {1: 0, 2: 0, 3: 5}
+
+
+def test_redact_pii_placeholders(spark):
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.org or see https://x.io/p?q=1 call +4915112345678"),
+         (2, "clean text, no pii at all")],
+        ["id", "text"],
+    )
+    rows = {r.id: r for r in redact_pii(df, "text").collect()}
+    assert rows[1].redacted == "mail <EMAIL> or see <URL> call <PHONE>"
+    assert (rows[1].n_url, rows[1].n_email, rows[1].n_phone) == (1, 1, 1)
+    assert rows[2].redacted == rows[2].text
+    assert (rows[2].n_url, rows[2].n_email, rows[2].n_phone) == (0, 0, 0)
