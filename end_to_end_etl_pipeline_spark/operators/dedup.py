@@ -56,25 +56,23 @@ def dedup_exact_hash(
     """Exact content dedup: hash the content columns, keep the lowest
     id per hash.
 
-    Plan: ``groupBy(hash).agg(min(id))`` — Catalyst prunes the agg-side
-    shuffle to (hash, id) only and map-side partial aggregation
-    collapses duplicate hashes before the exchange (a skewed hash with
-    a million copies costs one partial row per map task, not one
-    reduce-side task holding all copies) — then a semi-join on
-    (hash, id) recovers the surviving full rows.
+    Plan: ONE shuffle — ``groupBy(hash).agg(min_by(struct(row), id))``.
+    Map-side partial aggregation keeps a single surviving row per hash
+    per task, so the exchange carries distinct-hash × row-payload (a
+    skewed hash with a million copies costs one partial row per map
+    task), and no join stage re-reads or re-hashes the source — both
+    cheaper than the semi-join-back formulation, which shuffles every
+    full row on its left side anyway.
 
-    ``id_col`` must be a unique row identifier. The id leg of the
-    semi-join is null-safe so an all-NULL-id hash group survives
-    (rather than vanishing); rows sharing (hash, id) — a violated
-    uniqueness contract — would all survive."""
+    ``id_col`` must be a unique, NON-NULL row identifier: ``min_by``
+    skips NULL ordering keys, so a NULL-id row never wins and an
+    all-NULL-id hash group yields no output row."""
     hashed = df.withColumn(
         hash_col,
         F.md5(F.concat_ws("␟", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in content_cols])),
     )
-    winners = hashed.groupBy(hash_col).agg(F.min(id_col).alias("__win_id"))
-    return hashed.join(
-        winners,
-        (hashed[hash_col] == winners[hash_col])
-        & hashed[id_col].eqNullSafe(winners["__win_id"]),
-        "left_semi",
+    row = F.struct(*[F.col(c) for c in df.columns])
+    won = hashed.groupBy(hash_col).agg(F.min_by(row, F.col(id_col)).alias("__row"))
+    return won.select(
+        *[F.col(f"__row.{c}").alias(c) for c in df.columns], F.col(hash_col)
     )

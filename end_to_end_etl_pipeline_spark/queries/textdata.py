@@ -71,7 +71,8 @@ _SQL_SHINGLES = """
     SELECT min(doc_id) AS doc_id, md5(coalesce(text, '␀')) AS content_hash
     FROM documents GROUP BY 2
     """,
-    doc="Exact content dedup via dedup_exact_hash: groupBy(hash).min(id) + semi-join.",
+    doc="Exact content dedup via dedup_exact_hash: one shuffle, "
+    "groupBy(hash).agg(min_by(row, id)) with map-side partial agg.",
     tags=("north-star", "dedup"),
 )
 def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:

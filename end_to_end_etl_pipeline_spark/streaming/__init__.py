@@ -5,6 +5,7 @@ from end_to_end_etl_pipeline_spark.streaming.jobs import (
     sessionize,
     stream_dedup,
     stream_static_join,
+    stream_stream_join,
     windowed_counts,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "sessionize",
     "stream_dedup",
     "stream_static_join",
+    "stream_stream_join",
     "windowed_counts",
 ]

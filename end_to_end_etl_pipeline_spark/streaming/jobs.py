@@ -315,3 +315,47 @@ def sessionize(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    watermark: str = "1 hour",
+    max_delay_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time band: a left row
+    matches right rows of the same key with ``right_time`` in
+    ``[left_time, left_time + max_delay]`` — the attribution shape
+    (impression→conversion, order→shipment).
+
+    Both sides are unbounded, so Spark must buffer state; the
+    watermark plus the two-sided time condition is what BOUNDS it:
+    a buffered left row is evictable once the right watermark passes
+    ``left_time + max_delay``, so state size tracks
+    (rate × (watermark + band)), not stream length. Without the band
+    the state grows forever — the join condition is load-bearing for
+    memory, not just semantics.
+
+    Column names must be disjoint apart from ``keys`` (pre-alias).
+    ``how``: inner joins emit as matches arrive; outer variants emit
+    NULL-padded rows only after watermark expiry.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    lt, rt = lw[left_time], rw[right_time]
+    cond = (
+        cond
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
+    )
+    joined = lw.join(rw, cond, how)
+    # drop the right-side duplicate key columns
+    return joined.drop(*[rw[k] for k in keys])

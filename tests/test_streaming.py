@@ -220,3 +220,33 @@ def test_stream_static_join_rejects_right_outer(spark, stream_dir):
     stream = read_stream_files(spark, stream_dir, SCHEMA)
     with pytest.raises(ValueError, match="preserve the stream side"):
         stream_static_join(stream, dim, ["user_id"], how="right")
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.streaming import stream_stream_join
+
+    vd, pd_ = str(tmp_path / "views"), str(tmp_path / "purch")
+    _write_batch(vd, "v.json", [
+        {"view_id": 1, "vts": "2026-01-01T00:00:00Z", "user_id": 1},
+        {"view_id": 2, "vts": "2026-01-01T00:50:00Z", "user_id": 1},
+        {"view_id": 3, "vts": "2026-01-01T00:00:00Z", "user_id": 2},
+    ])
+    _write_batch(pd_, "p.json", [
+        # 00:55 purchase: within 1h of BOTH u1 views -> 2 matches
+        {"purchase_id": 10, "pts": "2026-01-01T00:55:00Z", "user_id": 1},
+        # 02:00 purchase: >1h after u2's only view -> no match
+        {"purchase_id": 11, "pts": "2026-01-01T02:00:00Z", "user_id": 2},
+    ])
+    views = read_stream_files(spark, vd, "view_id bigint, vts timestamp, user_id bigint")
+    purch = read_stream_files(spark, pd_, "purchase_id bigint, pts timestamp, user_id bigint")
+    joined = stream_stream_join(
+        views, purch, ["user_id"], "vts", "pts",
+        watermark="2 hours", max_delay_seconds=3600,
+    )
+    q = (joined.writeStream.format("memory").queryName("attrib")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_ssj2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.view_id, r.purchase_id) for r in spark.table("attrib").collect()}
+    assert got == {(1, 10), (2, 10)}
