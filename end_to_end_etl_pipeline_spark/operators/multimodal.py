@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StructField,
@@ -107,3 +108,59 @@ def decode_features(
             )
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    frame_bytes: int = 64,
+    stride: int = 4,
+    backend: str = "fake",
+) -> DataFrame:
+    """Frame sampling for container payloads (video/audio): one input
+    row fans out to one output row per SAMPLED frame — the
+    row-multiplying half of the multimodal family (``decode_features``
+    is 1:1).
+
+    ``backend="fake"``: the payload is treated as a flat concatenation
+    of ``frame_bytes``-sized chunks and every ``stride``-th chunk is
+    emitted with its frame index (the last chunk may be short). A real
+    backend (ffmpeg keyframe demux) plugs in at the same seam with the
+    same output contract: (id, frame_idx, frame).
+
+    Scale shape: Arrow-batched ``mapInPandas``, output size ≈ input
+    bytes / stride per partition — stride is the memory dial; the
+    downstream per-frame ops (dedup by frame hash, feature extract)
+    shuffle the SAMPLED set only, never the full container bytes.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"frame-sample backend {backend!r}: no media codecs in this "
+            "environment; only the deterministic 'fake' chunker is wired"
+        )
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
+                if b is None:
+                    continue
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(bytes(b[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, bin_col).mapInPandas(gen, schema)

@@ -751,3 +751,39 @@ def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phone").cast("bigint").alias("n_phone"),
         F.md5(F.encode(F.col("redacted"), "utf-8")).alias("red_hash"),
     )
+
+
+@register(
+    "doc_frame_samples",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, CAST(floor((length(text) - 1) / 64.0) AS BIGINT)))
+               AS i
+      FROM documents
+    )
+    WHERE i % 4 = 0
+    """,
+    doc="Container frame sampling: the utf-8 payload is chunked into "
+    "64-byte frames and every 4th frame is emitted (id, frame_idx, "
+    "frame-hash) via row-multiplying Arrow-batched mapInPandas - the "
+    "video keyframe-sampling shape with the codec seam stubbed "
+    "deterministically. The corpus is ASCII, so DuckDB replays the "
+    "chunking with character substr and compares frames by md5.",
+    tags=("north-star", "multimodal"),
+)
+def doc_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = with_binary_payload(docs, "text").select("doc_id", "payload")
+    frames = sample_frames(payloads, "doc_id", "payload", frame_bytes=64, stride=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5(F.col("frame")).alias("frame_md5")
+    )

@@ -47,3 +47,25 @@ def test_decode_features_real_backend_is_explicit_stub(spark):
     payload = with_binary_payload(docs, "text")
     with pytest.raises(NotImplementedError):
         decode_features(payload, "doc_id", "payload", backend="pil")
+
+
+def test_sample_frames_chunking_and_stride(spark):
+    from end_to_end_etl_pipeline_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"a" * 10), (2, None), (3, b"xyz")], "id long, payload binary"
+    )
+    out = sample_frames(df, "id", "payload", frame_bytes=4, stride=2).collect()
+    got = {(r.id, r.frame_idx): bytes(r.frame) for r in out}
+    # id=1: 10 bytes -> frames 0..2 (4,4,2 bytes), stride 2 keeps 0 and 2
+    # id=2: null payload -> no rows; id=3: one short frame
+    assert got == {(1, 0): b"aaaa", (1, 2): b"aa", (3, 0): b"xyz"}
+
+
+def test_sample_frames_real_backend_not_wired(spark):
+    import pytest as _pytest
+    from end_to_end_etl_pipeline_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
+    with _pytest.raises(NotImplementedError, match="ffmpeg|codecs"):
+        sample_frames(df, "id", "payload", backend="ffmpeg")
