@@ -52,6 +52,7 @@ def dedup_exact_hash(
     content_cols: Sequence[str],
     id_col: str,
     hash_col: str = "content_hash",
+    keep_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Exact content dedup: hash the content columns, keep the lowest
     id per hash.
@@ -66,13 +67,23 @@ def dedup_exact_hash(
 
     ``id_col`` must be a unique, NON-NULL row identifier: ``min_by``
     skips NULL ordering keys, so a NULL-id row never wins and an
-    all-NULL-id hash group yields no output row."""
+    all-NULL-id hash group yields no output row.
+
+    ``keep_cols`` limits which columns of the surviving row are
+    carried (default: all). The struct inside ``min_by`` references
+    every listed column, which BLOCKS Catalyst column pruning — a
+    caller that only needs ids must say so here, or the parquet scan
+    reads the full schema no matter what it selects afterwards
+    (guarded by ``tests/test_plan_quality.py``)."""
+    out_cols = list(keep_cols) if keep_cols is not None else list(df.columns)
+    if id_col not in out_cols:
+        out_cols = [id_col, *out_cols]
     hashed = df.withColumn(
         hash_col,
         F.md5(F.concat_ws("␟", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in content_cols])),
     )
-    row = F.struct(*[F.col(c) for c in df.columns])
+    row = F.struct(*[F.col(c) for c in out_cols])
     won = hashed.groupBy(hash_col).agg(F.min_by(row, F.col(id_col)).alias("__row"))
     return won.select(
-        *[F.col(f"__row.{c}").alias(c) for c in df.columns], F.col(hash_col)
+        *[F.col(f"__row.{c}").alias(c) for c in out_cols], F.col(hash_col)
     )

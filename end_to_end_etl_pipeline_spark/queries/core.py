@@ -1080,3 +1080,75 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="TPC-H Q18 shape: orders whose line quantities sum past a "
+    "threshold, re-joined to their lines and customers. The HAVING "
+    "pre-aggregation runs FIRST and semi-filters orders before any "
+    "wide join - the aggregate-then-join ordering that keeps the "
+    "expensive join legs proportional to qualifying orders, not the "
+    "full fact table.",
+    tags=("parity", "joins"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    qualified = orders.join(big, orders.o_orderkey == big.l_orderkey).drop(
+        "l_orderkey"
+    )
+    joined = qualified.join(
+        customer, qualified.o_custkey == customer.c_custkey
+    ).join(li, F.col("o_orderkey") == li.l_orderkey)
+    return joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+
+
+@register(
+    "customer_balance_deciles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Rank-family window breadth: ntile/percent_rank/cume_dist over "
+    "a global ordering with a deterministic custkey tie-break. A "
+    "single-partition window - fine for a dimension-sized frame; at "
+    "fact scale the same call pattern partitions by a bucketing key.",
+    tags=("parity", "windows"),
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

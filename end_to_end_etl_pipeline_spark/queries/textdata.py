@@ -77,7 +77,9 @@ _SQL_SHINGLES = """
 )
 def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup_exact_hash(docs, ["text"], "doc_id").select("doc_id", "content_hash")
+    return dedup_exact_hash(docs, ["text"], "doc_id", keep_cols=["doc_id"]).select(
+        "doc_id", "content_hash"
+    )
 
 
 @register(

@@ -1,0 +1,84 @@
+"""Physical-plan regression guards: the scale properties the engine
+promises (filter pushdown to the parquet scan, broadcast of
+dimension tables, bounded shuffle counts, no Python row UDFs in
+codegen paths) asserted against `.explain`, so a future edit that
+silently degrades a plan fails here long before it shows up at
+100 TB.
+
+These assert plan *structure*, not timings — stable across machines.
+"""
+
+import re
+
+import pytest
+
+from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert re.search(r"PushedFilters: \[.*l_shipdate", plan), (
+        "shipdate band must reach the lineitem scan"
+    )
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # nation+region must be broadcast, never shuffled as join sides
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_q5_shape_pushdown_and_broadcast(spark):
+    plan = _plan(spark, "local_supplier_volume")
+    assert re.search(r"PushedFilters: \[.*o_orderdate", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(r_name,ASIA", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q10_shape_pushes_returnflag(spark):
+    plan = _plan(spark, "returned_item_revenue")
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R", plan)
+    # global top-20 must be TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_exact_text_single_shuffle(spark):
+    plan = _plan(spark, "dedup_exact_text")
+    # one agg shuffle; the min_by rewrite must not reintroduce a join
+    assert plan.count("Exchange") <= 2, plan  # hash agg exchange (+AQE read)
+    assert "Join" not in plan
+    assert "partial_min_by" in plan or "HashAggregate" in plan
+
+
+def test_no_python_row_udfs_in_batch_queries(spark):
+    # BatchEvalPython = row-at-a-time Python UDF — banned in the hot
+    # path engine-wide. (ArrowEvalPython / mapInPandas are the
+    # sanctioned Python escapes and appear only in multimodal ops.)
+    for name in [
+        "pricing_summary",
+        "customer_master",
+        "near_dup_pairs",
+        "cosine_topk",
+        "doc_normalized",
+        "doc_split_assign",
+    ]:
+        assert "BatchEvalPython" not in _plan(spark, name), name
+
+
+def test_scan_prunes_columns(spark):
+    # a 2-column projection must not read the whole documents schema
+    plan = _plan(spark, "dedup_exact_text")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
