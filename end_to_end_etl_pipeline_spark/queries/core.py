@@ -1152,3 +1152,44 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT l.l_partkey,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q17 shape THROUGH THE SQL SURFACE: spark.sql with a "
+    "correlated scalar subquery over the temp-view catalog. Catalyst "
+    "decorrelates it into an aggregate + self-join (no per-row "
+    "re-execution); the brand filter broadcasts the pruned part side. "
+    "Exercises the engine's second API: identical semantics whether a "
+    "query arrives as DataFrame calls or ANSI SQL.",
+    tags=("parity", "joins", "sql-surface"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM v_lineitem l
+        JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM v_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        GROUP BY 1
+        """
+    )

@@ -789,3 +789,61 @@ def doc_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.md5(F.col("frame")).alias("frame_md5")
     )
+
+
+@register(
+    "clean_corpus",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, norm_text,
+             CASE WHEN norm_text = '' THEN 0
+                  ELSE len(string_split(norm_text, ' ')) END AS n_tokens
+      FROM norm
+    ),
+    kept AS (SELECT * FROM scored WHERE n_tokens >= 30),
+    dedup AS (
+      SELECT min(doc_id) AS doc_id, md5(norm_text) AS content_hash,
+             min(n_tokens) AS n_tokens
+      FROM kept GROUP BY 2
+    )
+    SELECT d.doc_id, d.content_hash, d.n_tokens,
+           CASE WHEN {_SQL_H32.format(c="d.doc_id")} % 10000 < 9000 THEN 'train'
+                WHEN {_SQL_H32.format(c="d.doc_id")} % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM dedup d
+    """,
+    doc="Flagship training-corpus pipeline as ONE declarative DAG: "
+    "normalize -> token-count quality gate (>=30 tokens) -> exact "
+    "dedup on the CANONICAL text (case/punctuation variants collapse) "
+    "-> content-addressed train/val/test assignment. One shuffle "
+    "total (the dedup groupBy); everything before and after is "
+    "codegen projection, so the pipeline cost at 100 TB is the dedup "
+    "exchange plus a linear scan.",
+    tags=("north-star", "text", "dedup", "sampling"),
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.dedup import dedup_exact_hash
+    from end_to_end_etl_pipeline_spark.operators.sampling import split_assign
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = normalize_text(docs, "text").drop("text")
+    scored = norm.withColumn(
+        "n_tokens",
+        F.when(F.col("norm_text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("norm_text"), " ")))
+        .cast("bigint"),
+    )
+    kept = scored.filter(F.col("n_tokens") >= 30)
+    deduped = dedup_exact_hash(
+        kept, ["norm_text"], "doc_id", keep_cols=["doc_id", "n_tokens"]
+    ).select("doc_id", "content_hash", "n_tokens")
+    return split_assign(
+        deduped, "doc_id", [("train", 9000), ("val", 500), ("test", 500)]
+    ).select("doc_id", "content_hash", "n_tokens", "split")
