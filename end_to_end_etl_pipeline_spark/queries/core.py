@@ -1193,3 +1193,40 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('month', ts)) AS DATE) AS cohort_month
+      FROM events GROUP BY 1
+    ),
+    acts AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS act_month
+      FROM events
+    )
+    SELECT f.cohort_month, a.act_month, count(*) AS n_users
+    FROM firsts f JOIN acts a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users bucketed by first-event month, "
+    "counted per (cohort, activity month). Both legs aggregate on "
+    "user_id first, so the join is between two already-small "
+    "per-user frames co-partitioned on the join key - the cohort "
+    "triangle costs two user_id shuffles regardless of event volume.",
+    tags=("parity", "events"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("month", F.col("ts"))).cast("date").alias("cohort_month")
+    )
+    acts = ev.select(
+        "user_id", F.date_trunc("month", F.col("ts")).cast("date").alias("act_month")
+    ).distinct()
+    return (
+        firsts.join(acts, "user_id")
+        .groupBy("cohort_month", "act_month")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -126,3 +126,22 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     write_csv(supplier, base)
     return read_csv(spark, base, SUPPLIER_SCHEMA)
+
+
+@register(
+    "orc_scan_roundtrip",
+    oracle="SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+    doc="ORC sink then ORC scan with a pinned schema; oracle = the "
+    "original parquet table (typed columnar round-trip through the "
+    "second lake format; same vectorized-reader + pushdown machinery "
+    "as parquet).",
+    tags=("parity", "scans"),
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.sinks.writers import write_orc
+    from end_to_end_etl_pipeline_spark.sources.readers import read_orc
+
+    base = os.path.join(SCRATCH, os.path.basename(sf_dir.rstrip("/")), "part_orc")
+    part = load(spark, sf_dir, "part")
+    write_orc(part, base)
+    return read_orc(spark, base, part.schema)

@@ -75,6 +75,21 @@ def write_csv(
     writer.csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink — typed columnar output with the same distributed
+    write path as parquet (round-trip proved by the
+    ``orc_scan_roundtrip`` oracle query)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format("orc").save(path)
+
+
 def clustered_rewrite(
     spark: SparkSession,
     path: str,

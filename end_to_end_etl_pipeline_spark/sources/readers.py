@@ -69,6 +69,21 @@ def read_csv(
     )
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC scan (columnar alternative to parquet for Hive-heritage
+    lakes). Schema optional — ORC files are self-describing like
+    parquet; pass one to pin column types against drift. Vectorized
+    reader + predicate pushdown apply exactly as for parquet."""
+    reader = spark.read.format("orc")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Columnar scan — the engine's default storage (schema travels with
     the file, so no explicit schema required)."""

@@ -11,6 +11,7 @@ These assert plan *structure*, not timings — stable across machines.
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY
 
@@ -82,3 +83,22 @@ def test_scan_prunes_columns(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    # a filter on the partition column must become PartitionFilters
+    # (directory pruning — zero IO for excluded partitions), not a
+    # post-scan Filter over all data
+    from end_to_end_etl_pipeline_spark.queries.catalog import load
+    from end_to_end_etl_pipeline_spark.sinks.writers import write_overwrite
+
+    orders = load(spark, SF, "orders").withColumn("o_year", F.year("o_orderdate"))
+    dest = str(tmp_path / "orders_by_year")
+    write_overwrite(orders, dest, partition_by=["o_year"])
+    got = spark.read.parquet(dest).filter("o_year = 1995")
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1), plan
+    assert got.count() == load(spark, SF, "orders").filter("year(o_orderdate) = 1995").count()
