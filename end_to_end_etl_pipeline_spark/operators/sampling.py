@@ -105,3 +105,35 @@ def pack_sequences(
     )
     prefix = F.sum(F.col(token_col)).over(w) - F.col(token_col)
     return df.withColumn(bin_col, F.floor(prefix / budget).cast("bigint"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    denom: int = 10_000,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: a row survives iff
+    ``hash_bucket(id, denom) < rate[stratum] · denom`` — the language/
+    source rebalancing pass (downsample the dominant stratum, keep
+    the rest), with all of :func:`hash_bucket`'s reproducibility
+    guarantees. Unlike ``DataFrame.sampleBy`` the kept SET is stable
+    across reruns, partitionings, and engines — so the sampled corpus
+    is itself content-addressed.
+
+    Pure filter projection: zero shuffles, combines with its
+    neighbors into one codegen stage."""
+    b = hash_bucket(F.col(id_col), denom)
+    thr = None
+    for name, r in rates.items():
+        t = F.lit(int(round(r * denom)))
+        thr = (
+            F.when(F.col(strata_col) == name, t)
+            if thr is None
+            else thr.when(F.col(strata_col) == name, t)
+        )
+    default = F.lit(int(round(default_rate * denom)))
+    thr = default if thr is None else thr.otherwise(default)
+    return df.filter(b < thr)

@@ -847,3 +847,27 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(
         deduped, "doc_id", [("train", 9000), ("val", 500), ("test", 500)]
     ).select("doc_id", "content_hash", "n_tokens", "split")
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_SQL_H32.format(c="doc_id")} % 10000 AS b
+      FROM documents
+    )
+    SELECT doc_id, lang FROM h
+    WHERE b < CASE WHEN lang = 'en' THEN 2500 ELSE 10000 END
+    """,
+    doc="Deterministic stratified rebalancing: English (the dominant "
+    "stratum) downsampled to 25%, every other language kept whole - "
+    "the md5-bucket keep-set is stable across reruns, partitionings, "
+    "and engines, so the rebalanced corpus is content-addressed. "
+    "Pure filter, zero shuffles.",
+    tags=("north-star", "sampling"),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", "lang", {"en": 0.25})
