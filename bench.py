@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "pq_topk",
     # round 2b: 6-way join with same-nation residual (TPC-H Q5 shape)
     "local_supplier_volume",
+    # round 2b: composed training-corpus pipeline (normalize -> gate ->
+    # dedup -> split), one shuffle end to end
+    "clean_corpus",
 ]
 
 

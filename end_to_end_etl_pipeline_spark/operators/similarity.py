@@ -259,3 +259,28 @@ def sign_lsh_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def downsample_vector(
+    vec_col: str, factor: int = 2, round_dp: int = 6
+) -> Column:
+    """Array "resize": shrink a vector by averaging adjacent blocks of
+    ``factor`` elements (the pooling half of the multimodal
+    decode/resize family, and a cheap dimensionality reduction ahead
+    of LSH/PQ). Pure higher-order-function expression — JVM-side,
+    zero shuffles, one codegen'd pass per row; the expression tree is
+    O(1) in the output width (a ``transform`` over an index
+    ``sequence``, not an unrolled per-element forest)."""
+    v = F.col(vec_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(v) - 1) / factor).cast("int")),
+        lambda i: F.round(
+            F.aggregate(
+                F.slice(v, i * factor + 1, factor),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            )
+            / F.size(F.slice(v, i * factor + 1, factor)),
+            round_dp,
+        ),
+    )

@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from end_to_end_etl_pipeline_spark.operators.cleaning import derive_columns
 from end_to_end_etl_pipeline_spark.operators.dedup import dedup_by_key
 from end_to_end_etl_pipeline_spark.operators.dq import apply_rules, bounds_rule, not_null_rule
 from end_to_end_etl_pipeline_spark.operators.joins import equi_join

@@ -19,8 +19,6 @@ from pyspark.sql import functions as F
 from end_to_end_etl_pipeline_spark.operators.dedup import dedup_exact_hash
 from end_to_end_etl_pipeline_spark.operators.text_dedup import (
     HEX,
-    char_shingles,
-    jaccard_on_pairs,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
     word_shingles,

@@ -305,3 +305,41 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist_factor=5,
     )
+
+
+@register(
+    "embedding_downsample",
+    oracle="""
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           round(avg(v), 6) + 0.0 AS pooled  -- +0.0 folds -0.0 to +0.0
+    FROM (
+      SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             CAST(floor((unnest(generate_series(1, len(embedding))) - 1) / 2)
+                  AS BIGINT) AS pos
+      FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+    doc="Vector resize by adjacent-pair average pooling (64 -> 32): "
+    "the downsampling half of the multimodal decode/resize family, "
+    "done JVM-side with one transform-over-sequence lambda per row - "
+    "no UDF, no shuffle; compared element-wise after posexplode.",
+    tags=("north-star", "vectors", "multimodal"),
+)
+def embedding_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.similarity import downsample_vector
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pooled = emb.select(
+        "vec_id", downsample_vector("embedding", factor=2).alias("pooled_vec")
+    )
+    return pooled.select(
+        "vec_id", F.posexplode("pooled_vec").alias("pos", "pooled")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        # + 0.0 folds IEEE -0.0 to +0.0 on both engines (a rounded
+        # tiny-negative mean otherwise hash-mismatches: -0.0 vs 0.0)
+        (F.col("pooled") + F.lit(0.0)).alias("pooled"),
+    )

@@ -10,7 +10,6 @@ These assert plan *structure*, not timings — stable across machines.
 
 import re
 
-import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY
