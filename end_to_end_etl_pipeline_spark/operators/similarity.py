@@ -284,3 +284,41 @@ def downsample_vector(
             round_dp,
         ),
     )
+
+
+def hadamard_rotate(vec_col: str, dim: int, round_dp: int = 6) -> Column:
+    """Deterministic orthogonal rotation: the normalized Walsh-
+    Hadamard transform ``y[j] = Σ_i v[i]·(−1)^popcount(i&j) / √dim``
+    — the RNG-free stand-in for OPQ's learned rotation. Rotating
+    before product quantization spreads variance across subspaces
+    (the failure mode of raw PQ is energy concentrated in a few
+    dims), and the transform is norm-preserving so cosine/L2
+    orderings survive exactly.
+
+    One ``transform``-over-``sequence`` lambda with an inner
+    ``aggregate`` fold: O(1) expression-tree size, dense O(dim²)
+    work per row — right up to a few hundred dims (the butterfly
+    O(dim·log dim) factorization needs log-dim chained projections;
+    not worth it below dim≈1k). ``bit_count`` keeps the sign rule
+    replayable in any engine with integer popcount.
+    """
+    if dim & (dim - 1):
+        raise ValueError(f"Hadamard rotation needs power-of-two dim, got {dim}")
+    v = F.col(vec_col)
+    scale = float(dim) ** 0.5
+    sign = lambda i, j: F.when(  # noqa: E731
+        F.bit_count(i.bitwiseAND(j)) % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(v, (i + 1).cast("int")).cast("double") * sign(i, j),
+            )
+            / scale,
+            round_dp,
+        ),
+    )

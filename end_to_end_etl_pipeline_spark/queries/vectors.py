@@ -343,3 +343,43 @@ def embedding_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tiny-negative mean otherwise hash-mismatches: -0.0 vs 0.0)
         (F.col("pooled") + F.lit(0.0)).alias("pooled"),
     )
+
+
+@register(
+    "embedding_hadamard",
+    oracle="""
+    WITH idx AS (SELECT unnest(generate_series(0, 63)) AS j),
+    flat AS (
+      SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(generate_series(0, 63)) AS i
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(j AS INT) AS pos,
+           round(sum(x * CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(j AS BIGINT)) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END) / 8.0, 6) + 0.0 AS rv
+    FROM flat CROSS JOIN idx
+    GROUP BY 1, 2
+    """,
+    doc="OPQ-style deterministic rotation: normalized Walsh-Hadamard "
+    "transform of every embedding (sign rule (-1)^popcount(i&j), so "
+    "any engine with bit_count replays it exactly). Norm-preserving "
+    "- the variance-spreading pre-step for product quantization "
+    "without a learned rotation matrix. One codegen'd lambda per "
+    "row, no shuffle.",
+    tags=("north-star", "vectors"),
+)
+def embedding_hadamard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.similarity import hadamard_rotate
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rotated = emb.select(
+        "vec_id", hadamard_rotate("embedding", 64).alias("rv_vec")
+    )
+    return rotated.select(
+        "vec_id", F.posexplode("rv_vec").alias("pos", "rv")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        (F.col("rv") + F.lit(0.0)).alias("rv"),
+    )

@@ -265,3 +265,21 @@ def test_redact_pii_placeholders(spark):
     assert (rows[1].n_url, rows[1].n_email, rows[1].n_phone) == (1, 1, 1)
     assert rows[2].redacted == rows[2].text
     assert (rows[2].n_url, rows[2].n_email, rows[2].n_phone) == (0, 0, 0)
+
+
+def test_hadamard_rotation_is_orthogonal(spark):
+    from end_to_end_etl_pipeline_spark.operators.similarity import hadamard_rotate
+
+    df = spark.createDataFrame(
+        [(1, [float(i % 5) - 2.0 for i in range(8)])], "id long, v array<double>"
+    )
+    out = df.select(
+        "id",
+        hadamard_rotate("v", 8, round_dp=9).alias("rv"),
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x).alias("n2"),
+    ).select(
+        "n2", F.aggregate("rv", F.lit(0.0), lambda a, x: a + x * x).alias("rn2")
+    ).first()
+    assert abs(out.n2 - out.rn2) < 1e-6  # norm preserved (orthogonal)
+    with pytest.raises(ValueError, match="power-of-two"):
+        hadamard_rotate("v", 6)
