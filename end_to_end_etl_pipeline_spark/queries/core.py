@@ -1296,3 +1296,286 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
     )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM volumes GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: one nation's market share of ECONOMY-part "
+    "revenue sold into AMERICA-region customers, per year. The nation "
+    "table joins TWICE under different roles (customer side prunes "
+    "via region, supplier side labels the share) - both broadcast, as "
+    "are part/supplier after column pruning; the two-year date filter "
+    "pushes to the orders scan. The share is a conditional-sum ratio "
+    "in ONE aggregate pass.",
+    tags=("parity", "joins"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # customer-side nations pruned by region BEFORE touching any fact
+    cust_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_nations), customer.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), supplier.s_nationkey == F.col("sn_key"))
+    )
+    share_num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.round(F.sum(share_num) / F.sum(vol), 6).alias("mkt_share"))
+
+
+@register(
+    "product_profit",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (no partsupp table in the driver's schema, so "
+    "0.6*p_retailprice*l_quantity stands in for ps_supplycost): profit "
+    "on red-named parts per supplier nation per year. part prunes via "
+    "the LIKE filter then broadcasts; supplier+nation broadcast; the "
+    "only shuffle is lineitem->orders and the final agg.",
+    tags=("parity", "joins"),
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy(
+        "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.round(F.sum(profit), 2).alias("profit"))
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT order_cnt, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS order_cnt
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape: distribution of per-customer non-urgent "
+    "order counts, including zero-order customers. The join predicate "
+    "(NOT the where clause) carries the priority filter so customers "
+    "with only urgent orders still count as 0. Two aggregations: "
+    "per-customer count (shuffle on custkey), then a tiny recount on "
+    "the count value.",
+    tags=("parity", "joins"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("order_cnt").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (lineitem stands in for partsupp as the "
+    "part-supplier bridge): distinct suppliers per (brand,type,size) "
+    "excluding a NOT-IN denylist of negative-balance suppliers. The "
+    "denylist compiles to a broadcast left-anti join; part prunes via "
+    "brand/size-set filters then broadcasts.",
+    tags=("parity", "joins"),
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    denylist = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(denylist), li.l_suppkey == denylist.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "lone_returned_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q21 shape (returnflag stands in for the missing "
+    "receipt-vs-commit lateness): per supplier, returned lines on "
+    "finished multi-supplier orders where NO other supplier also had "
+    "a return - an EXISTS (left-semi) plus a NOT EXISTS (left-anti), "
+    "both self-joins on lineitem with an orderkey equi-key and a "
+    "suppkey-inequality residual. supplier broadcasts for naming.",
+    tags=("parity", "joins"),
+)
+def lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l3")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    semi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        anti.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT right(c.c_name, 2) AS name_code,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers who never "
+    "ordered, bucketed by a name suffix code. The global average is a "
+    "scalar aggregate broadcast back as a 1-row cross join (Spark's "
+    "scalar-subquery plan); the NOT EXISTS is a left-anti join on the "
+    "orders custkey projection.",
+    tags=("parity", "joins", "sql-surface"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy(F.substring("c_name", -2, 2).alias("name_code")).agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
