@@ -11,7 +11,7 @@ counts, fingerprinting shuffles k-gram hashes on doc_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Tiny embedded stopword lexicons — the classic cheap lang-ID signal.
@@ -251,3 +251,40 @@ def redact_pii(
     for _, pat, repl in PII_PATTERNS:
         red = F.regexp_replace(red, pat, repl)
     return out.withColumn(out_col, red)
+
+
+def sliding_chunks(
+    text_col: str, chunk_words: int = 30, overlap_words: int = 5
+) -> Column:
+    """Overlapping sliding-window chunking — the standard prep step
+    for embedding/RAG indexing and LLM context packing. Splits on
+    whitespace and emits word windows of ``chunk_words`` advancing by
+    ``chunk_words - overlap_words``, so consecutive chunks share
+    ``overlap_words`` words. Start positions stop at
+    ``max(n_words - overlap_words, 1)``: the tail is always covered
+    and no final chunk is fully contained in its predecessor.
+
+    Returns ``array<struct<start int, toks array<string>>>`` rather
+    than pre-joined strings: the caller explodes first and derives
+    ``chunk_text``/``n_tokens`` from the materialized ``toks`` column,
+    so the slice is computed once per chunk (CollapseProject would
+    otherwise inline the split+slice into every consuming expression).
+    Pure codegen'd per-row work — no shuffle, no UDF; at 100 TB this
+    runs map-side inside whatever stage consumes it.
+    """
+    if overlap_words >= chunk_words:
+        raise ValueError(
+            f"overlap_words ({overlap_words}) must be < chunk_words ({chunk_words})"
+        )
+    stride = chunk_words - overlap_words
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - overlap_words, F.lit(1)), F.lit(stride)
+    )
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.slice(words, s, chunk_words).alias("toks"),
+        ),
+    )

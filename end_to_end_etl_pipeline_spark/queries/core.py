@@ -1579,3 +1579,31 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "daily_uniques_hll",
+    oracle=None,  # HLL++ sketch values are engine-specific: rows-only
+    doc="Mergeable-sketch rollup: per-day HyperLogLog sketches of "
+    "active users (hll_sketch_agg, Apache DataSketches), then a "
+    "trailing-7-day hll_union_agg window for WAU - the partial-"
+    "aggregation pattern that makes distinct-counting feasible at "
+    "100 TB: sketches merge associatively so daily partials are "
+    "computed once and reused by every window that covers them, "
+    "instead of re-scanning raw events per window. Estimates are "
+    "within ~2% of exact (tolerance-tested in pytest); the sketch "
+    "binary is engine-specific so this entry is rows-only.",
+    tags=("events", "profiling", "north-star"),
+)
+def daily_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    # window over post-agg data: one row per day, single tiny partition
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("dau"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_7d"),
+    )

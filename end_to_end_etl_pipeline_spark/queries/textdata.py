@@ -869,3 +869,49 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(docs, "doc_id", "lang", {"en": 0.25})
+
+
+@register(
+    "doc_chunks",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 5, 1), 25)) AS i
+      FROM words
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((i - 1) // 25 AS INT) AS chunk_idx,
+             list_slice(w, CAST(i AS INT), CAST(i + 29 AS INT)) AS toks
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(toks, ' ') AS chunk_text,
+           CAST(len(toks) AS INT) AS n_tokens
+    FROM chunks
+    """,
+    doc="RAG/embedding prep: overlapping sliding-window chunking of "
+    "every document (30-word chunks, 5-word overlap, tail-covering "
+    "start rule) via sliding_chunks + posexplode. Map-side only - "
+    "the chunker adds zero shuffles to whatever stage consumes it; "
+    "both engines derive identical (start, slice) windows so the "
+    "chunk text value-hashes match exactly.",
+    tags=("north-star", "text", "sampling"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import sliding_chunks
+
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(sliding_chunks("text", chunk_words=30, overlap_words=5)).alias(
+            "chunk_idx", "ch"
+        ),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join("ch.toks", " ").alias("chunk_text"),
+        F.size("ch.toks").alias("n_tokens"),
+    )

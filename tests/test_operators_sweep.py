@@ -283,3 +283,44 @@ def test_hadamard_rotation_is_orthogonal(spark):
     assert abs(out.n2 - out.rn2) < 1e-6  # norm preserved (orthogonal)
     with pytest.raises(ValueError, match="power-of-two"):
         hadamard_rotate("v", 6)
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import sliding_chunks
+
+    text = " ".join(f"w{i}" for i in range(43))
+    df = spark.createDataFrame([(1, text), (2, "solo"), (3, "")], "id long, text string")
+    out = {
+        r.id: r.chunks
+        for r in df.select(
+            "id", sliding_chunks("text", chunk_words=10, overlap_words=3).alias("chunks")
+        ).collect()
+    }
+    chunks = out[1]
+    # starts advance by stride=7 up to n_words - overlap = 40
+    assert [c.start for c in chunks] == [1, 8, 15, 22, 29, 36]
+    # full coverage: every word appears in some chunk
+    covered = {t for c in chunks for t in c.toks}
+    assert covered == {f"w{i}" for i in range(43)}
+    # consecutive chunks share exactly `overlap` words (except short tail)
+    assert chunks[0].toks[-3:] == chunks[1].toks[:3]
+    assert chunks[-1].toks == [f"w{i}" for i in range(35, 43)]  # tail chunk, 8 words
+    assert [c.start for c in out[2]] == [1] and out[2][0].toks == ["solo"]
+    assert out[3][0].toks == [""]  # empty text: one empty-token chunk, same as DuckDB
+    with pytest.raises(ValueError, match="overlap_words"):
+        sliding_chunks("text", chunk_words=5, overlap_words=5)
+
+
+def test_hll_daily_uniques_close_to_exact(spark, sf_dir):
+    from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY, load
+
+    rows = REGISTRY["daily_uniques_hll"].spark(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").select(F.to_date("ts").alias("day"), "user_id")
+    exact = {
+        r.day: r.n
+        for r in ev.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert len(rows) == len(exact) > 0
+    for r in rows:
+        assert abs(r.dau - exact[r.day]) / max(exact[r.day], 1) < 0.05
+        assert r.wau_7d >= r.dau * 0.95  # union dominates (modulo estimate noise)
