@@ -1607,3 +1607,199 @@ def daily_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("dau"),
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_7d"),
     )
+
+
+@register(
+    "top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: the quarter's top supplier(s) by revenue - "
+    "the revenue 'view' is computed ONCE and consumed twice (rank "
+    "filter + join) via an unpartitioned max window over the ~#supplier "
+    "post-agg rows, instead of recomputing the CTE for the scalar "
+    "subquery the way the SQL spells it. Ties all surface (no "
+    "arbitrary limit), matching the SQL's equality semantics.",
+    tags=("parity", "joins", "sql-surface"),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    # one pass: window-max over the tiny post-agg frame, then filter —
+    # avoids re-aggregating lineitem for the scalar-subquery leg
+    best = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        F.broadcast(best)
+        .join(supplier, best.supplier_no == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "discounted_brand_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive OR-of-ANDs predicate spanning "
+    "both join sides. The single-side conjuncts Catalyst can factor "
+    "out (p_size >= 1, the brand IN-set, the quantity range hull) "
+    "push below the join; the cross-side residual stays in the join "
+    "condition - the optimizer-stress shape, one broadcast join + "
+    "global agg, no shuffle beyond the final single-row combine.",
+    tags=("parity", "joins", "sql-surface"),
+)
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((brand == "Brand#12") & size.between(1, 15) & q.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 25) & q.between(10, 20))
+        | ((brand == "Brand#34") & size.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "price_quantity_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Statistical-aggregate family: per-returnflag Pearson "
+    "correlation, sample covariance/stddev, and least-squares "
+    "regression of price on quantity - all JVM-side declarative "
+    "aggregates (corr/covar_samp/stddev_samp/regr_slope/"
+    "regr_intercept) with map-side partials, ONE shuffle on a "
+    "3-value key. The moment-sketch pattern: each executor emits "
+    "(n, Σx, Σy, Σxx, Σyy, Σxy) partials that merge associatively, "
+    "so the profile costs one pass at any scale.",
+    tags=("parity", "profiling"),
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    x, y = F.col("l_extendedprice"), F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(x, y), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(x, y), 4).alias("price_qty_covar"),
+        F.round(F.stddev_samp(x), 4).alias("price_stddev"),
+        F.round(F.regr_slope(x, y), 4).alias("slope"),
+        F.round(F.regr_intercept(x, y), 4).alias("intercept"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "priority_order_returns",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q4 shape (returnflag stands in for the missing "
+    "commit-vs-receipt lateness): per-priority count of quarter "
+    "orders with at least one returned line. The EXISTS compiles to "
+    "a left-semi join - each order counted ONCE however many lines "
+    "match, which a plain inner join would get wrong; the date band "
+    "pushes to the orders scan, the returnflag filter to lineitem.",
+    tags=("parity", "joins", "sql-surface"),
+)
+def priority_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    returned = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-aggregate - every predicate "
+    "(date band, discount band, quantity cap) is a pushable parquet "
+    "filter, so the scan skips row groups via min/max stats and the "
+    "plan is filter->partial agg->single-row combine with NO join "
+    "and NO wide shuffle. The canonical 'is pushdown working' probe.",
+    tags=("parity", "sql-surface"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "potential_revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )

@@ -101,3 +101,31 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_year" in m.group(1), plan
     assert got.count() == load(spark, SF, "orders").filter("year(o_orderdate) = 1995").count()
+
+
+def test_q19_shape_factors_single_side_conjuncts(spark):
+    plan = _plan(spark, "discounted_brand_revenue")
+    # Catalyst must factor the OR-of-ANDs: the brand IN-set and the
+    # quantity-range hull push below the join to each side's scan
+    assert re.search(r"PushedFilters: \[.*p_brand", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_quantity", plan), plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_shape_semi_anti_hash_on_orderkey(spark):
+    plan = _plan(spark, "lone_returned_supplier")
+    # the suppkey inequality must ride as a residual on a HASHED
+    # orderkey join, never degrade to a nested-loop pair scan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Join type: LeftSemi", plan)
+    assert re.search(r"Join type: LeftAnti", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R", plan)
+
+
+def test_q13_left_join_keeps_priority_filter_in_join(spark):
+    df = REGISTRY["customer_order_distribution"].spark(spark, SF)
+    # customers with ONLY urgent orders must still appear with count 0
+    zero = df.filter(F.col("order_cnt") == 0).count()
+    assert zero > 0
