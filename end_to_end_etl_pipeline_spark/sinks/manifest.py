@@ -210,6 +210,79 @@ class ManifestCatalog:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
+    def diff_versions(
+        self,
+        name: str,
+        v_from: int,
+        v_to: int | None = None,
+        keys: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two committed versions (the
+        observable surface of Delta's ``readChangeFeed``), derived
+        from the immutable version log rather than per-commit change
+        files.
+
+        Without ``keys``: full-row multiset symmetric difference —
+        ``_change_type`` ∈ {insert, delete} via two ``exceptAll``
+        hash set-ops (one shuffle each, map-side partial counting).
+
+        With ``keys``: keyed CDC — a single full-outer join on the
+        key columns comparing a sha2 hash of the non-key columns:
+        new-only keys → insert, old-only → delete, both-but-changed →
+        update_pre (old image) + update_post (new image). One shuffle
+        on the keys; unchanged rows never leave the join stage.
+
+        Columns added since ``v_from`` read as NULL in the old image
+        (mergeSchema), so schema evolution surfaces as updates, not
+        errors.
+        """
+        from end_to_end_etl_pipeline_spark.operators.hashing import row_hash_col
+
+        if v_to is None:
+            v_to = self._versions(name)[-1]
+        old, new = self.read(name, version=v_from), self.read(name, version=v_to)
+        all_cols = list(new.columns) + [c for c in old.columns if c not in new.columns]
+
+        def aligned(df: DataFrame, other: DataFrame) -> DataFrame:
+            dtypes = dict(df.dtypes) | dict(other.dtypes)
+            return df.select(
+                *[
+                    F.col(c) if c in df.columns else F.lit(None).cast(dtypes[c]).alias(c)
+                    for c in all_cols
+                ]
+            )
+
+        old, new = aligned(old, new), aligned(new, old)
+        ct = "_change_type"
+        if not keys:
+            return new.exceptAll(old).withColumn(ct, F.lit("insert")).unionByName(
+                old.exceptAll(new).withColumn(ct, F.lit("delete"))
+            )
+        data_cols = [c for c in all_cols if c not in keys]
+        h = row_hash_col(data_cols)
+        o = old.withColumn("__h", h).alias("o")
+        n = new.withColumn("__h", h).alias("n")
+        cond = [o[k].eqNullSafe(n[k]) for k in keys]
+        j = o.join(n, cond, "full_outer")
+        # presence via the hash cols: never NULL on a real row (the
+        # null-sentinel concat hash), unlike key cols which may be NULL
+        o_first, n_first = F.col("o.__h"), F.col("n.__h")
+        side = lambda a, cols: [F.col(f"{a}.{c}").alias(c) for c in cols]  # noqa: E731
+        inserts = j.filter(o_first.isNull() & n_first.isNotNull()).select(
+            *side("n", all_cols), F.lit("insert").alias(ct)
+        )
+        deletes = j.filter(n_first.isNull() & o_first.isNotNull()).select(
+            *side("o", all_cols), F.lit("delete").alias(ct)
+        )
+        changed = j.filter(
+            o_first.isNotNull()
+            & n_first.isNotNull()
+            & (F.col("o.__h") != F.col("n.__h"))
+        )
+        pre = changed.select(*side("o", all_cols), F.lit("update_pre").alias(ct))
+        post = changed.select(*side("n", all_cols), F.lit("update_post").alias(ct))
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
     def replace_atomic(self, df: DataFrame, name: str, partition_by=None) -> None:
         """K1 — full refresh as one manifest commit (readers see old or
         new, never between; crash leaves old manifest current)."""

@@ -215,3 +215,64 @@ def test_time_travel_reads(spark, cat):
 
     with _pytest.raises(Exception):
         cat.read("t", version=1).collect()
+
+
+def test_diff_versions_rowwise(spark, cat):
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c")], "id long, v string"
+    )
+    cat.replace_atomic(v1, "cdc.rows")
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "id long, v string"
+    )
+    cat.replace_atomic(v2, "cdc.rows")
+    out = cat.diff_versions("cdc.rows", 1, 2)
+    got = sorted((r.id, r.v, r._change_type) for r in out.collect())
+    # multiset semantics: one of the duplicate (3,'c') rows is a delete
+    assert got == [
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+
+
+def test_diff_versions_keyed_cdc(spark, cat):
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "nk", 1.0)],
+        "id long, v string, x double",
+    )
+    cat.replace_atomic(v1, "cdc.keyed")
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b2", 20.0), (4, "d", 40.0), (None, "nk", 2.0)],
+        "id long, v string, x double",
+    )
+    cat.replace_atomic(v2, "cdc.keyed")
+    out = cat.diff_versions("cdc.keyed", 1, keys=["id"])  # v_to defaults to latest
+    got = sorted(
+        ((r.id if r.id is not None else -1), r.v, r.x, r._change_type)
+        for r in out.collect()
+    )
+    assert got == [
+        (-1, "nk", 1.0, "update_pre"),  # NULL keys match null-safely
+        (-1, "nk", 2.0, "update_post"),
+        (2, "b", 20.0, "update_pre"),
+        (2, "b2", 20.0, "update_post"),
+        (3, "c", 30.0, "delete"),
+        (4, "d", 40.0, "insert"),
+    ]
+    # unchanged key 1 emits nothing
+    assert out.filter(F.col("id") == 1).count() == 0
+
+
+def test_diff_versions_schema_evolution_reads_null_old(spark, cat):
+    cat.replace_atomic(
+        spark.createDataFrame([(1, "a")], "id long, v string"), "cdc.evo"
+    )
+    cat.append(
+        spark.createDataFrame([(2, "b", 9.0)], "id long, v string, score double"),
+        "cdc.evo",
+    )
+    out = cat.diff_versions("cdc.evo", 1, 2, keys=["id"])
+    got = {(r.id, r.v, r.score, r._change_type) for r in out.collect()}
+    assert got == {(2, "b", 9.0, "insert")}

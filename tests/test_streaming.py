@@ -250,3 +250,51 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.view_id, r.purchase_id) for r in spark.table("attrib").collect()}
     assert got == {(1, 10), (2, 10)}
+
+
+def test_windowed_counts_drops_late_events_in_append(spark, tmp_path):
+    """Watermark contract: once the watermark has advanced past a
+    window, later-arriving events for it are DROPPED, and the window
+    emits exactly once (append mode) with only on-time rows."""
+    src = str(tmp_path / "late_src")
+    ck = str(tmp_path / "ck_late")
+    out = str(tmp_path / "late_out")
+
+    def run():
+        # parquet sink: append-mode + restartable from the checkpoint
+        # (the memory sink refuses recovery), so the watermark survives
+        # between the two availableNow runs
+        stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=1)
+        agg = windowed_counts(stream, "ts", window="1 hour", watermark="2 hours",
+                              group_cols=["event_type"])
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(str(r.window_start), r.event_type): r.n
+                for r in spark.read.parquet(out).collect()}
+
+    # run 1: on-time event at 00:05 plus one at 05:00 -> watermark
+    # (persisted in the checkpoint) ends at 03:00
+    _write_batch(src, "f1.json", [
+        {"event_id": 1, "ts": "2026-01-01T00:05:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": "2026-01-01T05:00:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+    ])
+    run()
+    # run 2: a 00:10 replay is 3h behind the restored watermark ->
+    # dropped; 09:00 advances the watermark to 07:00, finalizing the
+    # 05:00 and 06:00 windows
+    _write_batch(src, "f2.json", [
+        {"event_id": 3, "ts": "2026-01-01T00:10:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 4, "ts": "2026-01-01T06:10:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 5, "ts": "2026-01-01T09:00:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+    ])
+    got2 = run()
+    # the 00:00 window holds ONLY the on-time event - the late replay
+    # never reached state; 05:00/06:00 emitted on finalization
+    assert got2[("2026-01-01 00:00:00", "view")] == 1
+    assert got2[("2026-01-01 05:00:00", "view")] == 1
+    assert got2[("2026-01-01 06:00:00", "view")] == 1
+    # 09:00's own window is not yet finalized, so it must not appear
+    assert ("2026-01-01 09:00:00", "view") not in got2
