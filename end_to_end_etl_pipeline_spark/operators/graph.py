@@ -71,3 +71,77 @@ def connected_components(
         )
     sym.unpersist()
     return labels.select(F.col("n").alias("node"), F.col("label").alias("cluster_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank: (node, pr) after exactly
+    ``iterations`` power steps of
+    ``pr' = (1-d)/N + d * Σ_in pr * w_norm`` with out-edge weights
+    normalized per source.
+
+    Replayable-by-construction: every checkpoint (normalized weights,
+    initial rank, each iteration's rank) is rounded to ``round_dp``
+    decimals, so an engine that unrolls the same iterations as SQL
+    CTEs (the DuckDB oracle does) reproduces the values bit-for-bit —
+    iterative ≠ unverifiable.
+
+    Scale shape: each step is one shuffle join (ranks ⋈ edges on src,
+    both hash-partitioned) + one aggregate on dst; ranks stay one
+    row per node. ``localCheckpoint`` per step keeps the plan flat
+    (see module docstring — persist alone let Catalyst re-analysis
+    grow per round). Nodes with no in-edges keep the teleport term
+    via the left join; dangling-node mass is dropped identically on
+    both sides rather than redistributed.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    from pyspark.sql import Window
+
+    norm = e.select(
+        "src",
+        "dst",
+        F.round(
+            F.col("w") / F.sum("w").over(Window.partitionBy("src")), round_dp
+        ).alias("wn"),
+    ).persist()
+    nodes = (
+        norm.select(F.col("src").alias("node"))
+        .unionByName(norm.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = nodes.crossJoin(
+        F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))
+    ).persist()
+    pr = base.select(
+        "node", F.round(F.lit(1.0) / F.col("n_nodes"), round_dp).alias("pr")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            pr.join(norm, pr.node == norm.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("wn")).alias("c"))
+        )
+        pr = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    (1 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0)),
+                    round_dp,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    norm.unpersist()
+    base.unpersist()
+    return pr

@@ -1803,3 +1803,87 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_lines"),
     )
+
+
+def _pagerank_iter_cte(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             round((1 - 0.85) / nn.n + 0.85 * coalesce(s.c, 0), 6) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst, sum(p.pr * e.wn) AS c
+                 FROM {prev} p JOIN norm e ON p.node = e.src
+                 GROUP BY 1) s
+      ON n.node = s.dst
+    )"""
+
+
+@register(
+    "nation_pagerank",
+    oracle=f"""
+    WITH edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    norm AS (
+      SELECT src, dst, round(w / sum(w) OVER (PARTITION BY src), 6) AS wn
+      FROM edges
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT node, round(1.0 / nn.n, 6) AS pr FROM nodes CROSS JOIN nn),
+    {_pagerank_iter_cte("pr0", "pr1")},
+    {_pagerank_iter_cte("pr1", "pr2")},
+    {_pagerank_iter_cte("pr2", "pr3")}
+    SELECT node, pr FROM pr3
+    """,
+    doc="Iterative algorithm under the full value-hash gate: 3 "
+    "power-iteration steps of weighted PageRank over the nation trade "
+    "graph (edge = customer-nation -> supplier-nation, weighted by "
+    "revenue). Every checkpoint rounds to 6dp so the unrolled-CTE "
+    "oracle replays the iterations exactly. The expensive part is the "
+    "one-pass edge aggregation (same join tree as revenue_by_nation); "
+    "each iteration then shuffles only #nodes rows.",
+    tags=("parity", "graph", "north-star"),
+)
+def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("w")
+        )
+    )
+    return pagerank(edges, iterations=3)

@@ -324,3 +324,17 @@ def test_hll_daily_uniques_close_to_exact(spark, sf_dir):
     for r in rows:
         assert abs(r.dau - exact[r.day]) / max(exact[r.day], 1) < 0.05
         assert r.wau_7d >= r.dau * 0.95  # union dominates (modulo estimate noise)
+
+
+def test_pagerank_hand_computed(spark):
+    from end_to_end_etl_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B", 3.0), ("A", "C", 1.0), ("B", "C", 1.0), ("C", "A", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r.pr for r in pagerank(edges, iterations=2).collect()}
+    # pr0 = 1/3 each; wn: A->B .75, A->C .25, B->C 1, C->A 1
+    # pr1 = {A: .333333, B: .2625, C: .404166}; pr2 below (6dp rounds)
+    assert got == {"A": 0.393541, "B": 0.2625, "C": 0.343958}
+    assert abs(sum(got.values()) - 1.0) < 0.01  # cycle graph: mass conserved
