@@ -13,7 +13,7 @@ both engines derive.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end_to_end_etl_pipeline_spark.operators.dedup import dedup_exact_hash
@@ -914,4 +914,147 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.array_join("ch.toks", " ").alias("chunk_text"),
         F.size("ch.toks").alias("n_tokens"),
+    )
+
+
+@register(
+    "vocab_oov_rates",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      WHERE length(word) > 0
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+        FROM w GROUP BY word
+      ) WHERE rn <= 25
+    )
+    SELECT w.doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab,
+           round(1.0 - sum(CASE WHEN v.word IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS oov_rate
+    FROM w LEFT JOIN vocab v ON w.word = v.word
+    GROUP BY 1
+    """,
+    doc="Vocabulary-coverage profiling: build the corpus top-25 "
+    "vocabulary (count desc, word asc tie-break - deterministic at "
+    "the cutoff) in one agg + TakeOrdered, then score every "
+    "document's out-of-vocabulary token rate via a BROADCAST left "
+    "join against the tiny vocab. Two shuffles total (word agg, "
+    "doc agg) regardless of corpus size - the vocab never leaves "
+    "the driver-broadcast path.",
+    tags=("north-star", "text"),
+)
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(25)
+        .select(F.col("word").alias("v_word"))
+    )
+    joined = w.join(F.broadcast(vocab), w.word == F.col("v_word"), "left")
+    hit = F.when(F.col("v_word").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(hit).alias("in_vocab"),
+        F.round(1.0 - F.sum(hit.cast("double")) / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
+_SQL_GRAMS = r"""
+  grams AS (
+    SELECT DISTINCT doc_id, split,
+           md5(array_to_string(list_slice(w, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS gram
+    FROM (SELECT doc_id, split, w,
+                 unnest(generate_series(1, len(w) - 7)) AS i
+          FROM (SELECT doc_id, split,
+                       string_split_regex(trim(text), '\s+') AS w
+                FROM assigned)
+          WHERE len(w) >= 8)
+  )"""
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+    WITH {_SQL_CORPUS},
+    assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN {_SQL_H32.format(c="doc_id")} % 10000 < 8000
+                  THEN 'train' ELSE 'test' END AS split
+      FROM corpus
+    ),
+    {_SQL_GRAMS},
+    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 10),
+    g AS (SELECT grams.doc_id, grams.split, grams.gram
+          FROM grams JOIN rare ON grams.gram = rare.gram)
+    SELECT t.doc_id AS test_doc_id, r.doc_id AS train_doc_id,
+           count(*) AS n_shared_grams
+    FROM g t JOIN g r ON t.gram = r.gram
+    WHERE t.split = 'test' AND r.split = 'train'
+    GROUP BY 1, 2
+    """,
+    doc="Train/test contamination audit - the check every LLM corpus "
+    "needs before eval: deterministic content-addressed 80/20 split "
+    "(split_assign), word-8-gram md5 shingles per doc (distinct), a "
+    "document-frequency cap (df<=10) that drops boilerplate/hot "
+    "shingles BEFORE the join (the skew guard - without it one "
+    "ubiquitous shingle joins every test doc to every train doc), "
+    "then test x train matched on gram hash. One bounded shuffle "
+    "join; pairs emerge with their shared-gram counts. The planted "
+    "perturbed variants (same corpus as the near-dup oracles) land "
+    "in different splits and MUST be caught.",
+    tags=("north-star", "dedup", "sampling"),
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import split_assign
+
+    corpus = _variant_corpus(load(spark, sf_dir, "documents"))
+    assigned = split_assign(corpus, "doc_id", [("train", 8000), ("test", 2000)])
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    gram_arr = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda s: F.md5(
+                F.encode(F.concat_ws(" ", F.slice(words, s, 8)), "utf-8")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        assigned.select("doc_id", "split", F.explode(gram_arr).alias("gram"))
+        .distinct()
+    )
+    # df-cap via one window count on the gram shuffle (no second scan)
+    capped = (
+        grams.withColumn(
+            "df", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("df") <= 10)
+        .drop("df")
+        .persist()  # feeds both join sides - avoid branch recompute
+    )
+    t = capped.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "gram"
+    )
+    r = capped.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    return (
+        t.join(r, "gram")
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
     )
