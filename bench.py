@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     # round 2b: composed training-corpus pipeline (normalize -> gate ->
     # dedup -> split), one shuffle end to end
     "clean_corpus",
+    # round 2c: dual-role-dimension join (TPC-H Q8 shape)
+    "nation_market_share",
+    # round 2c: cross-split 8-gram contamination audit (df-capped join)
+    "split_contamination",
+    # round 2c: sliding-window RAG chunking (map-side only)
+    "doc_chunks",
 ]
 
 
