@@ -1887,3 +1887,42 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(edges, iterations=3)
+
+
+@register(
+    "returnflag_metrics_melt",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_discount), 4) AS sum_disc,
+             round(sum(l_tax), 4) AS sum_tax
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_tax' AS metric, sum_tax AS value FROM a
+    """,
+    doc="Unpivot/melt - the inverse of the pivot surface: wide "
+    "per-returnflag aggregates melted to (key, metric, value) rows "
+    "via DataFrame.unpivot (Spark's Expand node: each input row "
+    "fans to one row per metric map-side, NO extra shuffle - the "
+    "UNION-ALL-of-projections the oracle spells, fused into one "
+    "operator that scans the agg output once).",
+    tags=("parity", "sql-surface"),
+)
+def returnflag_metrics_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+        F.round(F.sum("l_tax"), 4).alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_disc", "sum_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -71,6 +71,10 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "cosine_topk",
         "doc_normalized",
         "doc_split_assign",
+        "split_contamination",
+        "vocab_oov_rates",
+        "doc_chunks",
+        "nation_market_share",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
 
