@@ -1926,3 +1926,54 @@ def returnflag_metrics_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "order_lineitem_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, round(sum(l_extendedprice), 2) AS line_total
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_orderkey, li.l_orderkey,
+             CASE
+               WHEN o.o_orderkey IS NULL THEN 'orphan_lines'
+               WHEN li.l_orderkey IS NULL THEN 'empty_order'
+               WHEN abs(o.o_totalprice - li.line_total) <= 0.01 * o.o_totalprice
+                 THEN 'reconciled'
+               ELSE 'amount_mismatch'
+             END AS status
+      FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT status, count(*) AS n FROM j GROUP BY 1
+    """,
+    doc="Anti-entropy reconciliation - the audit every warehouse runs "
+    "between a header table and its detail rollup: FULL OUTER join of "
+    "orders against the per-order lineitem total, classified into "
+    "reconciled / amount_mismatch (>1% off) / empty_order / "
+    "orphan_lines. One agg shuffle + one join shuffle on the same "
+    "key (Catalyst reuses the hash partitioning - the join adds no "
+    "third exchange); the classification is a codegen'd projection.",
+    tags=("parity", "joins", "dq"),
+)
+def order_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("line_total"))
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "full_outer")
+    status = (
+        F.when(F.col("o_orderkey").isNull(), "orphan_lines")
+        .when(F.col("l_orderkey").isNull(), "empty_order")
+        .when(
+            F.abs(F.col("o_totalprice") - F.col("line_total"))
+            <= 0.01 * F.col("o_totalprice"),
+            "reconciled",
+        )
+        .otherwise("amount_mismatch")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
