@@ -1977,3 +1977,59 @@ def order_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     return j.select(status.alias("status")).groupBy("status").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "daily_event_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT t.event_type, CAST(g.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                  FROM bounds) g
+    )
+    SELECT s.event_type, s.day,
+           coalesce(d.n, 0) AS n,
+           round(avg(coalesce(d.n, 0)) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS trail7
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+    doc="Time-series gap-fill: a dense date spine (global min..max, "
+    "one broadcast row, crossed with the distinct event types) "
+    "left-joined to daily counts, zero-filled, then a 7-day trailing "
+    "average over the FILLED series - the rolling stat is wrong "
+    "without the spine because missing days silently shrink the "
+    "window. Spine generation is sequence+explode (map-side); the "
+    "only real shuffle is the daily agg; the window partitions by "
+    "event_type (bounded cardinality).",
+    tags=("parity", "events", "windows"),
+)
+def daily_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return filled.select(
+        "event_type", "day", "n", F.round(F.avg("n").over(w), 4).alias("trail7")
+    )

@@ -210,6 +210,56 @@ class ManifestCatalog:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
+    def _dir_stats(self, data_dir: str, stats_cols: Sequence[str]) -> dict:
+        """Per-data-dir min/max column stats for manifest-level data
+        skipping (the file-stats half of Iceberg/Delta pruning,
+        hoisted to dir granularity to match this catalog's commit
+        unit). One narrow scan of just-written files; JSON-native
+        column types only (numbers, strings) — cast dates upstream."""
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        row = self.spark.read.parquet(data_dir).agg(*aggs).first()
+        return {c: [row[f"__min_{c}"], row[f"__max_{c}"]] for c in stats_cols}
+
+    def pruned_dirs(
+        self, name: str, col: str, lo, hi, version: int | None = None
+    ) -> list[str]:
+        """Data dirs whose [min,max] stats for ``col`` overlap
+        [lo, hi]. Dirs without stats (or with an all-NULL column) are
+        kept — skipping is an IO optimization and must never change
+        results; the caller still applies the row filter."""
+        manifest = (
+            self.manifest_at(name, version)
+            if version is not None
+            else self.latest_manifest(name)
+        )
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} has no committed manifest")
+        stats = manifest.get("stats") or {}
+        kept = []
+        for d in self._dirs(manifest):
+            rng = (stats.get(d) or {}).get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                kept.append(d)
+            elif not (rng[1] < lo or rng[0] > hi):
+                kept.append(d)
+        return kept
+
+    def read_range(self, name: str, col: str, lo, hi) -> DataFrame:
+        """Range-predicate read with manifest-level data skipping:
+        scan only dirs whose stats overlap, then apply the row filter
+        (dir stats bound ranges, they don't prove membership). At
+        scale this is the difference between touching one day's
+        append and listing a year of them."""
+        dirs = self.pruned_dirs(name, col, lo, hi)
+        if not dirs:  # every dir skipped: empty frame, full schema
+            return self.read(name).filter(F.lit(False))
+        reader = self.spark.read
+        if len(dirs) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs).filter(F.col(col).between(lo, hi))
+
     def diff_versions(
         self,
         name: str,
@@ -283,7 +333,9 @@ class ManifestCatalog:
         post = changed.select(*side("n", all_cols), F.lit("update_post").alias(ct))
         return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
-    def replace_atomic(self, df: DataFrame, name: str, partition_by=None) -> None:
+    def replace_atomic(
+        self, df: DataFrame, name: str, partition_by=None, stats_cols=None
+    ) -> None:
         """K1 — full refresh as one manifest commit (readers see old or
         new, never between; crash leaves old manifest current)."""
         data_dir = self._new_data_dir(name)
@@ -291,15 +343,20 @@ class ManifestCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        self._commit(name, {"dirs": [data_dir], "bucket_dirs": None, "n_buckets": None})
+        manifest = {"dirs": [data_dir], "bucket_dirs": None, "n_buckets": None}
+        if stats_cols:
+            manifest["stats"] = {data_dir: self._dir_stats(data_dir, stats_cols)}
+        self._commit(name, manifest)
 
     # reference-surface aliases (K1/K2)
     overwrite = replace_atomic
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(self, df: DataFrame, name: str, stats_cols=None) -> None:
         """K2 — append = new data dir + manifest listing old dirs + new.
         Bucketed tables reject plain appends (they would break the
-        bucket→dir mapping): route changes through ``BucketedSCD2``."""
+        bucket→dir mapping): route changes through ``BucketedSCD2``.
+        Existing dirs' stats carry forward untouched — immutable dirs
+        mean stats never go stale."""
         manifest = self.latest_manifest(name)
         if manifest is not None and manifest.get("bucket_dirs") is not None:
             raise ValueError(
@@ -309,7 +366,18 @@ class ManifestCatalog:
         data_dir = self._new_data_dir(name)
         df.write.mode("overwrite").parquet(data_dir)
         dirs = (manifest["dirs"] if manifest else []) + [data_dir]
-        self._commit(name, {"dirs": dirs, "bucket_dirs": None, "n_buckets": None})
+        stats = dict((manifest or {}).get("stats") or {})
+        if stats_cols:
+            stats[data_dir] = self._dir_stats(data_dir, stats_cols)
+        self._commit(
+            name,
+            {
+                "dirs": dirs,
+                "bucket_dirs": None,
+                "n_buckets": None,
+                "stats": stats or None,
+            },
+        )
 
     def drop(self, name: str) -> None:
         self.fs.delete(self.table_dir(name))

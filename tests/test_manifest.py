@@ -276,3 +276,40 @@ def test_diff_versions_schema_evolution_reads_null_old(spark, cat):
     out = cat.diff_versions("cdc.evo", 1, 2, keys=["id"])
     got = {(r.id, r.v, r.score, r._change_type) for r in out.collect()}
     assert got == {(2, "b", 9.0, "insert")}
+
+
+def test_stats_pruned_range_read(spark, cat):
+    for lo in (0, 10, 20):
+        cat.append(
+            spark.createDataFrame(
+                [(k, f"v{k}") for k in range(lo, lo + 10)], "k int, v string"
+            ),
+            "skip.t",
+            stats_cols=["k"],
+        )
+    # range inside the middle batch: exactly one dir survives pruning
+    assert len(cat.pruned_dirs("skip.t", "k", 12, 18)) == 1
+    got = sorted(r.k for r in cat.read_range("skip.t", "k", 12, 18).collect())
+    assert got == list(range(12, 19))
+    # same rows as the unpruned filter - skipping never changes results
+    full = sorted(
+        r.k for r in cat.read("skip.t").filter(F.col("k").between(12, 18)).collect()
+    )
+    assert got == full
+    # boundary overlap keeps both touching dirs
+    assert len(cat.pruned_dirs("skip.t", "k", 9, 10)) == 2
+    # out-of-range: zero dirs, empty frame, schema intact
+    empty = cat.read_range("skip.t", "k", 100, 200)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_stats_absent_dirs_are_kept(spark, cat):
+    cat.append(spark.createDataFrame([(1, "a")], "k int, v string"), "skip.mixed")
+    cat.append(
+        spark.createDataFrame([(50, "z")], "k int, v string"),
+        "skip.mixed",
+        stats_cols=["k"],
+    )
+    # stat-less first dir must always be scanned (no false pruning)
+    assert len(cat.pruned_dirs("skip.mixed", "k", 40, 60)) == 2
+    assert sorted(r.k for r in cat.read_range("skip.mixed", "k", 40, 60).collect()) == [50]
