@@ -2033,3 +2033,64 @@ def daily_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "event_type", "day", "n", F.round(F.avg("n").over(w), 4).alias("trail7")
     )
+
+
+@register(
+    "daily_value_forward_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(avg(value), 4) AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT t.event_type, CAST(g.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                  FROM bounds) g
+    )
+    SELECT s.event_type, s.day,
+           last_value(d.avg_v IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+           (d.avg_v IS NULL) AS was_filled
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+    doc="Forward-fill (last observation carried forward) over the "
+    "dense date spine: per-type daily mean value, missing days take "
+    "the most recent observed value via last(ignorenulls) - the "
+    "sensor/price-series companion to zero-fill gap-fill. Days before "
+    "a type's first observation stay NULL on both engines. Same "
+    "shuffle profile as daily_event_gapfill; the fill is a running "
+    "window, one pass.",
+    tags=("parity", "events", "windows"),
+)
+def daily_value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_v"))
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        daily.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.last("avg_v", ignorenulls=True).over(w).alias("filled_v"),
+        F.col("avg_v").isNull().alias("was_filled"),
+    )

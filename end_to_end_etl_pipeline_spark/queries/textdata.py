@@ -1037,16 +1037,20 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         assigned.select("doc_id", "split", F.explode(gram_arr).alias("gram"))
         .distinct()
+        .persist()  # feeds the df-count AND both join sides
     )
-    # df-cap via one window count on the gram shuffle (no second scan)
-    capped = (
-        grams.withColumn(
-            "df", F.count("*").over(Window.partitionBy("gram"))
-        )
+    # df-cap via groupBy + semi-join, NOT a count-over-gram window: the
+    # window ships every occurrence of a hot gram to one task (no
+    # partial agg) - the exact skew this cap exists to defuse. The
+    # groupBy combines map-side, so the hottest gram costs one partial
+    # row per input partition.
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= 10)
-        .drop("df")
-        .persist()  # feeds both join sides - avoid branch recompute
+        .select("gram")
     )
+    capped = grams.join(rare, "gram", "left_semi").persist()
     t = capped.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_doc_id"), "gram"
     )

@@ -313,3 +313,31 @@ def test_stats_absent_dirs_are_kept(spark, cat):
     # stat-less first dir must always be scanned (no false pruning)
     assert len(cat.pruned_dirs("skip.mixed", "k", 40, 60)) == 2
     assert sorted(r.k for r in cat.read_range("skip.mixed", "k", 40, 60).collect()) == [50]
+
+
+def test_diff_versions_replays_old_to_new(spark, cat):
+    """CDC soundness: v1 minus (deletes ∪ update_pre) plus
+    (inserts ∪ update_post) must reconstruct v2 exactly."""
+    v1 = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(20)], "id long, v string, x double"
+    )
+    cat.replace_atomic(v1, "cdc.replay")
+    v2 = spark.createDataFrame(
+        # drop ids 0-4, mutate 5-9, keep 10-19, add 20-24
+        [(i, f"v{i}*", float(i) + 0.5) for i in range(5, 10)]
+        + [(i, f"v{i}", float(i)) for i in range(10, 20)]
+        + [(i, f"v{i}", float(i)) for i in range(20, 25)],
+        "id long, v string, x double",
+    )
+    cat.replace_atomic(v2, "cdc.replay")
+    feed = cat.diff_versions("cdc.replay", 1, 2, keys=["id"]).persist()
+    removed = feed.filter(F.col("_change_type").isin("delete", "update_pre")).drop(
+        "_change_type"
+    )
+    added = feed.filter(F.col("_change_type").isin("insert", "update_post")).drop(
+        "_change_type"
+    )
+    rebuilt = cat.read("cdc.replay", version=1).exceptAll(removed).unionByName(added)
+    assert rebuilt.exceptAll(cat.read("cdc.replay", version=2)).count() == 0
+    assert cat.read("cdc.replay", version=2).exceptAll(rebuilt).count() == 0
+    assert feed.count() == 5 + 2 * 5 + 5  # deletes + pre/post pairs + inserts
