@@ -129,3 +129,14 @@ def rows_source(
     must land as files first.
     """
     return spark.createDataFrame(list(rows), schema=schema)
+
+
+def values_source(spark: SparkSession, sql_values: str, columns: str) -> DataFrame:
+    """S7 — SQL ``VALUES`` literal table: the in-query seed-table
+    idiom (``SELECT * FROM VALUES ... AS t(cols)``). Same produce as
+    :func:`rows_source`, but addressable from pure SQL — pipelines
+    that inline lookup tables in a statement use this path.
+
+    ``values_source(spark, "(1, 'EUR'), (2, 'USD')", "id, code")``
+    """
+    return spark.sql(f"SELECT * FROM VALUES {sql_values} AS t({columns})")

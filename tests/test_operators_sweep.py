@@ -338,3 +338,17 @@ def test_pagerank_hand_computed(spark):
     # pr1 = {A: .333333, B: .2625, C: .404166}; pr2 below (6dp rounds)
     assert got == {"A": 0.393541, "B": 0.2625, "C": 0.343958}
     assert abs(sum(got.values()) - 1.0) < 0.01  # cycle graph: mass conserved
+
+
+def test_values_source_sql_path(spark):
+    from end_to_end_etl_pipeline_spark.sources.readers import values_source
+
+    df = values_source(spark, "(1, 'EUR'), (2, 'USD')", "id, code")
+    assert [(r.id, r.code) for r in df.orderBy("id").collect()] == [
+        (1, "EUR"),
+        (2, "USD"),
+    ]
+    # composable as a broadcast dim in a real join
+    base = spark.createDataFrame([(1, 9.0), (2, 4.0), (1, 1.0)], "id long, amt double")
+    out = base.join(F.broadcast(df), "id").groupBy("code").sum("amt").collect()
+    assert {(r.code, r["sum(amt)"]) for r in out} == {("EUR", 10.0), ("USD", 4.0)}
