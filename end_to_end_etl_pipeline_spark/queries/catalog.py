@@ -53,12 +53,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # vectorized reader; read them as raw int64 nanos and truncate to
     # microsecond timestamps (exactly what DuckDB/Arrow consumers do).
     # Integer `div` — double division would lose precision at 1e18 ns.
+    # Files written with us-precision timestamps read as timestamps
+    # directly, so only convert columns that actually come back int64.
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 

@@ -2040,7 +2040,7 @@ def daily_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             round(avg(value), 4) AS avg_v
+             CAST(round(CAST(avg(value) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_v
       FROM events GROUP BY 1, 2
     ),
     bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
@@ -2071,7 +2071,16 @@ def daily_value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_v"))
+        # Route the double avg through an 8dp decimal before the 4dp
+        # round: double round is HALF_UP on the shortest decimal repr
+        # in Spark but binary half-away in DuckDB, so a .xxxx5
+        # boundary (hit by real data) rounds differently. Decimal
+        # rounding is exact and identical in both engines.
+        .agg(
+            F.round(F.avg("value").cast("decimal(20,8)"), 4)
+            .cast("double")
+            .alias("avg_v")
+        )
     )
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = (
@@ -2132,4 +2141,171 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein("name_a", "name_b")
     return pairs.filter(dist <= 1).select(
         "name_a", "name_b", dist.alias("dist")
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 2) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal, ps.cost
+      FROM ps
+      JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, cost AS best_cost
+    FROM (SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS mc FROM eligible)
+    WHERE cost = mc
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier; the part-supplier "
+    "bridge with unit cost is derived from lineitem since the corpus "
+    "has no partsupp): per STANDARD small part, the European "
+    "supplier(s) achieving the minimum unit cost. The correlated "
+    "min-subquery becomes a window MIN over p_partkey on the already "
+    "part-partitioned aggregate; nation/region/part broadcast.",
+    tags=("parity", "joins", "windows"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("cost")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    eligible = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("mc", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("mc"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+            F.col("cost").alias("best_cost"),
+        )
+    )
+
+
+@register(
+    "important_part_value",
+    oracle="""
+    WITH supp_n AS (
+      SELECT s.s_suppkey FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), byp AS (
+      SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM supp_n)
+      GROUP BY 1
+    )
+    SELECT l_partkey, part_value FROM byp
+    WHERE part_value > (SELECT sum(part_value) FROM byp) * 0.001
+    """,
+    doc="TPC-H Q11 shape (important stock; lineitem extended price "
+    "stands in for partsupp value): per part supplied from one "
+    "region, total value, kept only when it exceeds a fixed fraction "
+    "of the region-wide total. The scalar subquery compiles to a "
+    "1-row aggregate crossJoin-broadcast against the grouped values "
+    "- the grouped relation is computed once and reused for both "
+    "sides (no second scan of lineitem).",
+    tags=("parity", "aggregates"),
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp_n = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    byp = (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+    )
+    total = byp.agg(F.sum("part_value").alias("_total"))
+    return (
+        byp.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_total") * F.lit(0.001))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS total_qty,
+             sum(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity ELSE 0 END)
+               AS yr_qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_name, n.n_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT pq.l_suppkey FROM pq
+      JOIN part p ON pq.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small%' AND pq.yr_qty > 0
+        AND pq.total_qty > 2 * pq.yr_qty
+    )
+    """,
+    doc="TPC-H Q20 shape (excess-stock suppliers; availqty derived "
+    "from lineitem shipment history): suppliers of 'small *' parts "
+    "whose 1997 shipments were under half their all-time volume. The "
+    "correlated availqty>threshold subquery collapses into a single "
+    "conditional aggregation (two sums, one CASE-filtered) on one "
+    "(part,supp) groupBy shuffle, then a broadcast part filter and a "
+    "left-semi join into supplier - no second lineitem pass.",
+    tags=("parity", "joins", "aggregates"),
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum(
+            F.when(F.year("l_shipdate") == 1997, F.col("l_quantity")).otherwise(0.0)
+        ).alias("yr_qty"),
+    )
+    parts = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    qual = (
+        pq.filter((F.col("yr_qty") > 0) & (F.col("total_qty") > 2 * F.col("yr_qty")))
+        .join(F.broadcast(parts), pq.l_partkey == parts.p_partkey, "left_semi")
+        .select("l_suppkey")
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(qual, F.col("s_suppkey") == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
