@@ -1062,3 +1062,119 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("test_doc_id", "train_doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+@register(
+    "doc_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY 1
+    ), tot AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.word, t.tf,
+             round(t.tf * ln(CAST(tot.n AS DOUBLE) / d.df), 6) AS tfidf
+      FROM tf t JOIN dfreq d USING (word) CROSS JOIN tot
+    )
+    SELECT doc_id, word, tf, tfidf, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INT) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+    doc="TF-IDF keyword extraction: top-3 salient terms per document "
+    "by term-frequency x inverse-document-frequency (natural log, "
+    "rounded BEFORE ranking so cross-engine ordering is identical; "
+    "ties break on the word). The term-frequency relation is built "
+    "once and reused for document frequency - the second aggregate "
+    "and the word-keyed join both run on (vocab x docs) grouped data, "
+    "never re-scanning the corpus, and Spark reuses the identical "
+    "exchange. Shuffles: explode->tf (doc,word), tf->df (word, tiny), "
+    "word join, doc_id window - all keyed on bounded cardinalities "
+    "(vocab, doc count), no driver-side state but the 1-row N.",
+    tags=("north-star", "text", "windows"),
+)
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    toks = docs.select("doc_id", F.explode(words).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "tfidf", "rk")
+    )
+
+
+@register(
+    "doc_repetition_ratio",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+      FROM documents
+    ), tri AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                            i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS t
+      FROM ws
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+           END AS rep_ratio
+    FROM tri
+    """,
+    doc="Repetition-ratio quality signal (Gopher-style duplicate "
+    "n-gram fraction): per document, the share of word trigrams that "
+    "are repeats of an earlier trigram in the same document - a "
+    "strong low-quality/boilerplate indicator for training-data "
+    "filtering. Entirely per-row array expressions (split -> trigram "
+    "build -> array_distinct): a pure projection over the corpus "
+    "scan, zero shuffles, embarrassingly parallel at any scale.",
+    tags=("north-star", "text"),
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    # Spark's sequence(1, 0) yields [1, 0] (descending), not empty -
+    # guard short docs explicitly.
+    tri = F.when(F.size(ws) >= 3, F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+    )).otherwise(F.array().cast("array<string>"))
+    out = docs.select(
+        "doc_id",
+        F.size(tri).cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).cast("bigint").alias("n_distinct"),
+    )
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        F.when(F.col("n_trigrams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_trigrams"), 6
+            )
+        )
+        .alias("rep_ratio"),
+    )

@@ -433,6 +433,57 @@ class ManifestCatalog:
                 name, {"dirs": [data_dir], "bucket_dirs": None, "n_buckets": None}
             )
 
+    def optimize_zorder(
+        self,
+        name: str,
+        cols: Sequence[str],
+        bits: int = 8,
+        n_dirs: int = 8,
+        stats_cols: Sequence[str] | None = None,
+    ) -> None:
+        """K8, the interleaved-bit version: rewrite the table
+        clustered on the Morton key of ``cols`` (see
+        :mod:`sinks.zorder`), split into ``n_dirs`` key-range data
+        dirs, each with min/max stats on ``stats_cols`` (default: the
+        clustered columns). Unlike ``optimize(cluster_by=...)``'s
+        linear sort — which skips on the leading column only — every
+        clustered column gets manifest-level data skipping via
+        :meth:`read_range` / :meth:`pruned_dirs`. Not for bucketed
+        tables (their dir layout is the bucket map)."""
+        from end_to_end_etl_pipeline_spark.sinks.zorder import zorder_key
+
+        manifest = self.latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} has no committed manifest")
+        if manifest.get("bucket_dirs") is not None:
+            raise ValueError(f"table {name} is bucketed; zorder would break its layout")
+        df = self.read(name)
+        z = zorder_key(df, cols, bits=bits)
+        key_space = 1 << (bits * len(cols))
+        zb = F.least(
+            F.lit(n_dirs - 1),
+            F.floor(z / F.lit(key_space / n_dirs)).cast("int"),
+        )
+        data_dir = self._new_data_dir(name)
+        (
+            df.withColumn("__zb", zb)
+            .repartition(n_dirs, "__zb")
+            .sortWithinPartitions("__zb")
+            .write.mode("overwrite")
+            .partitionBy("__zb")
+            .parquet(data_dir)
+        )
+        sub_dirs = sorted(
+            p for p in self.fs.listdir(data_dir)
+            if p.rsplit("/", 1)[-1].startswith("__zb=")
+        )
+        scols = list(stats_cols or cols)
+        stats = {d: self._dir_stats(d, scols) for d in sub_dirs}
+        self._commit(
+            name,
+            {"dirs": sub_dirs, "bucket_dirs": None, "n_buckets": None, "stats": stats},
+        )
+
     def vacuum(
         self, name: str, keep_versions: int = 1, min_age_seconds: int = 3600
     ) -> list[str]:

@@ -341,3 +341,55 @@ def test_diff_versions_replays_old_to_new(spark, cat):
     assert rebuilt.exceptAll(cat.read("cdc.replay", version=2)).count() == 0
     assert cat.read("cdc.replay", version=2).exceptAll(rebuilt).count() == 0
     assert feed.count() == 5 + 2 * 5 + 5  # deletes + pre/post pairs + inserts
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from end_to_end_etl_pipeline_spark.sinks.zorder import zorder_key
+
+    # 2-bit quantization over [0,3]x[0,3]: the Morton codes of the
+    # corners are hand-computable (x bits even positions, y bits odd).
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (2, 1)], "x int, y int"
+    )
+    z = {(r.x, r.y): r.z for r in df.withColumn(
+        "z", zorder_key(df, ["x", "y"], bits=2)).collect()}
+    assert z[(0, 0)] == 0
+    assert z[(3, 0)] == 0b0101       # x=11 at bits 0,2
+    assert z[(0, 3)] == 0b1010       # y=11 at bits 1,3
+    assert z[(3, 3)] == 0b1111
+    assert z[(2, 1)] == 0b0110       # x=10 -> bit2, y=01 -> bit1
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key(df, ["x", "y"], bits=32)
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, cat):
+    from pyspark.sql import functions as F2
+
+    # 32x32 grid: x and y are independent and uniform - a linear sort
+    # on x cannot cluster y, the Morton layout clusters both.
+    grid = spark.range(1024).select(
+        (F2.col("id") % 32).cast("int").alias("x"),
+        (F2.col("id") / 32).cast("int").alias("y"),
+    )
+    cat.replace_atomic(grid, "z.t")
+    cat.optimize_zorder("z.t", ["x", "y"], bits=5, n_dirs=16)
+    # every dimension prunes: a 4-wide slab on either axis must skip
+    # most of the 16 dirs (16x16 Morton quadrants -> a 4-wide slab
+    # touches a 1/8 band of the key space on either axis).
+    x_dirs = cat.pruned_dirs("z.t", "x", 0, 3)
+    y_dirs = cat.pruned_dirs("z.t", "y", 0, 3)
+    assert len(x_dirs) <= 8, f"x slab hit {len(x_dirs)} of 16 dirs"
+    assert len(y_dirs) <= 8, f"y slab hit {len(y_dirs)} of 16 dirs"
+    # pruning never changes results
+    got = sorted(
+        (r.x, r.y) for r in cat.read_range("z.t", "y", 0, 3).collect()
+    )
+    assert got == sorted((x, y) for x in range(32) for y in range(4))
+    # bucketed tables refuse zorder
+    cat2 = BucketedSCD2(cat, n_buckets=4)
+    cat2.apply(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        "z.bkt", keys=["k"], tracked=["v"], as_of="2024-01-01",
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        cat.optimize_zorder("z.bkt", ["k"])

@@ -133,3 +133,30 @@ def test_q13_left_join_keeps_priority_filter_in_join(spark):
     # customers with ONLY urgent orders must still appear with count 0
     zero = df.filter(F.col("order_cnt") == 0).count()
     assert zero > 0
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
+    # DPP: a selective dim-side filter must prune FACT partitions at
+    # runtime (the filter's values aren't known at plan time). At
+    # 100 TB this is the difference between scanning one nation's
+    # partitions and scanning the whole fact table. The plan shows a
+    # dynamicpruning subquery inside the scan's PartitionFilters.
+    from end_to_end_etl_pipeline_spark.queries.catalog import load
+    from end_to_end_etl_pipeline_spark.sinks.writers import write_overwrite
+
+    cust = load(spark, SF, "customer")
+    dest = str(tmp_path / "cust_by_nation")
+    write_overwrite(cust, dest, partition_by=["c_nationkey"])
+    fact = spark.read.parquet(dest)
+    dim = (
+        load(spark, SF, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    joined = fact.join(dim, fact.c_nationkey == dim.n_nationkey)
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    n3 = load(spark, SF, "customer").filter("c_nationkey = 3").count()
+    assert joined.count() == n3
