@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "split_contamination",
     # round 2c: sliding-window RAG chunking (map-side only)
     "doc_chunks",
+    # round 2d: correlated-min over derived bridge (TPC-H Q2 shape)
+    "min_cost_supplier",
+    # round 2d: conditional-agg threshold + semi joins (TPC-H Q20 shape)
+    "excess_stock_suppliers",
+    # round 2d: tf-idf keyword extraction (reused grouped relation)
+    "doc_tfidf_terms",
 ]
 
 

@@ -1090,13 +1090,13 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TF-IDF keyword extraction: top-3 salient terms per document "
     "by term-frequency x inverse-document-frequency (natural log, "
     "rounded BEFORE ranking so cross-engine ordering is identical; "
-    "ties break on the word). The term-frequency relation is built "
-    "once and reused for document frequency - the second aggregate "
-    "and the word-keyed join both run on (vocab x docs) grouped data, "
-    "never re-scanning the corpus, and Spark reuses the identical "
-    "exchange. Shuffles: explode->tf (doc,word), tf->df (word, tiny), "
-    "word join, doc_id window - all keyed on bounded cardinalities "
-    "(vocab, doc count), no driver-side state but the 1-row N.",
+    "ties break on the word). Document frequency is a window count "
+    "over the term-frequency relation (tf rows are distinct "
+    "(doc,word) pairs, so COUNT(*) OVER word = docs containing the "
+    "word) - ONE corpus scan+explode, no self-join, no duplicated "
+    "aggregation subtree. Shuffles: explode->tf (doc,word), word "
+    "window, doc_id window - all keyed on bounded cardinalities; the "
+    "only driver-side value is the 1-row N broadcast.",
     tags=("north-star", "text", "windows"),
 )
 def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,10 +1104,9 @@ def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
     toks = docs.select("doc_id", F.explode(words).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(dfreq, "word")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
