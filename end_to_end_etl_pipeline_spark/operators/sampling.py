@@ -137,3 +137,31 @@ def stratified_sample(
     default = F.lit(int(round(default_rate * denom)))
     thr = default if thr is None else thr.otherwise(default)
     return df.filter(b < thr)
+
+
+def group_capped_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    out_rank: str | None = None,
+) -> DataFrame:
+    """Bounded-contributor sampling: keep at most ``cap`` rows per
+    group, chosen by md5-hash order of the id (content-addressed like
+    everything in this module — the kept set never changes across
+    reruns or engines, and adding NEW rows to a group only ever
+    evicts from the hash-order tail). The crawl-balancing primitive:
+    cap documents per domain/source so no single origin dominates the
+    training mix.
+
+    One shuffle on the group key; WindowGroupLimit pushes the rank
+    filter into per-partition partial top-k, so the exchange carries
+    at most ``cap`` rows per map partition per group. A pathological
+    mega-group therefore costs (map_partitions x cap), not its full
+    row count — the same bound a salted two-phase top-k would give,
+    without the second shuffle."""
+    h = F.md5(F.encode(F.col(id_col).cast("string"), "utf-8"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    rk = F.row_number().over(w)
+    out = df.withColumn(out_rank or "__rk", rk).filter(F.col(out_rank or "__rk") <= cap)
+    return out if out_rank else out.drop("__rk")

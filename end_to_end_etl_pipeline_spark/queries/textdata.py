@@ -1177,3 +1177,30 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rep_ratio"),
     )
+
+
+@register(
+    "source_capped_docs",
+    oracle="""
+    SELECT doc_id, source, kept_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS kept_rank
+      FROM documents)
+    WHERE kept_rank <= 10
+    """,
+    doc="Bounded-contributor corpus balancing: at most 10 documents "
+    "per source, chosen by md5-hash order of doc_id (group_capped_"
+    "sample) - deterministic across engines/reruns, and appending "
+    "new docs to a source only evicts from the hash-order tail. One "
+    "group-key shuffle; WindowGroupLimit caps what each map "
+    "partition emits at 10 rows per source, so a mega-source costs "
+    "partitions x cap, not its row count.",
+    tags=("north-star", "sampling"),
+)
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import group_capped_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_capped_sample(docs, "doc_id", "source", cap=10, out_rank="kept_rank")
