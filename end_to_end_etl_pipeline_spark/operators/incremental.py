@@ -76,16 +76,29 @@ def apply_agg_delta(
             ],
         )
     )
-    s, d = state.alias("s"), delta.alias("d")
-    joined = s.join(d, [s[k].eqNullSafe(d[k]) for k in keys], "full_outer")
-    key_cols = [F.coalesce(s[k], d[k]).alias(k) for k in keys]
-    n = F.coalesce(s["n"], F.lit(0)) + F.coalesce(d["__d_n"], F.lit(0))
+    # unique column names on the delta side instead of dataset
+    # aliases: state and changes often share lineage (both derive
+    # from the same base scan), which trips Spark's ambiguous
+    # self-join detection for attribute references
+    delta = delta.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        "__d_n",
+        *[f"__d_{c}" for c in sum_cols],
+    )
+    joined = state.join(
+        delta,
+        [F.col(k).eqNullSafe(F.col(f"__dk_{k}")) for k in keys],
+        "full_outer",
+    )
+    key_cols = [F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys]
+    n = F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__d_n"), F.lit(0))
     sums = [
         (
             F.when(
-                d[f"__d_{c}"].isNull(), s[f"sum_{c}"]  # untouched group: exact
+                F.col(f"__d_{c}").isNull(), F.col(f"sum_{c}")  # untouched: exact
             ).otherwise(
-                F.coalesce(s[f"sum_{c}"], F.lit(0)) + F.coalesce(d[f"__d_{c}"], F.lit(0))
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
             )
         ).alias(f"sum_{c}")
         for c in sum_cols

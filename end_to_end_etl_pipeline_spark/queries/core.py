@@ -2309,3 +2309,53 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
+
+
+@register(
+    "incremental_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+       OR (o_orderkey % 10 <> 0 AND o_orderkey % 13 <> 0)
+    GROUP BY 1
+    """,
+    doc="Incremental view maintenance under the oracle: the grouped "
+    "revenue state is built over a v1 slice of orders (orderkey%10<>0), "
+    "then a deterministic CDC batch (the %10==0 rows as inserts, the "
+    "%13==0 survivors as deletes) is merged via apply_agg_delta - one "
+    "change-proportional aggregation plus a state join, never a "
+    "rescan of v1. DuckDB aggregates the post-change set directly; "
+    "matching proves the delta math (signed images, null-safe group "
+    "merge, dying groups dropped) to the cent. Sums round at 2dp on "
+    "cent-valued data, where double noise can never cross a rounding "
+    "boundary.",
+    tags=("parity", "aggregates", "incremental"),
+)
+def incremental_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.incremental import (
+        apply_agg_delta,
+        grouped_agg_state,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 10 != 0)
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = v1.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    state = grouped_agg_state(v1, ["o_orderpriority"], ["o_totalprice"])
+    updated = apply_agg_delta(
+        state, inserts.unionByName(deletes), ["o_orderpriority"], ["o_totalprice"]
+    )
+    return updated.select(
+        "o_orderpriority",
+        "n",
+        F.round("sum_o_totalprice", 2).alias("sum_total"),
+    )
