@@ -2359,3 +2359,62 @@ def incremental_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("sum_o_totalprice", 2).alias("sum_total"),
     )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(CAST(quantile_cont(l_extendedprice, 0.05) AS DECIMAL(20,8)), 2)
+                  AS DOUBLE) AS lo,
+             CAST(round(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(20,8)), 2)
+                  AS DOUBLE) AS hi
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(avg(greatest(b.lo, least(b.hi, l_extendedprice))), 4)
+             AS avg_winsorized
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+    doc="Winsorization (numeric-feature hygiene): clip extended price "
+    "to the exact global [p05, p95] band, then per return flag count "
+    "the clipped tails and average the winsorized values. The bounds "
+    "are a 1-row aggregate broadcast back over the scan (no second "
+    "shuffle); they round through an exact decimal cast because "
+    "interpolated percentiles of cent data land on half-cents, where "
+    "double rounding diverges between engines. At 100 TB swap the "
+    "exact percentile for approx_percentile (t-digest, mergeable) - "
+    "identical query shape.",
+    tags=("parity", "profiling", "cleaning"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = (
+        li.agg(F.expr("percentile(l_extendedprice, array(0.05D, 0.95D))").alias("__b"))
+        .select(
+            F.round(F.col("__b")[0].cast("decimal(20,8)"), 2).cast("double").alias("lo"),
+            F.round(F.col("__b")[1].cast("decimal(20,8)"), 2).cast("double").alias("hi"),
+        )
+    )
+    price = F.col("l_extendedprice")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), price))
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(price < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(price > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+        )
+    )
