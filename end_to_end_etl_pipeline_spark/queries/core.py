@@ -2418,3 +2418,76 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 4).alias("avg_winsorized"),
         )
     )
+
+
+@register(
+    "daily_event_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT event_type, day, n_events,
+             round(avg(n_events) OVER w, 4) AS trail_mean,
+             round(stddev_samp(n_events) OVER w, 4) AS trail_std
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n_events, trail_mean, trail_std,
+           CASE WHEN trail_std > 0
+                THEN round((n_events - trail_mean) / trail_std, 4) END AS z,
+           coalesce(trail_std > 0
+                    AND abs((n_events - trail_mean) / trail_std) > 2.0,
+                    FALSE) AS is_anomaly
+    FROM stats
+    """,
+    doc="Trailing-window anomaly detection on daily event volumes: a "
+    "true RANGE frame over the epoch-day number (6 PRECEDING = the "
+    "last 7 calendar days, correct across gap days, which a ROWS "
+    "frame silently is not), z-score against the trailing mean/std, "
+    "|z|>2 flag. The z is computed from the ROUNDED mean/std so both "
+    "engines run identical algebra on identical inputs. One shuffle "
+    "to daily grain, one to the type-partitioned window - the window "
+    "runs on post-agg data (days x types), never raw events.",
+    tags=("parity", "events", "windows", "profiling"),
+)
+def daily_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "day_num"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("trail_mean"),
+        F.round(F.stddev_samp("n_events").over(w), 4).alias("trail_std"),
+    )
+    z_raw = (F.col("n_events") - F.col("trail_mean")) / F.col("trail_std")
+    return stats.select(
+        "event_type",
+        "day",
+        "n_events",
+        "trail_mean",
+        "trail_std",
+        F.when(F.col("trail_std") > 0, F.round(z_raw, 4)).alias("z"),
+        F.coalesce(
+            (F.col("trail_std") > 0) & (F.abs(z_raw) > 2.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )
