@@ -1204,3 +1204,69 @@ def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return group_capped_sample(docs, "doc_id", "source", cap=10, out_rank="kept_rank")
+
+
+@register(
+    "doc_span_overlap",
+    oracle=f"""
+    WITH {_SQL_CORPUS},
+    kg AS (
+      SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 8)) AS h,
+             greatest(length(text) - 7, 0) AS nk
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i
+            FROM corpus)
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             pos, nk
+      FROM kg
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= nk - 3),
+    kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 16),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM fps a
+      JOIN kept k ON k.fp = a.fp
+      JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 5
+    """,
+    doc="Plagiarism-style span-overlap detection: document pairs "
+    "sharing >= 5 winnowing fingerprints (k=8, w=4 - any shared "
+    "substring >= 11 chars leaves a shared fingerprint) found by an "
+    "inverted-index self-join on the fingerprint. Fingerprints in "
+    "more than 16 documents are dropped first - the df-cap that "
+    "bounds the join fanout to cap^2 per posting list (same skew "
+    "discipline as the contamination audit); boilerplate spans are "
+    "exactly the ones a span-overlap detector should ignore anyway. "
+    "Complements MinHash (whole-doc similarity) with localized "
+    "copied-span evidence.",
+    tags=("north-star", "dedup", "text", "joins"),
+)
+def doc_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    corpus = _variant_corpus(load(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(corpus, "doc_id", "text", kgram=8, window=4)
+    kept = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 16)
+        .select("fp")
+    )
+    capped = fps.join(kept, "fp", "left_semi")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
