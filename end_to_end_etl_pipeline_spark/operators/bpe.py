@@ -1,0 +1,96 @@
+"""BPE (byte-pair encoding) tokenizer-vocabulary induction — the
+training half of the tokenizer surface (token *counting* lives in
+:mod:`operators.text_analysis`). No reference counterpart; the
+LLM-pipeline north star.
+
+Classic Sennrich-style training loop, restructured for Spark scale:
+
+* **One corpus pass, then vocab-sized iteration.** The corpus is
+  reduced to a (word, freq) table first (one shuffle); every merge
+  iteration then runs over the *vocabulary* — millions of rows at
+  web scale, not the corpus' trillions. This is exactly how
+  production BPE trainers work (word-frequency pre-aggregation).
+* **Merges are model parameters.** Each iteration collects ONE
+  (left, right, count) row to the driver — the argmax pair — and
+  re-enters the plan as a literal in a ``replace`` projection, the
+  same model-parameter pattern as the PQ codebooks and Z-order
+  bounds. Nothing corpus-sized ever reaches the driver.
+* **Merge-by-replace.** A word is encoded as ``~~c1~~c2~~...~~``
+  (``~`` cannot occur in the corpus' [a-z ] alphabet). Merging pair
+  (l, r) is ``replace(e, '~l~~r~', '~lr~')``: the pattern consumes
+  one separator from each side, so consecutive occurrences still
+  match — string ``replace`` is left-to-right non-overlapping in
+  Spark and DuckDB alike, which is precisely BPE's merge rule
+  ("aab" + (a,b) → "a ab"; "abab" → "ab ab").
+
+Determinism: pair counts are exact integers (overlapping adjacent
+pairs, weighted by word frequency — "aaa" counts (a,a) twice); the
+argmax tie-breaks lexicographically on (left, right). A DuckDB
+oracle replays the whole training as an unrolled CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "~"
+
+
+def char_encoded(words: DataFrame, word_col: str, freq_col: str) -> DataFrame:
+    """(word, freq, e) with ``e`` the separator-encoded char sequence."""
+    ss = SEP * 2
+    return words.select(
+        F.col(word_col).alias("word"),
+        F.col(freq_col).alias("freq"),
+        F.concat(
+            F.lit(ss), F.regexp_replace(F.col(word_col), "(.)", "$1" + ss)
+        ).alias("e"),
+    )
+
+
+def pair_counts(enc: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt): adjacent-token pair frequencies over the
+    encoded vocab, weighted by word frequency. One explode + one
+    aggregation shuffle keyed on the pair."""
+    t = F.filter(F.split("e", SEP * 2), lambda x: x != "")
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("lhs"),
+                F.element_at(t, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        enc.select("freq", F.explode(pairs_arr).alias("p"))
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    words: DataFrame, word_col: str, freq_col: str, num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``num_merges`` merge rules; returns
+    ``[(rank, lhs, rhs, cnt), ...]``. Stops early if the vocabulary
+    runs out of pairs."""
+    enc = char_encoded(words, word_col, freq_col)
+    rules: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            pair_counts(enc)
+            .orderBy(F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        rules.append((rank, lhs, rhs, cnt))
+        pat = f"{SEP}{lhs}{SEP}{SEP}{rhs}{SEP}"
+        rep = f"{SEP}{lhs}{rhs}{SEP}"
+        enc = enc.withColumn("e", F.replace(F.col("e"), F.lit(pat), F.lit(rep)))
+    return rules

@@ -1270,3 +1270,83 @@ def doc_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    """Unrolled-CTE replay of BPE training (same discipline as the
+    PageRank oracle): each level recomputes pair counts from the
+    current encoding, picks the argmax with the lexicographic
+    tie-break, and re-encodes via the identical replace."""
+    lvls = []
+    for i in range(num_merges):
+        lvls.append(f"""
+    toks{i} AS (
+      SELECT freq, list_filter(string_split(e, '~~'), t -> t <> '') AS t FROM enc{i}
+    ),
+    pairs{i} AS (
+      SELECT l AS lhs, r AS rhs, sum(freq) AS cnt FROM (
+        SELECT freq, t[CAST(j AS INT)] AS l, t[CAST(j + 1 AS INT)] AS r
+        FROM toks{i}, unnest(generate_series(1, len(t) - 1)) AS u(j)
+        WHERE len(t) >= 2
+      ) GROUP BY 1, 2
+    ),
+    best{i} AS (
+      SELECT lhs, rhs, cnt FROM pairs{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    ),
+    enc{i + 1} AS (
+      SELECT word, freq,
+             replace(e, '~' || b.lhs || '~~' || b.rhs || '~',
+                        '~' || b.lhs || b.rhs || '~') AS e
+      FROM enc{i}, best{i} b
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, lhs, rhs, cnt FROM best{i}"
+        for i in range(num_merges)
+    )
+    return f"""
+    WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS word
+        FROM documents) GROUP BY 1
+    ),
+    enc0 AS (
+      SELECT word, freq,
+             '~~' || array_to_string(string_split(word, ''), '~~') || '~~' AS e
+      FROM words
+    ),{','.join(lvls)}
+    {selects}
+    """
+
+
+@register(
+    "bpe_merge_rules",
+    oracle=_bpe_oracle(3),
+    doc="BPE tokenizer-vocabulary induction (operators/bpe.py): the "
+    "first 3 learned merge rules over the corpus vocabulary. One "
+    "corpus pass reduces to a (word, freq) table; each iteration "
+    "counts adjacent token pairs over the VOCAB (not the corpus), "
+    "collects the single argmax pair to the driver as a model "
+    "parameter, and re-encodes by literal replace - left-to-right "
+    "non-overlapping in both engines, which is BPE's merge rule. "
+    "The oracle replays training as an unrolled CTE chain with the "
+    "same lexicographic tie-break, so ranks, pairs, and counts must "
+    "match exactly.",
+    tags=("north-star", "text"),
+)
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.bpe import bpe_train
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rules = bpe_train(words, "word", "freq", num_merges=3)
+    return spark.createDataFrame(
+        rules, "merge_rank int, lhs string, rhs string, cnt bigint"
+    )

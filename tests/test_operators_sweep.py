@@ -352,3 +352,22 @@ def test_values_source_sql_path(spark):
     base = spark.createDataFrame([(1, 9.0), (2, 4.0), (1, 1.0)], "id long, amt double")
     out = base.join(F.broadcast(df), "id").groupBy("code").sum("amt").collect()
     assert {(r.code, r["sum(amt)"]) for r in out} == {("EUR", 10.0), ("USD", 4.0)}
+
+
+def test_bpe_merge_semantics(spark):
+    from end_to_end_etl_pipeline_spark.operators.bpe import bpe_train
+
+    # freq-weighted argmax and the non-overlap merge rule:
+    # 'abab' x3 + 'aab' x2: pairs (a,b)=8, (b,a)=3, (a,a)=2 -> merge 1 = (a,b)
+    # after: 'ab ab' / 'a ab': pairs (ab,ab)=3, (a,ab)=2 -> merge 2 = (ab,ab)
+    words = spark.createDataFrame(
+        [("abab", 3), ("aab", 2)], "word string, freq long"
+    )
+    rules = bpe_train(words, "word", "freq", num_merges=3)
+    assert rules[0] == (1, "a", "b", 8)
+    assert rules[1] == (2, "ab", "ab", 3)
+    # merge 3: 'abab' / 'a ab' -> only (a, ab)=2 remains
+    assert rules[2] == (3, "a", "ab", 2)
+    # early stop when no pairs remain
+    single = spark.createDataFrame([("x", 5)], "word string, freq long")
+    assert bpe_train(single, "word", "freq", num_merges=2) == []
