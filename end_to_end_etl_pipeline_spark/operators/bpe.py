@@ -94,3 +94,23 @@ def bpe_train(
         rep = f"{SEP}{lhs}{rhs}{SEP}"
         enc = enc.withColumn("e", F.replace(F.col("e"), F.lit(pat), F.lit(rep)))
     return rules
+
+
+def bpe_apply(
+    words: DataFrame,
+    word_col: str,
+    freq_col: str,
+    rules: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Tokenize the vocabulary with learned merge rules: apply each
+    merge in rank order (the same literal replaces training used),
+    then explode to (token, freq) rows. Pure projection + one
+    explode — the corpus-sized tokenization this stands in for is a
+    map-only pass."""
+    enc = char_encoded(words, word_col, freq_col)
+    for _, lhs, rhs, _ in sorted(rules):
+        pat = f"{SEP}{lhs}{SEP}{SEP}{rhs}{SEP}"
+        rep = f"{SEP}{lhs}{rhs}{SEP}"
+        enc = enc.withColumn("e", F.replace(F.col("e"), F.lit(pat), F.lit(rep)))
+    t = F.filter(F.split("e", SEP * 2), lambda x: x != "")
+    return enc.select("freq", F.explode(t).alias("token"))

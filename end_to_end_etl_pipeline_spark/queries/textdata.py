@@ -1350,3 +1350,44 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "merge_rank int, lhs string, rhs string, cnt bigint"
     )
+
+
+@register(
+    "bpe_token_freqs",
+    oracle=_bpe_oracle(3).rsplit("SELECT 1 AS merge_rank", 1)[0].rstrip().rstrip(",")
+    + """,
+    final_toks AS (
+      SELECT freq, unnest(list_filter(string_split(e, '~~'), t -> t <> '')) AS token
+      FROM enc3
+    )
+    SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM final_toks GROUP BY 1
+    """,
+    doc="Tokenizer APPLY: segment the corpus vocabulary with the 3 "
+    "learned BPE merges (applied in rank order via the same literal "
+    "replaces training used) and aggregate per-token corpus "
+    "frequencies - the token histogram a data pipeline feeds into "
+    "vocab pruning and length estimation. The oracle replays "
+    "training through enc3 and tokenizes identically, so every "
+    "token string and count must match.",
+    tags=("north-star", "text"),
+)
+def bpe_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rules = bpe_train(words, "word", "freq", num_merges=3)
+    return (
+        bpe_apply(words, "word", "freq", rules)
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+    )
