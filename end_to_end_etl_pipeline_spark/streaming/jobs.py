@@ -359,3 +359,53 @@ def stream_stream_join(
     joined = lw.join(rw, cond, how)
     # drop the right-side duplicate key columns
     return joined.drop(*[rw[k] for k in keys])
+
+
+def foreach_batch_agg_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming materialized view: keep a grouped sum/count state
+    table current by merging each micro-batch as an insert-only CDC
+    delta (``operators/incremental.apply_agg_delta``) — the stream
+    analogue of the batch IVM path, and what ``outputMode("update")``
+    cannot give you: the full state lives in an atomically-committed,
+    batch-readable catalog table, not in the sink's opaque state
+    store.
+
+    Per trigger: one change-proportional aggregation over the batch +
+    one key join against the (groups-sized, not corpus-sized) state,
+    then an atomic manifest commit. Restart safety = checkpoint
+    offsets + manifest atomicity, same pair as the SCD1 bridge.
+
+    Returns the started ``StreamingQuery`` (caller awaits)."""
+    from end_to_end_etl_pipeline_spark.operators.incremental import (
+        apply_agg_delta,
+        grouped_agg_state,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.withColumn("_change_type", F.lit("insert"))
+        if catalog.exists(table):
+            state = catalog.read(table)
+        else:
+            state = grouped_agg_state(batch_df.limit(0), keys, sum_cols)
+        catalog.replace_atomic(
+            apply_agg_delta(state, delta, keys, sum_cols), table
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -298,3 +298,37 @@ def test_windowed_counts_drops_late_events_in_append(spark, tmp_path):
     assert got2[("2026-01-01 06:00:00", "view")] == 1
     # 09:00's own window is not yet finalized, so it must not appear
     assert ("2026-01-01 09:00:00", "view") not in got2
+
+
+def test_foreach_batch_agg_maintenance_matches_batch(spark, stream_dir, tmp_path):
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_agg_maintenance,
+    )
+
+    catalog = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    stream = read_stream_files(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+    q = foreach_batch_agg_maintenance(
+        stream,
+        catalog,
+        "gold.user_value_state",
+        keys=["user_id"],
+        sum_cols=["value"],
+        checkpoint_dir=str(tmp_path / "ck_ivm"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n, r["sum_value"])
+        for r in catalog.read("gold.user_value_state").collect()
+    }
+    full = {
+        r.user_id: (r.n, r["sum_value"])
+        for r in spark.read.schema(SCHEMA)
+        .json(stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == full
+    # one manifest version per non-empty micro-batch: time travel works
+    assert len(catalog._versions("gold.user_value_state")) >= 2
