@@ -2491,3 +2491,61 @@ def daily_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("trail_std") > 0) & (F.abs(z_raw) > 2.0), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT count(*) FROM lineitem) AS child_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    doc="Referential-integrity audit across the star schema: per FK "
+    "relationship, child row count and orphan count (children whose "
+    "parent key is missing) - the DQ gate a lakehouse runs before "
+    "publishing facts, extending the reference's not-null/bounds "
+    "rules (P4/P5) to cross-table invariants. Each orphan check is a "
+    "left-anti join; parent sides project only their key, so small "
+    "parents broadcast and the fact-sized side never shuffles more "
+    "than its key column.",
+    tags=("parity", "dq", "joins"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(rel: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        total = child.agg(F.count(F.lit(1)).alias("child_rows"))
+        orph = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+        )
+        return (
+            total.crossJoin(orph)
+            .select(
+                F.lit(rel).alias("relationship"),
+                "child_rows",
+                "orphans",
+            )
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        audit("lineitem->orders", li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey")
+        .unionByName(audit("orders->customer", orders, "o_custkey", cust.select("c_custkey"), "c_custkey"))
+        .unionByName(audit("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+    )

@@ -383,3 +383,65 @@ def embedding_hadamard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         (F.col("rv") + F.lit(0.0)).alias("rv"),
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
+    ), q AS (
+      SELECT vec_id, mx,
+             CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(round(x / mx * 127) AS INT))
+             END AS qv
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(round(CAST(mx AS DECIMAL(20,8)), 6) AS DOUBLE) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_saturated
+    FROM q
+    """,
+    doc="Int8 embedding quantization (symmetric max-abs per vector): "
+    "the 4x storage-compression export every large vector corpus "
+    "ships (float32 -> int8 + one scale), verified by exact integer "
+    "checksums (sum/min/max of the quantized codes, saturation "
+    "count). Rounding x/scale*127 hits .5 only at exactly "
+    "representable doubles, where Spark's HALF_UP and DuckDB's "
+    "half-away agree, so the codes match bit-for-bit. Pure per-row "
+    "array algebra - zero shuffles.",
+    tags=("north-star", "vectors"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    m = emb.withColumn(
+        "mx", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    )
+    q = m.withColumn(
+        "qv",
+        F.when(
+            F.col("mx") == 0,
+            F.transform("v", lambda x: F.lit(0)),
+        ).otherwise(
+            F.transform(
+                "v",
+                lambda x: F.round(x / F.col("mx") * 127).cast("int"),
+            )
+        ),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("mx").cast("decimal(20,8)"), 6).cast("double").alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    )
