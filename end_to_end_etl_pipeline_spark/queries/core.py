@@ -2549,3 +2549,70 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders->customer", orders, "o_custkey", cust.select("c_custkey"), "c_custkey"))
         .unionByName(audit("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
     )
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+    WITH lo AS (
+      SELECT count(*) AS g FROM lineitem GROUP BY l_orderkey
+    ), eu AS (
+      SELECT count(*) AS g FROM events GROUP BY user_id
+    )
+    SELECT 'lineitem.l_orderkey' AS key_name,
+           CAST(sum(g) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(max(g) AS BIGINT) AS max_group,
+           CAST(round(CAST(quantile_cont(g, 0.50) AS DECIMAL(20,8)), 4) AS DOUBLE)
+             AS p50_group,
+           CAST(round(CAST(quantile_cont(g, 0.99) AS DECIMAL(20,8)), 4) AS DOUBLE)
+             AS p99_group,
+           round(CAST(max(g) AS DOUBLE) / sum(g), 6) AS top1_share
+    FROM lo
+    UNION ALL
+    SELECT 'events.user_id', CAST(sum(g) AS BIGINT), count(*),
+           CAST(max(g) AS BIGINT),
+           CAST(round(CAST(quantile_cont(g, 0.50) AS DECIMAL(20,8)), 4) AS DOUBLE),
+           CAST(round(CAST(quantile_cont(g, 0.99) AS DECIMAL(20,8)), 4) AS DOUBLE),
+           round(CAST(max(g) AS DOUBLE) / sum(g), 6)
+    FROM eu
+    """,
+    doc="Join-key skew diagnosis: per candidate shuffle key, group-"
+    "size distribution (p50/p99/max) and the heaviest key's row "
+    "share - the numbers that decide between a plain shuffle join, "
+    "salting, and AQE skew splitting BEFORE a 100-TB shuffle is "
+    "launched. Two-level aggregation: group sizes shuffle on the "
+    "key (map-side combined), the distribution stats reduce to one "
+    "row per key column.",
+    tags=("parity", "profiling"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(rel: str, df: DataFrame, key: str) -> DataFrame:
+        sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("g"))
+        pct = F.expr("percentile(g, array(0.50D, 0.99D))")
+        return sizes.agg(
+            F.sum("g").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("g").cast("bigint").alias("max_group"),
+            pct.alias("__p"),
+        ).select(
+            F.lit(rel).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_group",
+            F.round(F.col("__p")[0].cast("decimal(20,8)"), 4)
+            .cast("double")
+            .alias("p50_group"),
+            F.round(F.col("__p")[1].cast("decimal(20,8)"), 4)
+            .cast("double")
+            .alias("p99_group"),
+            F.round(F.col("max_group").cast("double") / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = load(spark, sf_dir, "events").select("user_id")
+    return profile("lineitem.l_orderkey", li, "l_orderkey").unionByName(
+        profile("events.user_id", ev, "user_id")
+    )
