@@ -57,3 +57,32 @@ def test_salted_join_matches_plain_join(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_ivf_store_prunes_buckets_and_matches_in_plan_ivf(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        ivf_store_topk,
+        write_ivf_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.similarity import cosine_topk_ivf
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    write_ivf_store(cat, emb, "vec_id", "embedding", "label", "ann.emb", dim=dim)
+    n_cells = cat.latest_manifest("ann.emb")["n_buckets"]
+    assert n_cells == emb.select("label").distinct().count()
+
+    queries = emb.orderBy("vec_id").limit(4)
+    got, probed = ivf_store_topk(
+        cat, "ann.emb", queries, "vec_id", "embedding", k=3, nprobe=2
+    )
+    # physical pruning: the scan touches <= queries x nprobe cells
+    assert 0 < len(probed) <= 8 < n_cells
+    # identical results to the in-plan IVF over the full corpus
+    want = cosine_topk_ivf(
+        queries, emb, "vec_id", "vec_id", "embedding", "label",
+        k=3, nprobe=2, dim=dim,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
