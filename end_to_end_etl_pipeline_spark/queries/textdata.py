@@ -1391,3 +1391,50 @@ def bpe_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
     )
+
+
+@register(
+    "near_dup_pruned_corpus",
+    oracle=_clusters_oracle().replace(
+        "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
+        """, survivors AS (
+      SELECT min(a) AS doc_id FROM (
+        SELECT a, min(b) AS cluster_id FROM reach GROUP BY a
+      ) GROUP BY cluster_id
+    ),
+    dupes AS (
+      SELECT a AS doc_id FROM (
+        SELECT a, min(b) AS cluster_id FROM reach GROUP BY a)
+      WHERE a NOT IN (SELECT doc_id FROM survivors)
+    )
+    SELECT c.doc_id, length(c.text) AS n_chars
+    FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM dupes)""",
+    ),
+    doc="Dedup RETENTION: the corpus after near-dup removal - each "
+    "MinHash-LSH connected component keeps only its lowest doc_id "
+    "(the canonical), every other member is dropped, and documents "
+    "in no cluster pass through untouched. Spark side: cluster ids "
+    "from iterative min-label propagation, survivors = min per "
+    "cluster, then a broadcast left-anti join of the corpus against "
+    "the (tiny, dup-count-sized) drop list - the corpus itself never "
+    "shuffles. This is the step that turns pair/cluster DETECTION "
+    "into the smaller training corpus.",
+    tags=("north-star", "dedup"),
+)
+def near_dup_pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.graph import connected_components
+
+    corpus = _variant_corpus(load(spark, sf_dir, "documents"))
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", shingle_len=6, num_hashes=_K, bands=_B, threshold=0.6
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    survivors = cc.groupBy("cluster_id").agg(F.min("node").alias("keep_id"))
+    dupes = (
+        cc.join(survivors, cc.node == survivors.keep_id, "left_anti")
+        .select(F.col("node").alias("doc_id"))
+    )
+    return corpus.join(F.broadcast(dupes), "doc_id", "left_anti").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
