@@ -160,3 +160,41 @@ def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     n3 = load(spark, SF, "customer").filter("c_nationkey = 3").count()
     assert joined.count() == n3
+
+
+def test_q2_shape_broadcasts_dims_no_extra_lineitem_scan(spark):
+    plan = _plan(spark, "min_cost_supplier")
+    # supplier/nation/region/part all broadcast; lineitem scans once
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("file:") < 12  # scans stay bounded
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_shape_single_lineitem_pass_semi_joins(spark):
+    plan = _plan(spark, "excess_stock_suppliers")
+    # the correlated availqty threshold must NOT become a second
+    # lineitem aggregation - one groupBy with conditional sums:
+    # exactly 4 scans (lineitem, part, supplier, nation)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 4
+    assert "LeftSemi" in plan
+
+
+def test_tfidf_single_corpus_explode(spark):
+    plan = _plan(spark, "doc_tfidf_terms")
+    # df-by-window formulation: exactly one Generate (explode) -
+    # the duplicated-subtree regression this guards against had two
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan  # N joins via broadcast NLJ
+
+
+def test_span_overlap_caps_before_pair_join(spark):
+    plan = _plan(spark, "doc_span_overlap")
+    # the df-cap semi join must run BEFORE the pair self-join
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_profile_partial_aggregation(spark):
+    plan = _plan(spark, "join_key_skew_profile")
+    # group-size counting must map-side combine (partial_count)
+    assert "partial_count" in plan
