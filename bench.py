@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "excess_stock_suppliers",
     # round 2d: tf-idf keyword extraction (reused grouped relation)
     "doc_tfidf_terms",
+    # round 2e: CDC-delta aggregate maintenance (change-proportional)
+    "incremental_priority_revenue",
+    # round 2e: percentile-clipped robust stats (broadcast scalar bounds)
+    "winsorized_price_stats",
+    # round 2e: value-RANGE trailing window anomaly scoring
+    "daily_event_anomaly",
 ]
 
 
