@@ -69,3 +69,35 @@ def test_sample_frames_real_backend_not_wired(spark):
     df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
     with _pytest.raises(NotImplementedError, match="ffmpeg|codecs"):
         sample_frames(df, "id", "payload", backend="ffmpeg")
+
+
+def test_resize_payloads_bounded_output(spark):
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        resize_payloads,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    out = resize_payloads(
+        with_binary_payload(docs, "text"), "doc_id", "payload", target_bytes=16
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # every output exactly target_bytes regardless of input size
+    assert all(len(r.resized) == 16 for r in out)
+    assert by_id[1].orig_bytes == 100 and bytes(by_id[1].resized) == b"x" * 16
+    # short payload zero-pads past its picks
+    assert by_id[2].orig_bytes == 2 and bytes(by_id[2].resized)[:2] == b"aa"
+    assert bytes(by_id[3].resized) == bytes(16)
+    # deterministic: same input -> same bytes on rerun
+    out2 = resize_payloads(
+        with_binary_payload(docs, "text"), "doc_id", "payload", target_bytes=16
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="resize backend"):
+        resize_payloads(
+            with_binary_payload(docs, "text"), "doc_id", "payload", backend="pil"
+        )
