@@ -34,12 +34,16 @@ _SUB_TYPES = ("delete", "update_pre")
 def grouped_agg_state(
     base: DataFrame, keys: Sequence[str], sum_cols: Sequence[str]
 ) -> DataFrame:
-    """The maintained state: per group, ``n`` plus ``sum_<c>`` for
-    each measure (the decomposable pieces every derived stat —
-    avg, ratio-of-sums — is computed from at read time)."""
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(c).alias(f"sum_{c}") for c in sum_cols
-    ]
+    """The maintained state: per group, ``n`` plus ``sum_<c>`` and
+    ``nn_<c>`` (non-null count) for each measure — the decomposable
+    pieces every derived stat (avg, ratio-of-sums) is computed from
+    at read time. The non-null count is what lets the delta path
+    reproduce SQL's sum-over-all-NULLs = NULL exactly: without it,
+    deleting a group's last non-null row would leave 0.0 where a
+    recompute yields NULL."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in sum_cols:
+        aggs += [F.sum(c).alias(f"sum_{c}"), F.count(c).alias(f"nn_{c}")]
     return base.groupBy(*keys).agg(*aggs)
 
 
@@ -65,17 +69,15 @@ def apply_agg_delta(
         .when(F.col(change_col).isin(*_SUB_TYPES), F.lit(-1))
         .otherwise(F.lit(0))
     )
-    delta = (
-        changes.withColumn("__sign", sign)
-        .groupBy(*keys)
-        .agg(
-            F.sum("__sign").alias("__d_n"),
-            *[
-                F.sum(F.col(c) * F.col("__sign")).alias(f"__d_{c}")
-                for c in sum_cols
-            ],
-        )
-    )
+    d_aggs = [F.sum("__sign").alias("__d_n")]
+    for c in sum_cols:
+        d_aggs += [
+            F.sum(F.col(c) * F.col("__sign")).alias(f"__d_{c}"),
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("__sign")).otherwise(0)
+            ).alias(f"__dnn_{c}"),
+        ]
+    delta = changes.withColumn("__sign", sign).groupBy(*keys).agg(*d_aggs)
     # unique column names on the delta side instead of dataset
     # aliases: state and changes often share lineage (both derive
     # from the same base scan), which trips Spark's ambiguous
@@ -83,7 +85,7 @@ def apply_agg_delta(
     delta = delta.select(
         *[F.col(k).alias(f"__dk_{k}") for k in keys],
         "__d_n",
-        *[f"__d_{c}" for c in sum_cols],
+        *[c2 for c in sum_cols for c2 in (f"__d_{c}", f"__dnn_{c}")],
     )
     joined = state.join(
         delta,
@@ -92,18 +94,25 @@ def apply_agg_delta(
     )
     key_cols = [F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys]
     n = F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__d_n"), F.lit(0))
-    sums = [
-        (
-            F.when(
-                F.col(f"__d_{c}").isNull(), F.col(f"sum_{c}")  # untouched: exact
-            ).otherwise(
-                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
-            )
-        ).alias(f"sum_{c}")
-        for c in sum_cols
-    ]
-    return joined.select(*key_cols, n.alias("n"), *sums).filter(F.col("n") > 0)
+    out_cols = []
+    for c in sum_cols:
+        untouched = F.col("__d_n").isNull()  # group absent from the batch
+        nn = F.coalesce(F.col(f"nn_{c}"), F.lit(0)) + F.coalesce(
+            F.col(f"__dnn_{c}"), F.lit(0)
+        )
+        # nn == 0 → every surviving measure is NULL → SQL sum is NULL,
+        # which the additive path cannot represent (0.0 ≠ NULL)
+        merged = F.when(nn == 0, F.lit(None)).otherwise(
+            F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+        )
+        out_cols.append(
+            F.when(untouched, F.col(f"sum_{c}")).otherwise(merged).alias(f"sum_{c}")
+        )
+        out_cols.append(
+            F.when(untouched, F.col(f"nn_{c}")).otherwise(nn).alias(f"nn_{c}")
+        )
+    return joined.select(*key_cols, n.alias("n"), *out_cols).filter(F.col("n") > 0)
 
 
 def refresh_extremes_for_changed_groups(

@@ -57,6 +57,12 @@ def write_ivf_store(
             "bucket_dirs": bucket_dirs,
             "n_buckets": len(bucket_dirs),
             "bucket_keys": ["cell"],
+            # NOT the catalog's default pmod(hash(keys)) bucketing —
+            # bucket id IS the cell value. optimize()/BucketedSCD2
+            # check this marker and refuse to rewrite with the hash fn.
+            "bucket_fn": "identity",
+            "ivf_id_col": corpus_id,
+            "ivf_vec_col": vec_col,
         },
     )
     cent = label_centroids_array(
@@ -101,16 +107,27 @@ def ivf_store_topk(
     wp = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("label").asc()
     )
-    probed = (
-        qcent.withColumn("__rn", F.row_number().over(wp))
+    # collect the probe assignment ONCE (queries x nprobe pairs —
+    # model-parameter scale) and re-enter it as a literal frame, so
+    # the centroid-ranking subplan doesn't execute a second time
+    # inside the scored join
+    probed_rows = [
+        (r["query_id"], int(r["label"]))
+        for r in qcent.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", F.col("label").alias("cell"))
-    )
-    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+        .select("query_id", "label")
+        .collect()
+    ]
+    spark = queries.sparkSession
+    probed = spark.createDataFrame(probed_rows, "query_id long, cell int")
+    cells = sorted({c for _, c in probed_rows})
 
+    manifest = catalog.latest_manifest(table)
+    id_col = manifest["ivf_id_col"]  # persisted at write time: never
+    # inferred from column order, which rewrites could change
     stored = catalog.read(table, buckets=cells)
     c = stored.select(
-        F.col(stored.columns[0]).alias("match_id"),
+        F.col(id_col).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
         "cell",
     ).withColumn(

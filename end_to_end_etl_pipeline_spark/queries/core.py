@@ -2149,7 +2149,8 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             round(min(l_extendedprice / l_quantity), 2) AS cost
+             CAST(round(CAST(min(l_extendedprice / l_quantity) AS DECIMAL(20,8)), 2)
+                  AS DOUBLE) AS cost
       FROM lineitem GROUP BY 1, 2
     ), eligible AS (
       SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal, ps.cost
@@ -2177,7 +2178,16 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("cost")
+        # decimal-routed: price/qty lands on half-cents (qty=2), where
+        # double round diverges between engines (see SKILL.md gotcha)
+        F.round(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                "decimal(20,8)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("cost")
     )
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")

@@ -411,21 +411,38 @@ class ManifestCatalog:
             # bucket subdir reads drop the partition column; recompute
             # it from the manifest's recorded business keys
             keys = manifest["bucket_keys"]
-            df = df.withColumn(
-                BUCKET_COL,
-                F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(manifest["n_buckets"])),
-            )
+            if manifest.get("bucket_fn", "hash_pmod") == "identity":
+                # identity-bucketed stores (IVF cell partitioning):
+                # the bucket id IS the key value, never hash(key)
+                df = df.withColumn(BUCKET_COL, F.col(keys[0]).cast("int"))
+            else:
+                df = df.withColumn(
+                    BUCKET_COL,
+                    F.pmod(
+                        F.hash(*[F.col(k) for k in keys]),
+                        F.lit(manifest["n_buckets"]),
+                    ),
+                )
             df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
             bucket_dirs = {}
             for p in self.fs.listdir(data_dir):
                 base = p.rsplit("/", 1)[-1]
                 if base.startswith(f"{BUCKET_COL}="):
                     bucket_dirs[base.split("=", 1)[1]] = [p]
+            # carry forward custom metadata (bucket_fn, ivf_* ...) —
+            # dropping it would silently revert an identity-bucketed
+            # store to the default hash contract
+            extras = {
+                k: v
+                for k, v in manifest.items()
+                if k not in ("version", "dirs", "bucket_dirs", "stats")
+            }
             self._commit(
                 name,
-                {"dirs": None, "bucket_dirs": bucket_dirs,
-                 "n_buckets": manifest["n_buckets"],
-                 "bucket_keys": list(keys)},
+                extras
+                | {"dirs": None, "bucket_dirs": bucket_dirs,
+                   "n_buckets": manifest["n_buckets"],
+                   "bucket_keys": list(keys)},
             )
         else:
             df.write.mode("overwrite").parquet(data_dir)
@@ -585,6 +602,12 @@ class BucketedSCD2:
             )
             return {"changed_buckets": sorted(int(b) for b in bucket_dirs), "version": version}
 
+        if manifest.get("bucket_fn", "hash_pmod") != "hash_pmod":
+            raise ValueError(
+                f"table {table} uses bucket_fn={manifest['bucket_fn']!r} "
+                "(identity-partitioned store); BucketedSCD2's hash bucketing "
+                "would scramble its layout"
+            )
         if manifest.get("n_buckets") != self.n_buckets:
             raise ValueError(
                 f"table {table} committed with n_buckets={manifest.get('n_buckets')}, "

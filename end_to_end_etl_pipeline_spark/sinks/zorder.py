@@ -42,6 +42,11 @@ def zorder_key(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],
     ).first()
+    if row is None or any(row[f"__mn_{c}"] is None for c in cols):
+        raise ValueError(
+            f"zorder_key: no non-null values to cluster on {list(cols)} "
+            "(empty table or all-NULL column)"
+        )
     levels = 1 << bits
     quantized: list[Column] = []
     for c in cols:

@@ -380,26 +380,17 @@ def foreach_batch_agg_maintenance(
 
     Per trigger: one change-proportional aggregation over the batch +
     one key join against the (groups-sized, not corpus-sized) state,
-    then an atomic manifest commit. Restart safety = checkpoint
-    offsets + manifest atomicity, same pair as the SCD1 bridge.
+    then an atomic manifest commit. foreachBatch is at-least-once and
+    additive deltas are NOT idempotent (unlike the SCD1 bridge's
+    keyed upsert), so the state table carries the last applied
+    ``_batch_id`` inside the same atomic commit — a replayed batch
+    after a crash-between-commit-and-checkpoint is detected and
+    skipped instead of double-counted.
 
     Returns the started ``StreamingQuery`` (caller awaits)."""
-    from end_to_end_etl_pipeline_spark.operators.incremental import (
-        apply_agg_delta,
-        grouped_agg_state,
-    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        delta = batch_df.withColumn("_change_type", F.lit("insert"))
-        if catalog.exists(table):
-            state = catalog.read(table)
-        else:
-            state = grouped_agg_state(batch_df.limit(0), keys, sum_cols)
-        catalog.replace_atomic(
-            apply_agg_delta(state, delta, keys, sum_cols), table
-        )
+        apply_agg_batch(catalog, table, keys, sum_cols, batch_df, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -409,3 +400,39 @@ def foreach_batch_agg_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_agg_batch(
+    catalog,
+    table: str,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    batch_df: DataFrame,
+    batch_id: int,
+) -> bool:
+    """One micro-batch of :func:`foreach_batch_agg_maintenance`,
+    exposed for direct replay testing. Returns False when the batch
+    was skipped (already applied — the at-least-once replay case)."""
+    from end_to_end_etl_pipeline_spark.operators.incremental import (
+        apply_agg_delta,
+        grouped_agg_state,
+    )
+
+    if batch_df.isEmpty():
+        return False
+    delta = batch_df.withColumn("_change_type", F.lit("insert"))
+    if catalog.exists(table):
+        stored = catalog.read(table)
+        first = stored.select("_batch_id").first()
+        if first is not None and first["_batch_id"] >= batch_id:
+            return False  # at-least-once replay of an applied batch
+        state = stored.drop("_batch_id")
+    else:
+        state = grouped_agg_state(batch_df.limit(0), keys, sum_cols)
+    catalog.replace_atomic(
+        apply_agg_delta(state, delta, keys, sum_cols).withColumn(
+            "_batch_id", F.lit(batch_id).cast("long")
+        ),
+        table,
+    )
+    return True

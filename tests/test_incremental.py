@@ -93,3 +93,19 @@ def test_noop_change_batch_leaves_state_intact(spark, cat):
     state = grouped_agg_state(cat.read("ivm.n"), ["g"], ["x"])
     empty = spark.createDataFrame([], SCHEMA + ", _change_type string")
     assert _rows(apply_agg_delta(state, empty, ["g"], ["x"])) == _rows(state)
+
+
+def test_deleting_last_nonnull_measure_yields_null_sum(spark, cat):
+    """SQL sum over an all-NULL group is NULL, not 0.0 - the nn_
+    counts exist precisely so the delta path reproduces that."""
+    v1 = [(1, "a", 5.0), (2, "a", None), (3, "b", 1.0)]
+    v2 = [(2, "a", None), (3, "b", 1.0)]
+    cat.replace_atomic(spark.createDataFrame(v1, SCHEMA), "ivm.nul")
+    cat.replace_atomic(spark.createDataFrame(v2, SCHEMA), "ivm.nul")
+    changes = cat.diff_versions("ivm.nul", 1, 2, keys=["id"])
+    state = grouped_agg_state(cat.read("ivm.nul", version=1), ["g"], ["x"])
+    inc = apply_agg_delta(state, changes, ["g"], ["x"])
+    full = grouped_agg_state(cat.read("ivm.nul", version=2), ["g"], ["x"])
+    assert _rows(inc) == _rows(full)
+    a = {r.g: r["sum_x"] for r in inc.collect()}
+    assert a["a"] is None and a["b"] == 1.0

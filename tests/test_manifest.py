@@ -393,3 +393,14 @@ def test_zorder_rewrite_prunes_both_dimensions(spark, cat):
     )
     with pytest.raises(ValueError, match="bucketed"):
         cat.optimize_zorder("z.bkt", ["k"])
+
+
+def test_zorder_refuses_empty_or_allnull(spark, cat):
+    from end_to_end_etl_pipeline_spark.sinks.zorder import zorder_key
+
+    empty = spark.createDataFrame([], "x int, y int")
+    with pytest.raises(ValueError, match="no non-null"):
+        zorder_key(empty, ["x", "y"])
+    allnull = spark.createDataFrame([(None, 1)], "x int, y int")
+    with pytest.raises(ValueError, match="no non-null"):
+        zorder_key(allnull, ["x", "y"])

@@ -1,6 +1,7 @@
 """Scale-path join strategies: bucketed co-location (exchange-free
 plans) and deterministic skew salting."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_etl_pipeline_spark.operators.joins import salted_join
@@ -86,3 +87,33 @@ def test_ivf_store_prunes_buckets_and_matches_in_plan_ivf(spark, tmp_path):
         k=3, nprobe=2, dim=dim,
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_store_survives_optimize_and_refuses_hash_appliers(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        ivf_store_topk,
+        write_ivf_store,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import BucketedSCD2, ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    write_ivf_store(cat, emb, "vec_id", "embedding", "label", "ann.e", dim=dim)
+    queries = emb.orderBy("vec_id").limit(3)
+    before, _ = ivf_store_topk(cat, "ann.e", queries, "vec_id", "embedding", k=3)
+    before_rows = sorted(map(tuple, before.collect()))
+
+    # routine compaction must keep the identity cell->bucket mapping
+    cat.optimize("ann.e")
+    after, _ = ivf_store_topk(cat, "ann.e", queries, "vec_id", "embedding", k=3)
+    assert sorted(map(tuple, after.collect())) == before_rows
+
+    # hash-bucketed SCD2 would scramble the identity layout: refuse
+    n_cells = cat.latest_manifest("ann.e")["n_buckets"]
+    eng = BucketedSCD2(cat, n_buckets=n_cells)
+    with pytest.raises(ValueError, match="identity"):
+        eng.apply(
+            spark.createDataFrame([(1, "x")], "cell int, v string"),
+            "ann.e", ["cell"], ["v"], "2026-01-01 00:00:00",
+        )

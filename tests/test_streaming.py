@@ -332,3 +332,33 @@ def test_foreach_batch_agg_maintenance_matches_batch(spark, stream_dir, tmp_path
     assert got == full
     # one manifest version per non-empty micro-batch: time travel works
     assert len(catalog._versions("gold.user_value_state")) >= 2
+
+
+def test_agg_maintenance_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the state commit
+    but before the checkpoint's batch commit replays that batch with
+    the same batch_id on restart. The _batch_id rider inside the
+    atomically-committed state must detect it and not double-count."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import apply_agg_batch
+
+    catalog = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    b0 = spark.createDataFrame([(1, 10.0), (2, 5.0)], "user_id long, value double")
+    b1 = spark.createDataFrame([(1, 1.0), (3, 2.0)], "user_id long, value double")
+
+    assert apply_agg_batch(catalog, "g.s", ["user_id"], ["value"], b0, 0)
+    assert apply_agg_batch(catalog, "g.s", ["user_id"], ["value"], b1, 1)
+    want = sorted(
+        (r.user_id, r.n, r["sum_value"])
+        for r in catalog.read("g.s").drop("_batch_id").collect()
+    )
+    # replay of batch 1 (same id) must be skipped, state unchanged
+    assert not apply_agg_batch(catalog, "g.s", ["user_id"], ["value"], b1, 1)
+    got = sorted(
+        (r.user_id, r.n, r["sum_value"])
+        for r in catalog.read("g.s").drop("_batch_id").collect()
+    )
+    assert got == want
+    # a genuinely new batch still applies
+    assert apply_agg_batch(catalog, "g.s", ["user_id"], ["value"], b0, 2)
+    assert {r.user_id: r.n for r in catalog.read("g.s").collect()} == {1: 3, 2: 2, 3: 1}
