@@ -1438,3 +1438,48 @@ def near_dup_pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(F.broadcast(dupes), "doc_id", "left_anti").select(
         "doc_id", F.length("text").alias("n_chars")
     )
+
+
+@register(
+    "doc_unigram_logppl",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS word
+      FROM documents
+    ), freq AS (
+      SELECT word, count(*) AS f FROM toks GROUP BY 1
+    ), tot AS (SELECT sum(f) AS t FROM freq)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(CAST(freq.f AS DOUBLE) / tot.t)), 4) AS avg_neg_logp
+    FROM toks JOIN freq USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram log-perplexity quality scoring (the KenLM-filter "
+    "shape with a self-trained unigram LM): per document, the mean "
+    "negative log-probability of its tokens under the corpus word "
+    "distribution - anomalously high = gibberish/OOV-heavy, "
+    "anomalously low = boilerplate. The frequency table is "
+    "vocab-sized and joins token rows on the word key; the 1-row "
+    "total broadcasts. At scale the LM table is exactly what a "
+    "KenLM/ngram model shard would be - same join shape.",
+    tags=("north-star", "text"),
+)
+def doc_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    toks = docs.select("doc_id", F.explode(words).alias("word"))
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    tot = freq.agg(F.sum("f").alias("t"))
+    return (
+        toks.join(freq, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("f").cast("double") / F.col("t"))), 4
+            ).alias("avg_neg_logp"),
+        )
+    )
