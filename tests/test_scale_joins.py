@@ -117,3 +117,47 @@ def test_ivf_store_survives_optimize_and_refuses_hash_appliers(spark, tmp_path):
             spark.createDataFrame([(1, "x")], "cell int, v string"),
             "ann.e", ["cell"], ["v"], "2026-01-01 00:00:00",
         )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew handling is the engine's runtime answer to hot keys
+    (session.py enables it); prove it actually fires by shrinking the
+    thresholds to test scale and checking the executed plan."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+        # the downstream agg needs a re-shuffle after the split, which
+        # default AQE treats as disqualifying; allow it (the split's
+        # win on the hot partition dwarfs the extra small exchange)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows on ONE key vs 2k spread keys: one hot partition
+        fact = spark.range(202_000).select(
+            F.when(F.col("id") < 200_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .cast("long")
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("attr")
+        )
+        # aggregate over payload so column pruning can't drop it: the
+        # hot partition must carry incompressible bytes (200k identical
+        # longs alone compress under the skew threshold)
+        joined = fact.join(dim, "k").groupBy("k").agg(F.max("payload"))
+        joined.collect()  # AQE re-plans at runtime
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skewed=" in final or "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
