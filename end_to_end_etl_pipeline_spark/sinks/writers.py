@@ -24,6 +24,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_overwrite(
@@ -197,3 +198,26 @@ class ParquetCatalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int = 8,
+) -> None:
+    """Globally-sorted export: range-partition on the sort key (each
+    output file covers a disjoint, ordered key range) and sort within
+    each partition — total order across the file sequence without a
+    single-reducer global sort. The export shape binary-search /
+    merge-join consumers and columnar readers with min/max skipping
+    want; the range partitioner samples key quantiles so files are
+    balanced even on skewed keys.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

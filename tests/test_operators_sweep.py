@@ -371,3 +371,32 @@ def test_bpe_merge_semantics(spark):
     # early stop when no pairs remain
     single = spark.createDataFrame([("x", 5)], "word string, freq long")
     assert bpe_train(single, "word", "freq", num_merges=2) == []
+
+
+def test_write_sorted_total_order_across_files(spark, tmp_path, sf_dir):
+    import glob
+
+    from end_to_end_etl_pipeline_spark.queries.catalog import load
+    from end_to_end_etl_pipeline_spark.sinks.writers import write_sorted
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dest = str(tmp_path / "sorted")
+    write_sorted(orders, dest, ["o_totalprice", "o_orderkey"], num_files=4)
+    files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(files) == 4
+    # each file internally sorted AND file ranges are disjoint+ordered,
+    # so concatenating files in part order is globally sorted
+    prev_last = None
+    total = 0
+    for f in files:
+        rows = [
+            (r.o_totalprice, r.o_orderkey)
+            for r in spark.read.parquet(f).collect()
+        ]
+        assert rows == sorted(rows), f"{f} not internally sorted"
+        if rows:
+            if prev_last is not None:
+                assert prev_last <= rows[0], "file ranges overlap"
+            prev_last = rows[-1]
+            total += len(rows)
+    assert total == orders.count()
