@@ -59,7 +59,11 @@ def connected_components(
             .filter(F.col("label") != F.col("__old"))
             .count()
         )
-        labels.unpersist()
+        # NOTE: localCheckpoint blocks are NOT cache-manager entries,
+        # so DataFrame.unpersist() would be a no-op; rebinding `labels`
+        # drops the only reference and the ContextCleaner reclaims the
+        # old round's blocks asynchronously — memory stays bounded at
+        # a few rounds of labels tables, not the full history.
         labels = new_labels
         if changed == 0:
             break

@@ -64,6 +64,12 @@ def cosine_topk(
     scored = c.join(F.broadcast(q), F.lit(True))
     if exclude_self:
         scored = scored.filter(F.col("match_id") != F.col("query_id"))
+    # zero-norm vectors have no defined cosine (Spark yields NULL,
+    # DuckDB inf/nan): exclude them on both sides rather than letting
+    # NULL-scored rows occupy top-k slots
+    scored = scored.filter(
+        (F.col("__qv_norm") > 0) & (F.col("__cv_norm") > 0)
+    )
     scored = scored.withColumn(
         "cosine",
         F.round(cosine(F.col("__qv"), F.col("__cv"), F.col("__qv_norm"), F.col("__cv_norm")), 6),
@@ -180,13 +186,22 @@ def cosine_topk_ivf(
         .select("query_id", "label")
     )
     q = _prep(queries, query_id, vec_col, "query_id", "__qv")
-    c = _prep(corpus, corpus_id, vec_col, "match_id", "__cv").join(
-        corpus.select(F.col(corpus_id).alias("match_id"), F.col(label_col).alias("label")),
-        "match_id",
+    # carry the label in the same projection — joining the corpus back
+    # to itself on match_id just to re-attach it would be a second
+    # full-corpus shuffle
+    v = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"),
+        v.alias("__cv"),
+        F.sqrt(dot(v, v)).alias("__cv_norm"),
+        F.col(label_col).alias("label"),
     )
     scored = c.join(F.broadcast(probed.join(q, "query_id")), "label")
     if exclude_self:
         scored = scored.filter(F.col("match_id") != F.col("query_id"))
+    scored = scored.filter(
+        (F.col("__qv_norm") > 0) & (F.col("__cv_norm") > 0)
+    )
     scored = scored.withColumn(
         "cosine",
         F.round(cosine(F.col("__qv"), F.col("__cv"), F.col("__qv_norm"), F.col("__cv_norm")), 6),
@@ -272,7 +287,7 @@ def downsample_vector(
     O(1) in the output width (a ``transform`` over an index
     ``sequence``, not an unrolled per-element forest)."""
     v = F.col(vec_col)
-    return F.transform(
+    pooled = F.transform(
         F.sequence(F.lit(0), F.floor((F.size(v) - 1) / factor).cast("int")),
         lambda i: F.round(
             F.aggregate(
@@ -284,6 +299,12 @@ def downsample_vector(
             round_dp,
         ),
     )
+    # guard the empty vector: sequence(0, floor(-1/factor)) =
+    # sequence(0, -1) is DESCENDING [0, -1] in Spark, which would
+    # produce [NULL, NULL] instead of []
+    return F.when(
+        F.size(v) == 0, F.array().cast("array<double>")
+    ).otherwise(pooled)
 
 
 def hadamard_rotate(vec_col: str, dim: int, round_dp: int = 6) -> Column:

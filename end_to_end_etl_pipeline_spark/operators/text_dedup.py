@@ -74,8 +74,9 @@ def minhash_signatures(
     min of ``md5(k || ':' || shingle)`` per seed. One shuffle with
     map-side partial ``min`` — signature width is K×32 bytes
     regardless of document size. (Simple form: K md5s per shingle;
-    prefer :func:`minhash_signatures_from_array` on the hot path —
-    one md5 per shingle, Carter-Wegman derived family.)"""
+    the hot path uses :func:`minhash_signatures_cw` /
+    :func:`band_hashes_arr` — one md5 per shingle, Carter-Wegman
+    derived family.)"""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"m{k}")
         for k in range(num_hashes)
@@ -300,7 +301,14 @@ def minhash_near_dup_pairs(
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold)
+    out = jac.filter(F.col("jaccard") >= threshold)
+    # materialize the (tiny, verified-pairs) result so the persisted
+    # candidate frame can be released NOW — returning the lazy plan
+    # would leak the cached candidates for the application lifetime,
+    # since the caller holds no handle to unpersist them
+    out = out.localCheckpoint(eager=True)
+    cand.unpersist()
+    return out
 
 
 # -- SimHash ------------------------------------------------------------

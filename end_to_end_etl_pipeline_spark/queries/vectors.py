@@ -84,12 +84,14 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT query_id, match_id, {_COS.format(a="qv", b="cv")} AS cosine
       FROM q JOIN c ON match_id <> query_id
+      WHERE list_dot_product(qv, qv) > 0 AND list_dot_product(cv, cv) > 0
     )
     SELECT query_id, match_id, cosine FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) <= 5
     """,
     doc="Brute-force cosine top-5 for 10 query vectors — the ANN exactness "
-    "baseline; corpus scanned once, queries broadcast.",
+    "baseline; corpus scanned once, queries broadcast. Zero-norm "
+    "vectors are excluded on both engines (no defined cosine).",
     tags=("north-star", "vectors", "bench"),
 )
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,6 +133,7 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM probed p
       JOIN q ON q.query_id = p.query_id
       JOIN c ON c.label = p.label AND c.match_id <> q.query_id
+      WHERE list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(c.cv, c.cv) > 0
     )
     SELECT query_id, match_id, cosine FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) <= 5

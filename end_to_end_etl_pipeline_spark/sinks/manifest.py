@@ -149,19 +149,39 @@ class ManifestCatalog:
         return json.loads(self.fs.read_text(path))
 
     def _commit(self, name: str, manifest: dict) -> int:
-        """Optimistic-concurrency publish: write tmp, rename to the
-        next version slot; on collision re-read the log and retry."""
+        """Last-writer-wins publish: write tmp, rename to the next
+        version slot; on collision retry at a later slot. ONLY safe
+        for full-replacement content (replace_atomic, optimize,
+        zorder) whose manifest does not depend on the previous
+        version. Content derived FROM a previous manifest (append,
+        bucketed SCD) must go through :meth:`_commit_if` + rebase, or
+        a concurrent commit's dirs would be silently dropped."""
         mdir = self._manifest_dir(name)
         self.fs.mkdirs(mdir)
         while True:
             version = (self._versions(name)[-1] + 1) if self._versions(name) else 1
-            manifest["version"] = version
-            tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}"
-            self.fs.write_text(tmp, json.dumps(manifest, indent=2, sort_keys=True))
-            target = f"{mdir}/{_MANIFEST_FMT.format(version)}"
-            if not self.fs.exists(target) and self.fs.rename(tmp, target):
+            if self._try_publish(name, manifest, version):
                 return version
-            self.fs.delete(tmp)  # lost the race — retry at a later slot
+
+    def _commit_if(self, name: str, manifest: dict, expected_base: int) -> int | None:
+        """Compare-and-swap publish: claim exactly version
+        ``expected_base + 1``. Returns the version on success, None if
+        another writer got there first — the caller re-reads the new
+        latest, rebases its content, and retries."""
+        self.fs.mkdirs(self._manifest_dir(name))
+        version = expected_base + 1
+        return version if self._try_publish(name, manifest, version) else None
+
+    def _try_publish(self, name: str, manifest: dict, version: int) -> bool:
+        manifest["version"] = version
+        mdir = self._manifest_dir(name)
+        tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}"
+        self.fs.write_text(tmp, json.dumps(manifest, indent=2, sort_keys=True))
+        target = f"{mdir}/{_MANIFEST_FMT.format(version)}"
+        if not self.fs.exists(target) and self.fs.rename(tmp, target):
+            return True
+        self.fs.delete(tmp)
+        return False
 
     # -- catalog surface ------------------------------------------------
     def exists(self, name: str) -> bool:
@@ -199,7 +219,12 @@ class ManifestCatalog:
             raise FileNotFoundError(f"table {name} has no committed manifest")
         dirs = self._dirs(manifest, buckets)
         if not dirs:
-            raise FileNotFoundError(f"table {name}: no data dirs for {buckets=}")
+            if buckets is not None:
+                # a legitimately empty bucket selection (e.g. a bucket
+                # whose rows were all filtered away) is zero rows, not
+                # a missing table
+                return self.read(name, version=version).filter(F.lit(False))
+            raise FileNotFoundError(f"table {name}: no data dirs")
         reader = self.spark.read
         if len(dirs) > 1:
             # append-path schema evolution (K9): dirs committed before a
@@ -334,10 +359,25 @@ class ManifestCatalog:
         return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
     def replace_atomic(
-        self, df: DataFrame, name: str, partition_by=None, stats_cols=None
+        self, df: DataFrame, name: str, partition_by=None, stats_cols=None,
+        allow_unbucket: bool = False,
     ) -> None:
         """K1 — full refresh as one manifest commit (readers see old or
-        new, never between; crash leaves old manifest current)."""
+        new, never between; crash leaves old manifest current).
+        Refuses to overwrite a bucketed table (that would silently
+        discard its bucket layout and metadata — IVF stores, SCD2
+        bucket maps) unless ``allow_unbucket=True``."""
+        prior = self.latest_manifest(name)
+        if (
+            prior is not None
+            and prior.get("bucket_dirs") is not None
+            and not allow_unbucket
+        ):
+            raise ValueError(
+                f"table {name} is bucketed (bucket_fn="
+                f"{prior.get('bucket_fn', 'hash_pmod')!r}); overwriting would "
+                "discard its layout — pass allow_unbucket=True if intended"
+            )
         data_dir = self._new_data_dir(name)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -357,27 +397,35 @@ class ManifestCatalog:
         bucket→dir mapping): route changes through ``BucketedSCD2``.
         Existing dirs' stats carry forward untouched — immutable dirs
         mean stats never go stale."""
-        manifest = self.latest_manifest(name)
-        if manifest is not None and manifest.get("bucket_dirs") is not None:
-            raise ValueError(
-                f"table {name} is bucketed; append via BucketedSCD2.apply, "
-                "not ManifestCatalog.append"
-            )
         data_dir = self._new_data_dir(name)
         df.write.mode("overwrite").parquet(data_dir)
-        dirs = (manifest["dirs"] if manifest else []) + [data_dir]
-        stats = dict((manifest or {}).get("stats") or {})
-        if stats_cols:
-            stats[data_dir] = self._dir_stats(data_dir, stats_cols)
-        self._commit(
-            name,
-            {
-                "dirs": dirs,
-                "bucket_dirs": None,
-                "n_buckets": None,
-                "stats": stats or None,
-            },
-        )
+        new_stats = self._dir_stats(data_dir, stats_cols) if stats_cols else None
+        # CAS loop: the manifest content derives from the latest
+        # version, so rebase + retry on a concurrent commit instead of
+        # silently dropping its dirs (lost update)
+        while True:
+            manifest = self.latest_manifest(name)
+            if manifest is not None and manifest.get("bucket_dirs") is not None:
+                raise ValueError(
+                    f"table {name} is bucketed; append via BucketedSCD2.apply, "
+                    "not ManifestCatalog.append"
+                )
+            dirs = (manifest["dirs"] if manifest else []) + [data_dir]
+            stats = dict((manifest or {}).get("stats") or {})
+            if new_stats is not None:
+                stats[data_dir] = new_stats
+            base = manifest["version"] if manifest else 0
+            if self._commit_if(
+                name,
+                {
+                    "dirs": dirs,
+                    "bucket_dirs": None,
+                    "n_buckets": None,
+                    "stats": stats or None,
+                },
+                base,
+            ):
+                return
 
     def drop(self, name: str) -> None:
         self.fs.delete(self.table_dir(name))
@@ -388,6 +436,7 @@ class ManifestCatalog:
         name: str,
         cluster_by: Sequence[str] | None = None,
         target_partitions: int | None = None,
+        stats_cols: Sequence[str] | None = None,
     ) -> None:
         """K8 — compaction (+ optional clustering): rewrite the
         current table state into one fresh data dir, sorted within
@@ -395,7 +444,10 @@ class ManifestCatalog:
         stats give data skipping (the OPTIMIZE/ZORDER stand-in,
         reference ``medallion/gold/s2g.py:98-101``). Readers are
         never disturbed: old dirs stay referenced by old manifests
-        until :meth:`vacuum`."""
+        until :meth:`vacuum`. Per-dir manifest stats are keyed by the
+        (now replaced) old dirs, so pass ``stats_cols`` to recompute
+        them for the compacted dir — otherwise manifest-level data
+        skipping is off until the next stats-producing write."""
         manifest = self.latest_manifest(name)
         if manifest is None:
             raise FileNotFoundError(f"table {name} has no committed manifest")
@@ -446,9 +498,17 @@ class ManifestCatalog:
             )
         else:
             df.write.mode("overwrite").parquet(data_dir)
-            self._commit(
-                name, {"dirs": [data_dir], "bucket_dirs": None, "n_buckets": None}
-            )
+            extras = {
+                k: v
+                for k, v in manifest.items()
+                if k not in ("version", "dirs", "bucket_dirs", "stats")
+            }
+            new = extras | {
+                "dirs": [data_dir], "bucket_dirs": None, "n_buckets": None,
+            }
+            if stats_cols:
+                new["stats"] = {data_dir: self._dir_stats(data_dir, stats_cols)}
+            self._commit(name, new)
 
     def optimize_zorder(
         self,
@@ -630,18 +690,36 @@ class BucketedSCD2:
             BUCKET_COL
         ).parquet(data_dir)
 
-        bucket_dirs = dict(manifest["bucket_dirs"])
         written = self._buckets_in_dir(data_dir)
-        for b in changed:
-            bucket_dirs[str(b)] = (
-                [f"{data_dir}/{BUCKET_COL}={b}"] if b in written else []
-            )  # bucket emptied (all rows filtered) → no dirs
-        version = cat._commit(
-            table,
-            {"dirs": None, "bucket_dirs": bucket_dirs, "n_buckets": self.n_buckets,
-                 "bucket_keys": list(keys)},
-        )
-        return {"changed_buckets": changed, "version": version}
+        ours = {
+            str(b): ([f"{data_dir}/{BUCKET_COL}={b}"] if b in written else [])
+            for b in changed
+        }  # bucket emptied (all rows filtered) → no dirs
+        # CAS + rebase: a concurrent apply touching OTHER buckets is
+        # merged (its bucket dirs survive); one touching the SAME
+        # bucket invalidated the state this rewrite was computed from
+        # — fail loudly rather than silently dropping either write.
+        snapshot = manifest
+        while True:
+            latest = cat.latest_manifest(table)
+            for b in changed:
+                if latest["bucket_dirs"].get(str(b)) != snapshot["bucket_dirs"].get(
+                    str(b)
+                ):
+                    raise RuntimeError(
+                        f"concurrent SCD2 apply modified bucket {b} of {table} "
+                        f"(snapshot v{snapshot['version']}, latest "
+                        f"v{latest['version']}); re-run this apply"
+                    )
+            bucket_dirs = dict(latest["bucket_dirs"]) | ours
+            version = cat._commit_if(
+                table,
+                {"dirs": None, "bucket_dirs": bucket_dirs,
+                 "n_buckets": self.n_buckets, "bucket_keys": list(keys)},
+                latest["version"],
+            )
+            if version:
+                return {"changed_buckets": changed, "version": version}
 
     def _buckets_in_dir(self, data_dir: str) -> set[int]:
         out = set()

@@ -404,3 +404,57 @@ def test_zorder_refuses_empty_or_allnull(spark, cat):
     allnull = spark.createDataFrame([(None, 1)], "x int, y int")
     with pytest.raises(ValueError, match="no non-null"):
         zorder_key(allnull, ["x", "y"])
+
+
+def test_append_rebases_on_concurrent_commit(spark, cat, tmp_path):
+    """Lost-update guard: an append must rebase onto a manifest
+    committed AFTER it read the log, keeping the concurrent dirs."""
+    cat.replace_atomic(_df(spark, [(1, "a")]), "t")
+    base = cat.latest_manifest("t")
+    # concurrent appender publishes v2 with its own dir
+    other_dir = cat._new_data_dir("t")
+    _df(spark, [(50, "x")]).write.parquet(other_dir.replace("file:", ""))
+    m2 = {
+        "dirs": base["dirs"] + [other_dir],
+        "bucket_dirs": None, "n_buckets": None, "stats": None,
+    }
+    assert cat._commit_if("t", m2, base["version"]) == 2
+    cat.append(_df(spark, [(2, "b")]), "t")
+    latest = cat.latest_manifest("t")
+    assert latest["version"] == 3
+    assert len(latest["dirs"]) == 3  # base + concurrent + ours
+    assert sorted(r.k for r in cat.read("t").collect()) == [1, 2, 50]
+
+
+def test_replace_atomic_refuses_bucketed(spark, cat):
+    eng = BucketedSCD2(cat, n_buckets=4)
+    eng.apply(_src(spark, [(1, "a")]), "d2", ["k"], ["attr"], "2026-01-01 00:00:00")
+    with pytest.raises(ValueError, match="bucketed"):
+        cat.replace_atomic(_df(spark, [(9, "z")]), "d2")
+    cat.replace_atomic(_df(spark, [(9, "z")]), "d2", allow_unbucket=True)
+    assert sorted(r.k for r in cat.read("d2").collect()) == [9]
+
+
+def test_read_empty_bucket_selection_is_empty_frame(spark, cat):
+    eng = BucketedSCD2(cat, n_buckets=4)
+    eng.apply(_src(spark, [(1, "a")]), "d3", ["k"], ["attr"], "2026-01-01 00:00:00")
+    used = {
+        int(b) for b, ds in cat.latest_manifest("d3")["bucket_dirs"].items() if ds
+    }
+    empty_bucket = next(b for b in range(4) if b not in used)
+    out = cat.read("d3", buckets=[empty_bucket])
+    assert out.count() == 0 and "k" in out.columns
+
+
+def test_optimize_recomputes_stats(spark, cat):
+    for lo in (0, 10):
+        cat.append(
+            spark.createDataFrame([(k, "v") for k in range(lo, lo + 10)],
+                                  "k int, v string"),
+            "skip.opt", stats_cols=["k"],
+        )
+    cat.optimize("skip.opt", cluster_by=["k"], target_partitions=1,
+                 stats_cols=["k"])
+    m = cat.latest_manifest("skip.opt")
+    assert m["stats"] and list(m["stats"].values())[0]["k"] == [0, 19]
+    assert sorted(r.k for r in cat.read_range("skip.opt", "k", 5, 6).collect()) == [5, 6]
