@@ -68,9 +68,19 @@ def asof_join(
     if direction != "backward":
         raise ValueError("only backward as-of supported")
     on = list(on)
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join right_cols {clash} collide with left columns — "
+            "alias them on the right side first (duplicate output names "
+            "make every downstream by-name reference ambiguous)"
+        )
     lt = F.col(left_time).cast("timestamp")
     l_tag = left.withColumn("__t", lt).withColumn("__side", F.lit(1))
-    r_proj = right.select(
+    # NULL-timestamped right rows can never satisfy right_time <=
+    # left_time; unfiltered they'd sort FIRST (NULLS FIRST asc) and
+    # their payload would be carried into left rows with no real match
+    r_proj = right.filter(F.col(right_time).isNotNull()).select(
         *on,
         F.col(right_time).cast("timestamp").alias("__t"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
@@ -125,6 +135,13 @@ def salted_join(
             "(an unmatched right row would appear once per salt replica)"
         )
     keys = list(keys)
+    if salt_col in keys:
+        raise ValueError(
+            f"salt_col {salt_col!r} is a join key: its hash is constant "
+            "within each key, so a hot key would STILL land on one "
+            "reducer while paying the full right-side replication — "
+            "salt from a row-varying non-key column"
+        )
     salted_left = left.withColumn(
         "__salt", F.pmod(F.hash(F.col(salt_col)), F.lit(n_salt))
     )

@@ -181,7 +181,12 @@ def pq_train(
             F.col("__s.__sub").alias("__sub"),
         )
 
-    init_codes = F.array_repeat((F.col("__id") % num_centroids).cast("int"), M)
+    # pmod, not %: Spark's % keeps the dividend's sign, and a negative
+    # id would mint negative code labels that index the ADC distance
+    # table from the wrong end (element_at negative indexing)
+    init_codes = F.array_repeat(
+        F.pmod(F.col("__id"), F.lit(num_centroids)).cast("int"), M
+    )
     cb = centroids_for(explode_subs(init_codes))
     for _ in range(iters):
         cb = centroids_for(explode_subs(_codes_expr(v, cb, round_dp)))

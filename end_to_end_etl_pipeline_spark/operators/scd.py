@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from end_to_end_etl_pipeline_spark.operators.dedup import dedup_by_key
+from end_to_end_etl_pipeline_spark.operators.joins import anti_join
 from end_to_end_etl_pipeline_spark.operators.hashing import with_row_hash
 from end_to_end_etl_pipeline_spark.sinks.writers import ParquetCatalog
 
@@ -129,7 +130,7 @@ class SCDEngine:
             self.catalog.replace_atomic(source, table)
             return
         target = self.catalog.read(table)
-        kept = target.join(source.select(*keys), keys, "left_anti")
+        kept = anti_join(target, source, keys)
         self.catalog.replace_atomic(kept.unionByName(source), table)
 
     # -- type 2 ---------------------------------------------------------
@@ -203,7 +204,7 @@ class SCDEngine:
         )
         out = out.drop(*drop_cols)
         # keys that vanished from the source keep their last state
-        kept = target.join(src.select(*keys), keys, "left_anti")
+        kept = anti_join(target, src, keys)
         self.catalog.replace_atomic(kept.unionByName(out), table)
 
 

@@ -103,9 +103,13 @@ class MedallionPipeline:
         else:
             df = read_parquet(self.spark, src["path"])
 
-        if spec.get("file_metadata", True) and fmt in ("json", "csv"):
-            df = with_file_metadata(df)
         pk = spec.get("path_key")
+        # _metadata.file_path works for every file source (json, csv,
+        # parquet) — gate on whether the spec wants it, not the format,
+        # so a parquet source with a path_key doesn't hit an
+        # unresolved-column error
+        if spec.get("file_metadata", True) or pk:
+            df = with_file_metadata(df)
         if pk:
             df = with_path_key(df, pk["name"], pk.get("pattern", r"/([0-9A-Z]+)/[^/]+$"))
         ex = spec.get("explode")
@@ -152,14 +156,25 @@ class MedallionPipeline:
             df = equi_join(df, agg_df, on=feat["on"], how=feat.get("how", "left"))
 
         scd = spec.get("scd")
-        if scd and scd.get("type", 2) == 2:
-            self.scd.apply_scd2(
-                df,
-                spec["table"],
-                keys=scd["business_keys"],
-                tracked=scd["tracked_columns"],
-                as_of=scd.get("as_of"),
-            )
+        if scd:
+            # every configured SCD type must dispatch to its engine —
+            # falling through to a full overwrite would DELETE target
+            # rows absent from the current batch (silent data loss)
+            scd_type = scd.get("type", 2)
+            keys = scd["business_keys"]
+            if scd_type == 2:
+                self.scd.apply_scd2(
+                    df, spec["table"], keys=keys,
+                    tracked=scd["tracked_columns"], as_of=scd.get("as_of"),
+                )
+            elif scd_type == 1:
+                self.scd.apply_scd1(df, spec["table"], keys=keys)
+            elif scd_type == 3:
+                self.scd.apply_scd3(
+                    df, spec["table"], keys=keys, tracked=scd["tracked_columns"]
+                )
+            else:
+                raise ValueError(f"silver spec {spec['table']}: unknown scd type {scd_type!r}")
         else:
             self.catalog.replace_atomic(
                 df, spec["table"], partition_by=spec.get("partition_by")

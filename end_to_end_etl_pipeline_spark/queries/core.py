@@ -1009,12 +1009,14 @@ def salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_etl_pipeline_spark.operators.joins import salted_join
 
     li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
     )
     orders = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, ["l_orderkey"], salt_col="l_orderkey", n_salt=8)
+    # salt from l_partkey (row-varying within an orderkey): a hot
+    # order's line items hash to different salts and genuinely spread
+    joined = salted_join(li, orders, ["l_orderkey"], salt_col="l_partkey", n_salt=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

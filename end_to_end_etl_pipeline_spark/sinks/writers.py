@@ -166,11 +166,20 @@ class ParquetCatalog:
         merge on it, ``medallion/silver/b2s_yfinance.py:39-44``)."""
         p = self.path(name)
         _recover_swap(p)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f.startswith("part-") or f.startswith("_SUCCESS")
-            for root_, _dirs, files in os.walk(p)
-            for f in files
-        )
+        if not os.path.isdir(p):
+            return False
+        # prune underscore/dot dirs (_temporary, checkpoint droppings):
+        # a crashed in-flight write leaves part files ONLY under
+        # _temporary, which Spark readers ignore — counting them would
+        # wedge the create-vs-merge branch on an unreadable "table"
+        for root_, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(
+                f.endswith(".parquet") or f.startswith("part-") or f == "_SUCCESS"
+                for f in files
+            ):
+                return True
+        return False
 
     def read(self, name: str) -> DataFrame:
         _recover_swap(self.path(name))

@@ -231,3 +231,25 @@ def test_medallion_end_to_end(spark, tmp_path, fixture_dirs, pipe_factory):
     assert zero_rev.net_margin is None  # guarded division at revenue 0
     assert zero_rev.qoq_growth == pytest.approx((0.0 - 121.0) / 121.0)
     assert f1[("C001", "2025-03-31")].qoq_growth is None  # first quarter: no lag
+
+
+def test_silver_scd1_keeps_unmatched_keys(spark, tmp_path):
+    """Regression: an scd type-1 silver spec must UPSERT, not full-
+    overwrite — keys absent from the current batch survive."""
+    pipe = MedallionPipeline(spark, str(tmp_path / "lake1"))
+    spec = {
+        "from": "bronze.src", "table": "silver.t",
+        "scd": {"type": 1, "business_keys": ["k"], "tracked_columns": ["v"]},
+    }
+    pipe.catalog.replace_atomic(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), "bronze.src"
+    )
+    pipe.build_silver(spec)
+    pipe.catalog.replace_atomic(
+        spark.createDataFrame([(2, "b2"), (3, "c")], "k int, v string"), "bronze.src"
+    )
+    out = {r.k: r.v for r in pipe.build_silver(spec).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}  # key 1 survived, 2 updated
+    with pytest.raises(ValueError, match="unknown scd type"):
+        pipe.build_silver({**spec, "scd": {"type": 9, "business_keys": ["k"],
+                                           "tracked_columns": ["v"]}})

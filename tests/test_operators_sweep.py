@@ -400,3 +400,31 @@ def test_write_sorted_total_order_across_files(spark, tmp_path, sf_dir):
             prev_last = rows[-1]
             total += len(rows)
     assert total == orders.count()
+
+
+def test_asof_join_ignores_null_time_and_guards_collisions(spark):
+    from end_to_end_etl_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00")], "k int, ts string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, "2026-01-01 09:00:00", 5.0)],
+        "k int, rts string, price double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["price"]).collect()
+    assert out[0].price == 5.0  # NULL-time right row is never carried
+    only_null = right.filter(F.col("rts").isNull())
+    got = asof_join(left, only_null, ["k"], "ts", "rts", ["price"]).collect()
+    assert got[0].price is None
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("price", F.lit(0.0)), right,
+                  ["k"], "ts", "rts", ["price"])
+
+
+def test_salted_join_rejects_key_as_salt(spark):
+    from end_to_end_etl_pipeline_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k int, x int")
+    with pytest.raises(ValueError, match="join key"):
+        salted_join(df, df, ["k"], salt_col="k")
