@@ -866,8 +866,8 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY 1
     """,
     doc="TPC-H Q5 shape: the 6-way join with a same-nation residual "
@@ -879,8 +879,8 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
     supplier = load(spark, sf_dir, "supplier")
@@ -917,8 +917,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE o.o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_returnflag = 'R'
     GROUP BY 1, 2, 4, 5
     QUALIFY row_number() OVER (
@@ -934,8 +934,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load(spark, sf_dir, "nation")
@@ -1037,8 +1037,8 @@ def salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
       AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY 1, 2, 3
@@ -1060,10 +1060,10 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     n1 = nation.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    ).filter(F.col("supp_nation").isin("FRANCE", "GERMANY"))
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     n2 = nation.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    ).filter(F.col("cust_nation").isin("FRANCE", "GERMANY"))
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
@@ -1243,8 +1243,8 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l.l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY 1
     """,
     doc="TPC-H Q12 shape: conditional-sum split of joined lines by "
@@ -1255,8 +1255,8 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -1559,11 +1559,13 @@ def lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY 1
     """,
-    doc="TPC-H Q22 shape: above-average-balance customers who never "
-    "ordered, bucketed by a name suffix code. The global average is a "
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "order since 2000 (idle), bucketed by a name suffix code. The global average is a "
     "scalar aggregate broadcast back as a 1-row cross join (Spark's "
     "scalar-subquery plan); the NOT EXISTS is a left-anti join on the "
     "orders custkey projection.",
@@ -1571,7 +1573,11 @@ def lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("ab")
     )
@@ -1585,29 +1591,78 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "daily_uniques_hll",
-    oracle=None,  # HLL++ sketch values are engine-specific: rows-only
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    daily AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau_7d
+      FROM daily d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau_7d,
+           TRUE AS dau_ok, TRUE AS wau_ok
+    FROM daily d JOIN wau w USING (day)
+    """,
     doc="Mergeable-sketch rollup: per-day HyperLogLog sketches of "
     "active users (hll_sketch_agg, Apache DataSketches), then a "
     "trailing-7-day hll_union_agg window for WAU - the partial-"
     "aggregation pattern that makes distinct-counting feasible at "
     "100 TB: sketches merge associatively so daily partials are "
     "computed once and reused by every window that covers them, "
-    "instead of re-scanning raw events per window. Estimates are "
-    "within ~2% of exact (tolerance-tested in pytest); the sketch "
-    "binary is engine-specific so this entry is rows-only.",
+    "instead of re-scanning raw events per window. The sketch binary "
+    "is engine-specific, so the oracle-matched output is the exact "
+    "counts plus a +/-5%-tolerance boolean on each HLL estimate "
+    "(oracle asserts TRUE): a wrong sketch pipeline fails the gate, "
+    "while the sketch bytes themselves stay engine-private. The exact "
+    "legs (count_distinct + a 7-day range self-join) exist only for "
+    "conformance - at 100 TB you ship the estimates alone.",
     tags=("events", "profiling", "north-star"),
 )
 def daily_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("dau"),
+    )
     # window over post-agg data: one row per day, single tiny partition
     w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
+    est = daily.select(
         "day",
-        F.hll_sketch_estimate("sk").alias("dau"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_7d"),
+        "dau",
+        F.hll_sketch_estimate("sk").alias("dau_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_est"),
+    )
+    # exact trailing-7-day uniques (conformance leg): distinct
+    # (day, user) pairs range-joined to the day spine
+    du = ev.distinct()
+    days = du.select("day").distinct().alias("d")
+    wau = (
+        days.join(
+            du.alias("u"),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("wau_7d"))
+    )
+    tol = 0.05
+    return (
+        est.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau_7d",
+            (F.abs(F.col("dau_est") - F.col("dau")) <= tol * F.col("dau")).alias(
+                "dau_ok"
+            ),
+            (F.abs(F.col("wau_est") - F.col("wau_7d")) <= tol * F.col("wau_7d")).alias(
+                "wau_ok"
+            ),
+        )
     )
 
 
@@ -1780,8 +1835,8 @@ def priority_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
            count(*) AS n_lines
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -1794,8 +1849,8 @@ def priority_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     )

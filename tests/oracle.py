@@ -72,9 +72,11 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     if s_norm != o_norm:
         diff_i = next(
             (i for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b),
-            min(len(s_norm), len(o_norm)) - 1,
+            min(len(s_norm), len(o_norm)),
         )
+        s_at = s_norm[diff_i] if diff_i < len(s_norm) else "<missing>"
+        o_at = o_norm[diff_i] if diff_i < len(o_norm) else "<missing>"
         problems.append(
-            f"values differ at sorted row {diff_i}:\n  spark ={s_norm[diff_i] if diff_i < len(s_norm) else '<missing>'}\n  oracle={o_norm[diff_i] if diff_i < len(o_norm) else '<missing>'}"
+            f"values differ at sorted row {diff_i}:\n  spark ={s_at}\n  oracle={o_at}"
         )
     return problems

@@ -322,8 +322,9 @@ def test_hll_daily_uniques_close_to_exact(spark, sf_dir):
     }
     assert len(rows) == len(exact) > 0
     for r in rows:
-        assert abs(r.dau - exact[r.day]) / max(exact[r.day], 1) < 0.05
-        assert r.wau_7d >= r.dau * 0.95  # union dominates (modulo estimate noise)
+        assert r.dau == exact[r.day]  # exact leg is exact
+        assert r.wau_7d >= r.dau  # 7-day union dominates any single day
+        assert r.dau_ok and r.wau_ok  # HLL estimates within ±5% of exact
 
 
 def test_pagerank_hand_computed(spark):

@@ -1,6 +1,9 @@
 """Differential tests: every registered query with an oracle must match
 DuckDB exactly (row count + columns + order-insensitive values) at the
-smoke scale factor. This mirrors the driver's correctness gate.
+driver's correctness scale factor (sf0.01 — same data volume the
+driver compares at, so rounding/boundary divergences that only appear
+with more data points trip locally first). This mirrors the driver's
+correctness gate.
 """
 
 from __future__ import annotations
@@ -15,10 +18,10 @@ ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(spark, sf_dir, name):
+def test_oracle_parity(spark, sf_correctness_dir, name):
     q = REGISTRY[name]
-    df = q.spark(spark, sf_dir)
-    problems = compare(df, q.oracle, sf_dir)
+    df = q.spark(spark, sf_correctness_dir)
+    problems = compare(df, q.oracle, sf_correctness_dir)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
