@@ -119,7 +119,19 @@ def ivf_store_topk(
         .collect()
     ]
     spark = queries.sparkSession
-    probed = spark.createDataFrame(probed_rows, "query_id long, cell int")
+    # derive the probe schema from the actual query-id DataType: a
+    # hardcoded 'query_id long' would reject string/decimal doc ids
+    # that the rest of the operator (ivf_id_col) handles fine
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qid_type = queries.schema[query_id].dataType
+    probed_schema = StructType(
+        [
+            StructField("query_id", qid_type, True),
+            StructField("cell", IntegerType(), True),
+        ]
+    )
+    probed = spark.createDataFrame(probed_rows, probed_schema)
     cells = sorted({c for _, c in probed_rows})
 
     manifest = catalog.latest_manifest(table)
@@ -148,6 +160,11 @@ def ivf_store_topk(
     scored = c.join(F.broadcast(probed.join(q, "query_id")), "cell")
     if exclude_self:
         scored = scored.filter(F.col("match_id") != F.col("query_id"))
+    # zero-norm vectors make the cosine NULL (x/0.0 in double) and
+    # would otherwise occupy top-k slots when a query has < k real
+    # matches — same guard as cosine_topk / cosine_topk_ivf, keeping
+    # the documented 'identical whenever probe sets agree' contract
+    scored = scored.filter((F.col("__qv_norm") > 0) & (F.col("__cv_norm") > 0))
     scored = scored.withColumn(
         "cosine",
         F.round(

@@ -178,12 +178,16 @@ def resize_payloads(
     before feature extraction (smaller bytes through every downstream
     shuffle).
 
-    ``backend="fake"``: deterministic stride-decimation — the payload
-    is resampled to exactly ``target_bytes`` by picking evenly-spaced
-    bytes (shorter payloads zero-pad), a stand-in with the same
-    contract as a real `PIL Image.resize`: output is a binary column
-    of bounded size regardless of input size. Any other backend
-    raises ``NotImplementedError`` at the codec seam.
+    ``backend="fake"``: deterministic nearest-neighbor resampling —
+    the payload is resampled to exactly ``target_bytes`` by picking
+    evenly-spaced bytes (``(i·n) // target_bytes``; payloads shorter
+    than the target repeat bytes, exactly like a nearest-neighbor
+    upscale), a stand-in with the same contract as a real
+    `PIL Image.resize`: output is a binary column of bounded size
+    regardless of input size. NULL payloads pass through as
+    ``resized=NULL`` / ``orig_bytes=NULL`` — the map is strictly 1:1,
+    never row-dropping. Any other backend raises
+    ``NotImplementedError`` at the codec seam.
 
     Scale shape: pure 1:1 Arrow-batched map, output partition size
     bounded by rows x target_bytes — the operator that turns a
@@ -210,15 +214,22 @@ def resize_payloads(
             ids, origs, outs = [], [], []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 if b is None:
+                    # 1:1 contract: NULL payload → NULL output row,
+                    # never a dropped row (downstream joins on id_col
+                    # must not lose cardinality)
+                    ids.append(rid)
+                    origs.append(None)
+                    outs.append(None)
                     continue
                 n = len(b)
                 if n == 0:
                     out = bytes(target_bytes)
                 else:
-                    # evenly-spaced byte picks; zero-pad short payloads
+                    # evenly-spaced nearest-neighbor byte picks; the
+                    # index (i·n)//target_bytes is provably < n, so
+                    # short payloads repeat bytes (upscale), no pad
                     out = bytes(
-                        b[(i * n) // target_bytes] if (i * n) // target_bytes < n else 0
-                        for i in range(target_bytes)
+                        b[(i * n) // target_bytes] for i in range(target_bytes)
                     )
                 ids.append(rid)
                 origs.append(n)

@@ -211,24 +211,36 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_on_pairs(
-    pairs: DataFrame, shingle_sets: DataFrame, id_col: str
+    pairs: DataFrame,
+    shingle_sets: DataFrame,
+    id_col: str,
+    n_pairs: int | None = None,
+    max_broadcast_pairs: int = 1_000_000,
 ) -> DataFrame:
     """Exact Jaccard for each candidate pair via the inverted index:
     intersection = count of shared shingles, union = |A|+|B|−∩.
-    ``pairs`` is assumed small relative to the corpus (the LSH
-    promise) and is broadcast; shingle sets are pruned to docs that
-    appear in some pair before the intersection join."""
+    Shingle sets are pruned to docs that appear in some pair before
+    the intersection join.
+
+    The candidate set is usually small (the LSH promise) and then
+    broadcast-joined — but on a dup-heavy corpus (exactly the corpus a
+    dedup pass exists for) it is unbounded, so the broadcast is
+    size-guarded: pass ``n_pairs`` (a known candidate count) and pairs
+    above ``max_broadcast_pairs`` fall back to shuffle hash joins
+    keyed on id instead of OOM-ing the driver."""
+    small = n_pairs is None or n_pairs <= max_broadcast_pairs
+    maybe_bc = F.broadcast if small else (lambda d: d)
     sizes = shingle_sets.groupBy(id_col).agg(F.count("*").alias("n"))
     docs_in_pairs = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    pruned = shingle_sets.join(F.broadcast(docs_in_pairs), id_col, "left_semi")
+    pruned = shingle_sets.join(maybe_bc(docs_in_pairs), id_col, "left_semi")
     sa = pruned.select(F.col(id_col).alias("id_a"), "shingle")
     sb = pruned.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        sa.join(F.broadcast(pairs), "id_a")
+        sa.join(maybe_bc(pairs), "id_a")
         .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("ci"))
@@ -256,6 +268,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
+    max_broadcast_pairs: int = 1_000_000,
 ) -> DataFrame:
     """shingle → MinHash → LSH band-bucket → exact-Jaccard verify.
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a <
@@ -263,14 +276,24 @@ def minhash_near_dup_pairs(
     computed per-row (:func:`band_hashes_arr` — no shingle-level
     explode or shuffle), and the exact-Jaccard pass is
     ``array_intersect`` over the candidate docs' distinct-shingle
-    arrays with the candidate pairs broadcast — two broadcast hash
-    joins, zero additional shuffles."""
+    arrays — broadcast hash joins when the candidate set is small.
+
+    The broadcast is size-guarded: the candidate count is known for
+    free (the persisted frame must materialize anyway), and above
+    ``max_broadcast_pairs`` the verify legs switch to shuffle hash
+    joins keyed on id. A dup-heavy corpus — the exact input a dedup
+    pass exists for — can make the candidate set arbitrarily large,
+    and an unconditional broadcast would OOM the driver there."""
     rows = num_hashes // bands
     sarr = shingle_array(df, id_col, text_col, n=shingle_len)
     # candidates are consumed by three joins below — persist them
     # (candidate-scale, small by the LSH promise) so the fused
     # shingle+band pipeline runs once, not once per consuming branch.
     cand = lsh_candidate_pairs(band_hashes_arr(sarr, id_col, bands, rows), id_col).persist()
+    # the count is the broadcast size-guard AND the cache materializer
+    n_cand = cand.count()
+    small = n_cand <= max_broadcast_pairs
+    maybe_bc = F.broadcast if small else (lambda d: d)
     docs_in_pairs = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
@@ -278,11 +301,11 @@ def minhash_near_dup_pairs(
     )
     # exact-verify pass re-shingles only candidate docs; the shingle
     # re-projection is cheap (no hashing) so no persist is needed
-    sets_ = sarr.join(F.broadcast(docs_in_pairs), id_col, "left_semi").select(
+    sets_ = sarr.join(maybe_bc(docs_in_pairs), id_col, "left_semi").select(
         F.col(id_col), F.array_distinct("shingles").alias("sset")
     )
     jac = (
-        F.broadcast(cand)
+        maybe_bc(cand)
         .join(sets_.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a")), "id_a")
         .join(sets_.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b")), "id_b")
         .select(
@@ -314,29 +337,44 @@ def minhash_near_dup_pairs(
 # -- SimHash ------------------------------------------------------------
 
 
-def simhash32(shingles: DataFrame, id_col: str) -> DataFrame:
-    """32-bit SimHash per id from shingle md5s.
+def simhash64(shingles: DataFrame, id_col: str) -> DataFrame:
+    """64-bit SimHash per id from shingle md5s, as two unsigned 32-bit
+    halves ``sim_lo`` (bits 0–31) / ``sim_hi`` (bits 32–63) stored in
+    BIGINTs.
 
     Bit i (= 4·j + b, hex digit j, bit b) is set iff at least half the
-    shingles have that bit set in ``md5(shingle)``. All 32 bit-sums
+    shingles have that bit set in ``md5(shingle)``. All 64 bit-sums
     are partial-aggregated map-side in one pass — the shuffle carries
-    32 longs + a count per id."""
+    64 longs + a count per id.
+
+    The two-halves representation is deliberate: a single 64-bit value
+    would need weight 2^63, whose signed-overflow behavior differs
+    across engines (Spark wraps, DuckDB raises) — halves keep every
+    intermediate inside non-negative BIGINT range on both, so the
+    DuckDB oracle replicates values exactly."""
     digit = [
-        f"(instr('{HEX}', substring(md5(shingle), {j + 1}, 1)) - 1)" for j in range(8)
+        f"(instr('{HEX}', substring(md5(shingle), {j + 1}, 1)) - 1)" for j in range(16)
     ]
     aggs = [
         F.sum(F.expr(f"({digit[j]} div {1 << b}) % 2")).alias(f"s_{j}_{b}")
-        for j in range(8)
+        for j in range(16)
         for b in range(4)
     ]
     sums = shingles.groupBy(id_col).agg(*aggs, F.count("*").alias("n"))
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * s_{j}_{b} >= n THEN CAST({1 << (4 * j + b)} AS BIGINT) "
-        f"ELSE CAST(0 AS BIGINT) END)"
-        for j in range(8)
-        for b in range(4)
+
+    def _half(j_range) -> str:
+        return " + ".join(
+            f"(CASE WHEN 2 * s_{j}_{b} >= n THEN CAST({1 << ((4 * j + b) % 32)} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for j in j_range
+            for b in range(4)
+        )
+
+    return sums.select(
+        F.col(id_col),
+        F.expr(f"{_half(range(8))} AS sim_lo"),
+        F.expr(f"{_half(range(8, 16))} AS sim_hi"),
     )
-    return sums.select(F.col(id_col), F.expr(f"{bit_terms} AS simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -346,38 +384,56 @@ def simhash_near_dup_pairs(
     shingle_len: int = 6,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share at least one of the 4 bytes
-    of their 32-bit simhash, verified by exact hamming distance.
-    Byte-banding guarantees recall for hamming ≤ 3 (pigeonhole: 3
-    flipped bits can't touch all 4 bytes); beyond that it's the
-    standard heuristic blocking — add rotated tables for guarantees at
-    higher radii. Returns (id_a, id_b, hamming) with hamming ≤
-    ``max_hamming`` among byte-sharing pairs."""
+    """SimHash near-dup: candidates share at least one of the 4
+    16-bit bands of their 64-bit simhash, verified by exact hamming
+    distance. 4-band blocking guarantees recall for hamming ≤ 3
+    (pigeonhole: 3 flipped bits can't touch all 4 bands); beyond that
+    it's the standard heuristic blocking — add rotated tables for
+    guarantees at higher radii. Returns (id_a, id_b, hamming) with
+    hamming ≤ ``max_hamming`` among band-sharing pairs.
+
+    Scale note: 16-bit bands give 4×65536 buckets (vs 4×256 for the
+    old 32-bit/byte-band scheme) — expected bucket occupancy drops
+    256×, which is what keeps the within-bucket self-join from going
+    quadratic on a billion-doc corpus."""
     sh = char_shingles(df, id_col, text_col, n=shingle_len)
-    sims = simhash32(sh, id_col)
-    bytes_df = sims.select(
+    sims = simhash64(sh, id_col)
+    bands_df = sims.select(
         F.col(id_col),
-        "simhash",
+        "sim_lo",
+        "sim_hi",
         F.expr(
-            "explode(transform(sequence(0, 3), "
-            "t -> struct(t AS band, (simhash div CAST(pow(2, 8 * t) AS BIGINT)) % 256 AS bv)))"
+            "explode(array("
+            "struct(0 AS band, sim_lo % 65536 AS bv), "
+            "struct(1 AS band, sim_lo div 65536 AS bv), "
+            "struct(2 AS band, sim_hi % 65536 AS bv), "
+            "struct(3 AS band, sim_hi div 65536 AS bv)))"
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bv")
-    a = bytes_df.select(
-        "band", "bv", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")
+    ).select(id_col, "sim_lo", "sim_hi", "bb.band", "bb.bv")
+    a = bands_df.select(
+        "band",
+        "bv",
+        F.col(id_col).alias("id_a"),
+        F.col("sim_lo").alias("lo_a"),
+        F.col("sim_hi").alias("hi_a"),
     )
-    b = bytes_df.select(
-        "band", "bv", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")
+    b = bands_df.select(
+        "band",
+        "bv",
+        F.col(id_col).alias("id_b"),
+        F.col("sim_lo").alias("lo_b"),
+        F.col("sim_hi").alias("hi_b"),
     )
     pairs = (
         a.join(b, ["band", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
         .distinct()
     )
     return (
         pairs.withColumn(
-            "hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+            "hamming",
+            F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -72,3 +72,107 @@ from end_to_end_etl_pipeline_spark.queries import scans  # noqa: E402,F401
 from end_to_end_etl_pipeline_spark.queries import scd_queries  # noqa: E402,F401
 from end_to_end_etl_pipeline_spark.queries import textdata  # noqa: E402,F401
 from end_to_end_etl_pipeline_spark.queries import vectors  # noqa: E402,F401
+from end_to_end_etl_pipeline_spark.queries import medallion_queries  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver correctness window.
+#
+# The driver's per-round correctness gate compares the FIRST 50 entries
+# of ``queries()`` (registration order) against their DuckDB oracles;
+# everything after position 50 only gets the weaker local pytest parity
+# sweep. CORRECTNESS_r02 proved this cap the hard way: entries 51-102
+# (every scan, SCD, text, vector, and multimodal query) got no driver
+# row. So the window below is an explicit, test-asserted contract: one+
+# representative of every SURVEY.md §2 family and every LLM-pipeline
+# family sits inside the first 50, and the remaining queries — mostly
+# additional TPC-H-shaped core coverage that WAS driver-verified green
+# in r01/r02 — rotate behind them.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW: tuple[str, ...] = (
+    # flagship + medallion e2e (scan→DQ→SCD2→gold KPIs in one row)
+    "customer_master",
+    "medallion_gold_fact",
+    # sources: multiline JSON / CSV / ORC round-trips (S1/S2/S4/S5/K7)
+    "json_scan_roundtrip",
+    "csv_scan_roundtrip",
+    "orc_scan_roundtrip",
+    # SCD2 transition semantics (K5/J3)
+    "scd2_transition",
+    # dedup family
+    "dedup_exact_text",
+    "near_dup_pairs",
+    "simhash_near_dup",
+    "ngram_jaccard_topk",
+    "near_dup_clusters",
+    "near_dup_pruned_corpus",
+    "embedding_near_dup",
+    "doc_span_overlap",
+    # similarity / ANN family
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "pq_topk",
+    "label_centroids",
+    # embedding transforms
+    "embedding_int8_quantize",
+    "embedding_downsample",
+    "embedding_hadamard",
+    # text analysis family
+    "lang_id",
+    "doc_token_stats",
+    "text_quality",
+    "doc_tfidf_terms",
+    "doc_fingerprints",
+    "doc_repetition_ratio",
+    "boilerplate_ratio",
+    "doc_unigram_logppl",
+    "doc_normalized",
+    "doc_pii_redacted",
+    # tokenizer training
+    "bpe_merge_rules",
+    "bpe_token_freqs",
+    # corpus curation: cleaning, splits, sampling, packing, chunking
+    "clean_corpus",
+    "doc_split_assign",
+    "split_contamination",
+    "doc_chunks",
+    "doc_packed_bins",
+    "doc_stratified_sample",
+    "source_capped_docs",
+    "vocab_oov_rates",
+    # multimodal binary
+    "binary_doc_stats",
+    "doc_frame_samples",
+    # incremental view maintenance
+    "incremental_priority_revenue",
+    # sketches + late core shapes never driver-run in r02
+    "daily_uniques_hll",
+    "winsorized_price_stats",
+    "daily_event_anomaly",
+    "customer_record_linkage",
+    "min_cost_supplier",
+    # one of the six de-vacuated join shapes (the other five keep
+    # pytest parity at sf0.01; rotate them in next round)
+    "local_supplier_volume",
+)
+
+
+def _apply_driver_window() -> None:
+    """Reorder REGISTRY so DRIVER_WINDOW occupies positions 1-50,
+    followed by every other query in original registration order.
+    Fails fast on typos or on a window entry without an oracle."""
+    assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)), "duplicate window entry"
+    assert len(DRIVER_WINDOW) <= 50, "driver window is capped at 50"
+    ordered: dict[str, EngineQuery] = {}
+    for n in DRIVER_WINDOW:
+        q = REGISTRY[n]  # KeyError == typo; fail at import
+        assert q.oracle is not None, f"window query {n} has no oracle"
+        ordered[n] = q
+    for n, q in REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = q
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_driver_window()

@@ -228,19 +228,29 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    """Replicates operators/text_dedup.simhash64 + 16-bit banding: 64
+    bit-votes from md5 hex digits, majority per bit, two unsigned
+    32-bit halves (no signed-overflow divergence), 4×16-bit bands."""
     sums = ",\n           ".join(
         f"sum(((strpos('{HEX}', substring(h, {j + 1}, 1)) - 1) // {1 << b}) % 2) AS s_{j}_{b}"
-        for j in range(8)
+        for j in range(16)
         for b in range(4)
     )
-    bits = " + ".join(
-        f"(CASE WHEN 2 * s_{j}_{b} >= n THEN CAST({1 << (4 * j + b)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(8)
-        for b in range(4)
-    )
-    bytes_sel = "\n    UNION ALL ".join(
-        f"SELECT doc_id, simhash, {t} AS band, (simhash // {1 << (8 * t)}) % 256 AS bv FROM sim"
-        for t in range(4)
+
+    def half(j_range) -> str:
+        return " + ".join(
+            f"(CASE WHEN 2 * s_{j}_{b} >= n THEN CAST({1 << ((4 * j + b) % 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in j_range
+            for b in range(4)
+        )
+
+    bands_sel = "\n    UNION ALL ".join(
+        [
+            "SELECT doc_id, sim_lo, sim_hi, 0 AS band, sim_lo % 65536 AS bv FROM sim",
+            "SELECT doc_id, sim_lo, sim_hi, 1 AS band, sim_lo // 65536 AS bv FROM sim",
+            "SELECT doc_id, sim_lo, sim_hi, 2 AS band, sim_hi % 65536 AS bv FROM sim",
+            "SELECT doc_id, sim_lo, sim_hi, 3 AS band, sim_hi // 65536 AS bv FROM sim",
+        ]
     )
     return f"""
     WITH {_SQL_CORPUS}, {_SQL_SHINGLES},
@@ -250,27 +260,34 @@ def _simhash_oracle() -> str:
            {sums}
       FROM d GROUP BY doc_id
     ),
-    sim AS (SELECT doc_id, {bits} AS simhash FROM sums),
-    bytes AS (
-    {bytes_sel}
+    sim AS (SELECT doc_id, {half(range(8))} AS sim_lo,
+                   {half(range(8, 16))} AS sim_hi FROM sums),
+    bands AS (
+    {bands_sel}
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sim_a, b.simhash AS sim_b
-      FROM bytes a JOIN bytes b
+             a.sim_lo AS lo_a, a.sim_hi AS hi_a,
+             b.sim_lo AS lo_b, b.sim_hi AS hi_b
+      FROM bands a JOIN bands b
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT)
+             AS hamming
     FROM pairs
-    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
     """
 
 
 @register(
     "simhash_near_dup",
     oracle=_simhash_oracle(),
-    doc="SimHash near-dup: 32-bit simhash from shingle md5 bit votes, "
-    "byte-band blocking, hamming <= 6 verify.",
+    doc="SimHash near-dup: 64-bit simhash from shingle md5 bit votes "
+    "(two unsigned 32-bit halves - no cross-engine signed-overflow), "
+    "4x16-bit-band blocking (65536 buckets/band keeps within-bucket "
+    "self-joins sub-quadratic at billion-doc scale), hamming <= 6 "
+    "verify; recall guaranteed for hamming <= 3 by pigeonhole.",
     tags=("north-star", "dedup"),
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

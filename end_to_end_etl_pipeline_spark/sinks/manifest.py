@@ -151,11 +151,12 @@ class ManifestCatalog:
     def _commit(self, name: str, manifest: dict) -> int:
         """Last-writer-wins publish: write tmp, rename to the next
         version slot; on collision retry at a later slot. ONLY safe
-        for full-replacement content (replace_atomic, optimize,
-        zorder) whose manifest does not depend on the previous
-        version. Content derived FROM a previous manifest (append,
-        bucketed SCD) must go through :meth:`_commit_if` + rebase, or
-        a concurrent commit's dirs would be silently dropped."""
+        for full-replacement content (replace_atomic) whose manifest
+        does not depend on the previous version. Content derived FROM
+        a previous manifest (append, bucketed SCD, optimize /
+        optimize_zorder — compaction rows ARE the prior version) must
+        go through :meth:`_commit_if` + rebase, or a concurrent
+        commit's dirs would be silently dropped."""
         mdir = self._manifest_dir(name)
         self.fs.mkdirs(mdir)
         while True:
@@ -219,11 +220,17 @@ class ManifestCatalog:
             raise FileNotFoundError(f"table {name} has no committed manifest")
         dirs = self._dirs(manifest, buckets)
         if not dirs:
-            if buckets is not None:
-                # a legitimately empty bucket selection (e.g. a bucket
-                # whose rows were all filtered away) is zero rows, not
-                # a missing table
-                return self.read(name, version=version).filter(F.lit(False))
+            # a legitimately empty selection (a bucket whose rows were
+            # all filtered away — or a bucketed table whose buckets are
+            # ALL empty) is zero rows, not a missing table. Schema
+            # comes from the newest retained version that still has
+            # data dirs; recursing with buckets=None would re-land
+            # here and raise on an all-empty table.
+            for v in reversed(self._versions(name)):
+                m = self.manifest_at(name, v)
+                ds = self._dirs(m)
+                if ds:
+                    return self.spark.read.parquet(*ds).filter(F.lit(False))
             raise FileNotFoundError(f"table {name}: no data dirs")
         reader = self.spark.read
         if len(dirs) > 1:
@@ -447,68 +454,79 @@ class ManifestCatalog:
         until :meth:`vacuum`. Per-dir manifest stats are keyed by the
         (now replaced) old dirs, so pass ``stats_cols`` to recompute
         them for the compacted dir — otherwise manifest-level data
-        skipping is off until the next stats-producing write."""
-        manifest = self.latest_manifest(name)
-        if manifest is None:
-            raise FileNotFoundError(f"table {name} has no committed manifest")
-        bucketed = manifest.get("bucket_dirs") is not None
-        df = self.read(name)
-        if cluster_by:
-            n = target_partitions or self.spark.sparkContext.defaultParallelism
-            df = df.repartition(n, *cluster_by).sortWithinPartitions(*cluster_by)
-        elif target_partitions:
-            df = df.coalesce(target_partitions)
-        data_dir = self._new_data_dir(name)
-        if bucketed:
-            # bucket subdir reads drop the partition column; recompute
-            # it from the manifest's recorded business keys
-            keys = manifest["bucket_keys"]
-            if manifest.get("bucket_fn", "hash_pmod") == "identity":
-                # identity-bucketed stores (IVF cell partitioning):
-                # the bucket id IS the key value, never hash(key)
-                df = df.withColumn(BUCKET_COL, F.col(keys[0]).cast("int"))
+        skipping is off until the next stats-producing write.
+
+        Compacted content is exactly the base version's rows, so the
+        publish is a compare-and-swap on that base: a concurrent
+        append landing mid-rewrite makes the CAS fail and the rewrite
+        rebase onto the new latest (same lost-update discipline as
+        :meth:`append` — last-writer-wins here would silently drop
+        the concurrent commit's dirs). Orphaned rewrite dirs from
+        lost races are collected by :meth:`vacuum`."""
+        while True:
+            manifest = self.latest_manifest(name)
+            if manifest is None:
+                raise FileNotFoundError(f"table {name} has no committed manifest")
+            base = manifest["version"]
+            bucketed = manifest.get("bucket_dirs") is not None
+            # pin the scan to the base version: reading "latest" could
+            # silently span a concurrent commit and desync from the CAS
+            df = self.read(name, version=base)
+            if cluster_by:
+                n = target_partitions or self.spark.sparkContext.defaultParallelism
+                df = df.repartition(n, *cluster_by).sortWithinPartitions(*cluster_by)
+            elif target_partitions:
+                df = df.coalesce(target_partitions)
+            data_dir = self._new_data_dir(name)
+            if bucketed:
+                # bucket subdir reads drop the partition column; recompute
+                # it from the manifest's recorded business keys
+                keys = manifest["bucket_keys"]
+                if manifest.get("bucket_fn", "hash_pmod") == "identity":
+                    # identity-bucketed stores (IVF cell partitioning):
+                    # the bucket id IS the key value, never hash(key)
+                    df = df.withColumn(BUCKET_COL, F.col(keys[0]).cast("int"))
+                else:
+                    df = df.withColumn(
+                        BUCKET_COL,
+                        F.pmod(
+                            F.hash(*[F.col(k) for k in keys]),
+                            F.lit(manifest["n_buckets"]),
+                        ),
+                    )
+                df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
+                bucket_dirs = {}
+                for p in self.fs.listdir(data_dir):
+                    base_name = p.rsplit("/", 1)[-1]
+                    if base_name.startswith(f"{BUCKET_COL}="):
+                        bucket_dirs[base_name.split("=", 1)[1]] = [p]
+                # carry forward custom metadata (bucket_fn, ivf_* ...) —
+                # dropping it would silently revert an identity-bucketed
+                # store to the default hash contract
+                extras = {
+                    k: v
+                    for k, v in manifest.items()
+                    if k not in ("version", "dirs", "bucket_dirs", "stats")
+                }
+                new = extras | {
+                    "dirs": None, "bucket_dirs": bucket_dirs,
+                    "n_buckets": manifest["n_buckets"],
+                    "bucket_keys": list(keys),
+                }
             else:
-                df = df.withColumn(
-                    BUCKET_COL,
-                    F.pmod(
-                        F.hash(*[F.col(k) for k in keys]),
-                        F.lit(manifest["n_buckets"]),
-                    ),
-                )
-            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
-            bucket_dirs = {}
-            for p in self.fs.listdir(data_dir):
-                base = p.rsplit("/", 1)[-1]
-                if base.startswith(f"{BUCKET_COL}="):
-                    bucket_dirs[base.split("=", 1)[1]] = [p]
-            # carry forward custom metadata (bucket_fn, ivf_* ...) —
-            # dropping it would silently revert an identity-bucketed
-            # store to the default hash contract
-            extras = {
-                k: v
-                for k, v in manifest.items()
-                if k not in ("version", "dirs", "bucket_dirs", "stats")
-            }
-            self._commit(
-                name,
-                extras
-                | {"dirs": None, "bucket_dirs": bucket_dirs,
-                   "n_buckets": manifest["n_buckets"],
-                   "bucket_keys": list(keys)},
-            )
-        else:
-            df.write.mode("overwrite").parquet(data_dir)
-            extras = {
-                k: v
-                for k, v in manifest.items()
-                if k not in ("version", "dirs", "bucket_dirs", "stats")
-            }
-            new = extras | {
-                "dirs": [data_dir], "bucket_dirs": None, "n_buckets": None,
-            }
-            if stats_cols:
-                new["stats"] = {data_dir: self._dir_stats(data_dir, stats_cols)}
-            self._commit(name, new)
+                df.write.mode("overwrite").parquet(data_dir)
+                extras = {
+                    k: v
+                    for k, v in manifest.items()
+                    if k not in ("version", "dirs", "bucket_dirs", "stats")
+                }
+                new = extras | {
+                    "dirs": [data_dir], "bucket_dirs": None, "n_buckets": None,
+                }
+                if stats_cols:
+                    new["stats"] = {data_dir: self._dir_stats(data_dir, stats_cols)}
+            if self._commit_if(name, new, base):
+                return
 
     def optimize_zorder(
         self,
@@ -529,37 +547,46 @@ class ManifestCatalog:
         tables (their dir layout is the bucket map)."""
         from end_to_end_etl_pipeline_spark.sinks.zorder import zorder_key
 
-        manifest = self.latest_manifest(name)
-        if manifest is None:
-            raise FileNotFoundError(f"table {name} has no committed manifest")
-        if manifest.get("bucket_dirs") is not None:
-            raise ValueError(f"table {name} is bucketed; zorder would break its layout")
-        df = self.read(name)
-        z = zorder_key(df, cols, bits=bits)
-        key_space = 1 << (bits * len(cols))
-        zb = F.least(
-            F.lit(n_dirs - 1),
-            F.floor(z / F.lit(key_space / n_dirs)).cast("int"),
-        )
-        data_dir = self._new_data_dir(name)
-        (
-            df.withColumn("__zb", zb)
-            .repartition(n_dirs, "__zb")
-            .sortWithinPartitions("__zb")
-            .write.mode("overwrite")
-            .partitionBy("__zb")
-            .parquet(data_dir)
-        )
-        sub_dirs = sorted(
-            p for p in self.fs.listdir(data_dir)
-            if p.rsplit("/", 1)[-1].startswith("__zb=")
-        )
-        scols = list(stats_cols or cols)
-        stats = {d: self._dir_stats(d, scols) for d in sub_dirs}
-        self._commit(
-            name,
-            {"dirs": sub_dirs, "bucket_dirs": None, "n_buckets": None, "stats": stats},
-        )
+        # CAS on the base version, like optimize(): the rewrite's
+        # content IS the base version's rows, so a concurrent append
+        # must force a rebase, not be silently dropped
+        while True:
+            manifest = self.latest_manifest(name)
+            if manifest is None:
+                raise FileNotFoundError(f"table {name} has no committed manifest")
+            if manifest.get("bucket_dirs") is not None:
+                raise ValueError(
+                    f"table {name} is bucketed; zorder would break its layout"
+                )
+            base = manifest["version"]
+            df = self.read(name, version=base)
+            z = zorder_key(df, cols, bits=bits)
+            key_space = 1 << (bits * len(cols))
+            zb = F.least(
+                F.lit(n_dirs - 1),
+                F.floor(z / F.lit(key_space / n_dirs)).cast("int"),
+            )
+            data_dir = self._new_data_dir(name)
+            (
+                df.withColumn("__zb", zb)
+                .repartition(n_dirs, "__zb")
+                .sortWithinPartitions("__zb")
+                .write.mode("overwrite")
+                .partitionBy("__zb")
+                .parquet(data_dir)
+            )
+            sub_dirs = sorted(
+                p for p in self.fs.listdir(data_dir)
+                if p.rsplit("/", 1)[-1].startswith("__zb=")
+            )
+            scols = list(stats_cols or cols)
+            stats = {d: self._dir_stats(d, scols) for d in sub_dirs}
+            new = {
+                "dirs": sub_dirs, "bucket_dirs": None, "n_buckets": None,
+                "stats": stats,
+            }
+            if self._commit_if(name, new, base):
+                return
 
     def vacuum(
         self, name: str, keep_versions: int = 1, min_age_seconds: int = 3600

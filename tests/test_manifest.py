@@ -458,3 +458,49 @@ def test_optimize_recomputes_stats(spark, cat):
     m = cat.latest_manifest("skip.opt")
     assert m["stats"] and list(m["stats"].values())[0]["k"] == [0, 19]
     assert sorted(r.k for r in cat.read_range("skip.opt", "k", 5, 6).collect()) == [5, 6]
+
+
+def test_optimize_rebases_on_concurrent_append(spark, cat):
+    """A concurrent append landing between optimize()'s manifest read
+    and its publish must survive: the CAS fails, optimize rebases on
+    the new latest, and the appended rows appear in the compacted
+    table (the lost-update class append was already guarded against)."""
+    cat.replace_atomic(_df(spark, [(1, "a")]), "t")
+    cat.append(_df(spark, [(2, "b")]), "t")
+
+    injected = {"done": False}
+    orig_new_dir = cat._new_data_dir
+
+    def hook(name):
+        # fires inside optimize, after it read the base manifest but
+        # before it publishes — exactly the race window
+        if not injected["done"]:
+            injected["done"] = True  # set first: append recurses here
+            cat.append(_df(spark, [(3, "c")]), "t")
+        return orig_new_dir(name)
+
+    cat._new_data_dir = hook
+    try:
+        cat.optimize("t", target_partitions=1)
+    finally:
+        cat._new_data_dir = orig_new_dir
+    assert sorted(r.k for r in cat.read("t").collect()) == [1, 2, 3]
+    # compacted: latest manifest holds a single data dir
+    assert len(cat.latest_manifest("t")["dirs"]) == 1
+
+
+def test_read_all_empty_bucketed_manifest(spark, cat):
+    """A bucketed manifest whose buckets are ALL empty reads as an
+    empty frame with the table's schema (from the newest version with
+    data), never FileNotFoundError."""
+    eng = BucketedSCD2(cat, n_buckets=4)
+    eng.apply(_src(spark, [(1, "a"), (2, "b")]), "d", ["k"], ["attr"])
+    m = cat.latest_manifest("d")
+    empty = m | {"bucket_dirs": {b: [] for b in m["bucket_dirs"]}}
+    cat._commit("d", {k: v for k, v in empty.items() if k != "version"})
+
+    out = cat.read("d")
+    assert out.count() == 0
+    assert "k" in out.columns and "attr" in out.columns
+    # single-empty-bucket selection still returns the empty frame too
+    assert cat.read("d", buckets=[0]).count() == 0

@@ -429,3 +429,32 @@ def test_salted_join_rejects_key_as_salt(spark):
     df = spark.createDataFrame([(1, 2)], "k int, x int")
     with pytest.raises(ValueError, match="join key"):
         salted_join(df, df, ["k"], salt_col="k")
+
+
+def test_minhash_broadcast_guard_dup_heavy_corpus(spark):
+    """A dup-heavy corpus blows past max_broadcast_pairs; the verify
+    legs must fall back to shuffle joins and return the SAME pairs as
+    the broadcast path (guard changes the physical plan, never the
+    result)."""
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    # 40 docs, all sharing one long base text (small unique suffix) —
+    # nearly all pairs become LSH candidates: C(40,2) = 780 pairs
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [(i, base + f"tail{i % 4}") for i in range(40)], "doc_id int, text string"
+    )
+    kw = dict(shingle_len=6, num_hashes=16, bands=4, threshold=0.6)
+    bc = minhash_near_dup_pairs(docs, "doc_id", "text", **kw)
+    sh = minhash_near_dup_pairs(
+        docs, "doc_id", "text", max_broadcast_pairs=10, **kw
+    )
+    key = lambda r: (r.id_a, r.id_b)
+    bc_rows = sorted(bc.collect(), key=key)
+    sh_rows = sorted(sh.collect(), key=key)
+    assert len(bc_rows) > 100  # the corpus really is dup-heavy
+    assert [(r.id_a, r.id_b) for r in bc_rows] == [(r.id_a, r.id_b) for r in sh_rows]
+    for a, b in zip(bc_rows, sh_rows):
+        assert a.jaccard == b.jaccard

@@ -47,3 +47,34 @@ def test_driver_contract_shapes():
     os_ = e.oracle_sql()
     assert qs, "queries() must be non-empty"
     assert set(os_) <= set(qs)
+
+
+def test_driver_window_contract():
+    """The driver's correctness gate only reads the first 50 registered
+    queries; DRIVER_WINDOW pins what fills those slots. Guard both the
+    ordering and the family coverage so a refactor can't silently push
+    a whole operator family back out of the hard signal (the r02
+    failure mode)."""
+    import __spark_entry__ as e
+    from end_to_end_etl_pipeline_spark.queries.catalog import DRIVER_WINDOW
+
+    keys = list(e.queries())
+    os_ = e.oracle_sql()
+    assert keys[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
+    assert len(DRIVER_WINDOW) <= 50
+    for n in DRIVER_WINDOW:
+        assert n in os_, f"window query {n} must be oracle-matched"
+    # one representative per family the driver must see
+    must_have = {
+        "medallion_gold_fact",  # bronze→silver→gold e2e
+        "json_scan_roundtrip", "csv_scan_roundtrip", "orc_scan_roundtrip",
+        "scd2_transition",
+        "dedup_exact_text", "near_dup_pairs", "simhash_near_dup",
+        "near_dup_clusters", "doc_span_overlap",
+        "cosine_topk", "cosine_topk_ivf", "pq_topk",
+        "lang_id", "doc_token_stats", "doc_tfidf_terms",
+        "bpe_merge_rules", "split_contamination",
+        "binary_doc_stats", "doc_frame_samples",
+        "incremental_priority_revenue", "daily_uniques_hll",
+    }
+    assert must_have <= set(DRIVER_WINDOW)

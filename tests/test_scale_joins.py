@@ -161,3 +161,36 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_store_string_ids_and_zero_norm_guard(spark, tmp_path):
+    """The probe frame schema derives from the query id DataType (a
+    string doc id must work, not just bigint), and zero-norm vectors
+    never occupy top-k slots (NULL cosine would sort into results when
+    a query has < k real matches)."""
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        ivf_store_topk,
+        write_ivf_store,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    rows = [
+        ("a", [1.0, 0.0], 0),
+        ("b", [0.9, 0.1], 0),
+        ("zero", [0.0, 0.0], 0),  # zero-norm corpus vector
+        ("c", [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "doc string, embedding array<double>, label int"
+    )
+    write_ivf_store(cat, emb, "doc", "embedding", "label", "ann.s", dim=2)
+    queries = emb.filter(F.col("doc") == "a")
+    got, probed = ivf_store_topk(
+        cat, "ann.s", queries, "doc", "embedding", k=10, nprobe=2
+    )
+    out = got.collect()
+    ids = {r.match_id for r in out}
+    assert "zero" not in ids  # zero-norm vector filtered, not NULL-ranked
+    assert ids == {"b", "c"}  # string ids flow through probe + join
+    assert all(r.cosine is not None for r in out)
