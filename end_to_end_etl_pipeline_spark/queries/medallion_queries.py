@@ -13,18 +13,26 @@ decimal-routed rounding — so a wrong layer anywhere breaks the hash.
 
 from __future__ import annotations
 
-import hashlib
+import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from end_to_end_etl_pipeline_spark.queries.catalog import register
 
+_SCRATCH_PARENT = "/tmp/spark_graft_medallion"
 
-def _scratch_root(sf_dir: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"/tmp/spark_graft_medallion/{tag}"
+
+def _scratch_root() -> str:
+    """Fresh scratch lake per invocation (race-proof: a re-run can
+    never wipe the files backing a previously returned DataFrame).
+    Prior invocations' dirs are reaped here — the one place that
+    knows they're disposable — rather than leaking per call."""
+    os.makedirs(_SCRATCH_PARENT, exist_ok=True)
+    for stale in os.listdir(_SCRATCH_PARENT):
+        shutil.rmtree(os.path.join(_SCRATCH_PARENT, stale), ignore_errors=True)
+    return tempfile.mkdtemp(dir=_SCRATCH_PARENT)
 
 
 def _pipeline_config(sf_dir: str) -> dict:
@@ -148,15 +156,12 @@ def medallion_gold_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_etl_pipeline_spark.plans.medallion import MedallionPipeline
     from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
 
-    root = _scratch_root(sf_dir)
-    # wipe before (not after) the run: the returned DataFrame stays
-    # lazy over the published gold files, so they must outlive us
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_root()
     cat = ManifestCatalog(spark, f"file://{root}")
     pipe = MedallionPipeline(spark, root, catalog=cat)
     pipe.run(_pipeline_config(sf_dir))
     gold = cat.read("gold.fact_cust_quarter")
-    return gold.select(
+    out = gold.select(
         "o_custkey",
         "quarter",
         "total_revenue",
@@ -164,3 +169,7 @@ def medallion_gold_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qoq_growth",
         "revenue_per_order",
     )
+    # eagerly materialize the (small, post-agg) result so the caller's
+    # DataFrame no longer depends on the scratch lake — the next
+    # invocation reaps it
+    return out.localCheckpoint(eager=True)
