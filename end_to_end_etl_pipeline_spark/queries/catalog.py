@@ -73,6 +73,7 @@ from end_to_end_etl_pipeline_spark.queries import scd_queries  # noqa: E402,F401
 from end_to_end_etl_pipeline_spark.queries import textdata  # noqa: E402,F401
 from end_to_end_etl_pipeline_spark.queries import vectors  # noqa: E402,F401
 from end_to_end_etl_pipeline_spark.queries import medallion_queries  # noqa: E402,F401
+from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver correctness window.
@@ -116,7 +117,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # embedding transforms
     "embedding_int8_quantize",
     "embedding_downsample",
-    "embedding_hadamard",
+    # incremental dedup store (new family: O(batch) corpus dedup)
+    "incremental_dedup_ingest",
     # text analysis family
     "lang_id",
     "doc_token_stats",

@@ -1,0 +1,76 @@
+"""Incremental MinHash dedup store: multi-batch ingest semantics,
+store growth, estimator sanity, and CAS-append concurrency safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.dedup_store import MinHashDedupStore
+from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    return ManifestCatalog(spark, f"file://{tmp_path}/lake")
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+OTHER = "completely different content about spark catalyst optimizer internals " * 4
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_ingest_two_batches(spark, cat):
+    store = MinHashDedupStore(cat, "dedup.sigs", threshold=0.6)
+
+    # batch 1: 1 and 2 near-identical (lower id survives), 3 distinct
+    b1 = _docs(spark, [(1, BASE + "x"), (2, BASE + "y"), (3, OTHER)])
+    acc1, rej1 = store.ingest(b1, "text")
+    assert sorted(r.doc_id for r in acc1.collect()) == [1, 3]
+    r1 = {r.doc_id: r for r in rej1.collect()}
+    assert list(r1) == [2] and r1[2].dup_of == 1
+    assert r1[2].est_jaccard >= 0.6
+
+    # batch 2: 10 dups batch-1 survivor, 11 dups a REJECTED doc's
+    # content (rejected sigs are not stored → matches survivor 1
+    # instead), 12 fresh
+    b2 = _docs(spark, [(10, BASE + "x"), (11, BASE + "y"), (12, OTHER[::-1])])
+    acc2, rej2 = store.ingest(b2, "text")
+    assert sorted(r.doc_id for r in acc2.collect()) == [12]
+    r2 = {r.doc_id: r for r in rej2.collect()}
+    assert set(r2) == {10, 11}
+    assert r2[10].dup_of == 1 and r2[11].dup_of == 1
+
+    # store holds exactly the accepted signatures, K columns wide
+    sigs = cat.read("dedup.sigs")
+    assert sorted(r.doc_id for r in sigs.collect()) == [1, 3, 12]
+    assert {c for c in sigs.columns if c.startswith("m")} == {
+        f"m{k}" for k in range(16)
+    }
+
+
+def test_estimator_tracks_exact_jaccard(spark, cat):
+    """The component-match estimate must agree with exact Jaccard on
+    clear cases: near-identical docs estimate high, disjoint docs
+    never collide at all."""
+    store = MinHashDedupStore(cat, "dedup.est", threshold=0.5)
+    b = _docs(spark, [(1, BASE), (2, BASE + " tail"), (3, OTHER)])
+    acc, rej = store.ingest(b, "text")
+    assert sorted(r.doc_id for r in acc.collect()) == [1, 3]
+    [r] = rej.collect()
+    assert r.doc_id == 2 and r.est_jaccard > 0.8  # ~identical content
+
+
+def test_batch_without_dups_appends_all(spark, cat):
+    store = MinHashDedupStore(cat, "dedup.all")
+    acc, rej = store.ingest(_docs(spark, [(1, BASE), (2, OTHER)]), "text")
+    assert rej.count() == 0 and acc.count() == 2
+    v1 = cat.latest_manifest("dedup.all")["version"]
+    fresh = "unrelated third corpus about medallion lakehouse manifests " * 4
+    acc2, _ = store.ingest(_docs(spark, [(5, fresh)]), "text")
+    assert acc2.count() == 1
+    # append path: new manifest version, prior dirs retained
+    m = cat.latest_manifest("dedup.all")
+    assert m["version"] == v1 + 1
+    assert len(m["dirs"]) == 2
