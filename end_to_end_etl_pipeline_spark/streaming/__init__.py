@@ -1,4 +1,5 @@
 from end_to_end_etl_pipeline_spark.streaming.jobs import (
+    foreach_batch_dedup_ingest,
     foreach_batch_scd1,
     read_stream_files,
     running_profile,
@@ -10,6 +11,7 @@ from end_to_end_etl_pipeline_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "foreach_batch_dedup_ingest",
     "foreach_batch_scd1",
     "read_stream_files",
     "running_profile",

@@ -436,3 +436,50 @@ def apply_agg_batch(
         table,
     )
     return True
+
+
+def foreach_batch_dedup_ingest(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    text_col: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    available_now: bool = True,
+):
+    """Continuous corpus dedup: every micro-batch of documents is
+    near-dup-checked against the persisted MinHash signature store
+    (``operators/dedup_store.MinHashDedupStore``) and only survivors'
+    signatures are appended — the streaming form of incremental
+    corpus curation, where "have we seen this before?" spans every
+    batch ever ingested, not just the current trigger (which is all
+    ``dropDuplicates`` + watermark can bound).
+
+    At-least-once safety is structural rather than batch-id-tracked:
+    a replayed batch's documents find their OWN previous signatures
+    in the store, estimate Jaccard 1.0 against them, and are rejected
+    — the store converges to the same state, so crash-replays don't
+    duplicate signatures (unlike additive agg maintenance, which
+    needs the explicit ``_batch_id`` guard).
+
+    Returns the started ``StreamingQuery`` (caller awaits)."""
+    from end_to_end_etl_pipeline_spark.operators.dedup_store import (
+        MinHashDedupStore,
+    )
+
+    store = MinHashDedupStore(catalog, table, id_col=id_col, threshold=threshold)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.ingest(batch_df, text_col)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -362,3 +362,50 @@ def test_agg_maintenance_skips_replayed_batch(spark, tmp_path):
     # a genuinely new batch still applies
     assert apply_agg_batch(catalog, "g.s", ["user_id"], ["value"], b0, 2)
     assert {r.user_id: r.n for r in catalog.read("g.s").collect()} == {1: 3, 2: 2, 3: 1}
+
+
+def test_foreach_batch_dedup_ingest_spans_triggers(spark, tmp_path):
+    """Streaming corpus dedup: a doc arriving in a LATER micro-batch
+    that near-dups an EARLIER batch's survivor must be rejected — the
+    store spans triggers, which per-trigger dropDuplicates cannot.
+    A replayed file (at-least-once) must not duplicate signatures."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming import foreach_batch_dedup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    other = "entirely different text about catalyst and tungsten internals " * 4
+    d = str(tmp_path / "docs_in")
+    _write_batch(d, "b1.json", [
+        {"doc_id": 1, "text": base + "x"},
+        {"doc_id": 2, "text": other},
+    ])
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    stream = read_stream_files(spark, d, "doc_id bigint, text string", fmt="json")
+    q = foreach_batch_dedup_ingest(stream, cat, "corpus.sigs", "text", ckpt)
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in cat.read("corpus.sigs").collect()) == [1, 2]
+
+    # second trigger: near-dup of batch-1 survivor + one fresh doc
+    _write_batch(d, "b2.json", [
+        {"doc_id": 10, "text": base + "y"},   # dup of doc 1 → rejected
+        {"doc_id": 11, "text": other[::-1]},  # fresh
+    ])
+    q2 = foreach_batch_dedup_ingest(stream, cat, "corpus.sigs", "text", ckpt)
+    q2.awaitTermination(120)
+    assert sorted(r.doc_id for r in cat.read("corpus.sigs").collect()) == [1, 2, 11]
+
+    # replay: re-ingesting batch 2's docs directly (simulating an
+    # at-least-once redelivery) appends nothing — each doc rejects
+    # against its own stored signature
+    from end_to_end_etl_pipeline_spark.operators.dedup_store import MinHashDedupStore
+
+    store = MinHashDedupStore(cat, "corpus.sigs")
+    replay = spark.createDataFrame(
+        [(11, other[::-1])], "doc_id bigint, text string"
+    )
+    acc, rej = store.ingest(replay, "text")
+    assert acc.count() == 0
+    [r] = rej.collect()
+    assert r.dup_of == 11 and r.est_jaccard == 1.0
+    assert sorted(r.doc_id for r in cat.read("corpus.sigs").collect()) == [1, 2, 11]
