@@ -343,3 +343,58 @@ def hadamard_rotate(vec_col: str, dim: int, round_dp: int = 6) -> Column:
             round_dp,
         ),
     )
+
+
+def semantic_dedup_prune(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.995,
+) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): embeddings
+    are compared only WITHIN their cluster, and a vector is pruned iff
+    some lower-id cluster-mate sits at cosine ≥ threshold (greedy
+    keep-lowest — deterministic, order-free). Returns the surviving
+    rows (id, cluster).
+
+    Scale shape: the cluster column bounds the quadratic — pairing is
+    a self-equi-join on ``cluster_col`` (one shuffle on the cluster
+    key), never corpus×corpus; cluster sizes are the skew lever
+    exactly as in the paper (k-means k is chosen to cap them). The
+    prune decision is a per-id aggregate over the pair list, and
+    survivors come from a left-anti join against the (small) pruned
+    set. Zero-norm vectors never match anything (guarded cosine) and
+    so always survive."""
+    c = _prep(corpus, corpus_id, vec_col, "vid", "__v").join(
+        corpus.select(F.col(corpus_id).alias("vid"), F.col(cluster_col)), "vid"
+    )
+    a = c.select(
+        F.col(cluster_col),
+        F.col("vid").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__v_norm").alias("__na"),
+    )
+    b = c.select(
+        F.col(cluster_col),
+        F.col("vid").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__v_norm").alias("__nb"),
+    )
+    pruned = (
+        a.join(b, cluster_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        corpus.select(F.col(corpus_id), F.col(cluster_col))
+        .join(pruned.select(F.col("vid").alias(corpus_id)), corpus_id, "left_anti")
+    )

@@ -1500,3 +1500,85 @@ def doc_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logp"),
         )
     )
+
+
+_GOPHER_STOPS = ("the", "a", "and", "to", "of", "that", "have", "with")
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0 THEN CAST(round(
+               CAST(list_sum(list_transform(ws, x -> length(x)))
+                    AS DECIMAL(20,8)) / len(ws), 4) AS DOUBLE) END AS mean_word_len,
+             CASE WHEN len(ws) > 0 THEN CAST(round(
+               CAST(len(list_filter(ws, x -> lower(x) <> upper(x)))
+                    AS DECIMAL(20,8)) / len(ws), 6) AS DOUBLE) END AS alpha_ratio,
+             CAST({" + ".join(f"(CASE WHEN list_contains(list_transform(ws, x -> lower(x)), '{s}') THEN 1 ELSE 0 END)" for s in _GOPHER_STOPS)}
+                  AS INT) AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+           coalesce(n_words BETWEEN 20 AND 100000
+                    AND mean_word_len BETWEEN 3 AND 10
+                    AND alpha_ratio >= 0.8
+                    AND stop_hits >= 1, FALSE) AS keep
+    FROM m
+    """,
+    doc="Gopher-style rule filter (Rae et al. 2021 quality heuristics "
+    "over whitespace tokens): word-count bounds [20, 1e5], mean word "
+    "length [3, 10], >=80% words containing a cased character (the "
+    "regex-free lower(w)<>upper(w) test - identical Unicode semantics "
+    "in both engines), and >=1 of 8 stopwords (list adapted to the "
+    "synthetic corpus vocabulary so both outcomes occur; production "
+    "uses Gopher's >=2-of-8). All "
+    "signals are one codegen'd higher-order-function pass per row - "
+    "no explode, no shuffle, no Python; decimal-routed rounding on "
+    "the two ratios.",
+    tags=("north-star", "text"),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = "filter(split(text, ' '), x -> length(x) > 0)"
+    stop_terms = " + ".join(
+        f"(CASE WHEN array_contains(transform({ws}, x -> lower(x)), '{s}') "
+        "THEN 1 ELSE 0 END)"
+        for s in _GOPHER_STOPS
+    )
+    m = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({ws}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CASE WHEN size({ws}) > 0 THEN CAST(round("
+            f"CAST(aggregate({ws}, 0L, (a, x) -> a + length(x)) AS DECIMAL(20,8))"
+            f" / size({ws}), 4) AS DOUBLE) END"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"CASE WHEN size({ws}) > 0 THEN CAST(round("
+            f"CAST(size(filter({ws}, x -> lower(x) != upper(x))) AS DECIMAL(20,8))"
+            f" / size({ws}), 6) AS DOUBLE) END"
+        ).alias("alpha_ratio"),
+        F.expr(f"CAST({stop_terms} AS INT)").alias("stop_hits"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_ratio",
+        "stop_hits",
+        F.coalesce(
+            F.col("n_words").between(20, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_ratio") >= 0.8)
+            & (F.col("stop_hits") >= 1),
+            F.lit(False),
+        ).alias("keep"),
+    )

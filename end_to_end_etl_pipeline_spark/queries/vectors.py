@@ -455,3 +455,45 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.size(F.filter("qv", lambda x: F.abs(x) == 127)).alias("n_saturated"),
     )
+
+
+@register(
+    "semantic_pruned_corpus",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= 0.995
+    )
+    SELECT c.vec_id, c.label FROM corpus c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM pruned)
+    """,
+    doc="SemDeDup-shape semantic dedup (operators/similarity."
+    "semantic_dedup_prune): cosine comparisons only WITHIN the "
+    "cluster column (label = the k-means stand-in), prune any vector "
+    "with a lower-id cluster-mate at cosine >= 0.995, keep-lowest "
+    "greedy. Exact-copy variants (vec_id+1M, every 10th) planted so "
+    "pruning has guaranteed targets. The cluster key bounds the "
+    "quadratic - one shuffle on label, never corpus x corpus.",
+    tags=("north-star", "vectors", "dedup"),
+)
+def semantic_pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup_prune,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    variants = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(variants)
+    return semantic_dedup_prune(
+        corpus, "vec_id", "embedding", "label", threshold=0.995
+    )
