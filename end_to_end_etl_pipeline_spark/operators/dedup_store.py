@@ -27,6 +27,15 @@ O(batch + collisions):
   (:meth:`ManifestCatalog.append`), so concurrent ingests don't lose
   updates, and the decision + append are reproducible.
 
+Scale path beyond this module: each ingest scans the full signature
+store to derive band hashes (signature-width, so a billion-doc store
+is ~100 GB — one cheap columnar scan, not a corpus scan). When even
+that matters, persist the store bucketed BY band hash
+(``BucketedSCD2``-style manifest bucket dirs, like the IVF store's
+cell layout) and read only the buckets the batch's band hashes
+collide with — the same storage-level pruning trick
+``operators/ivf_store.py`` already demonstrates.
+
 No reference counterpart (the reference dedups by business key only,
 ``medallion/silver/b2s_company_house.py:70``); this is the
 LLM-pipeline extension the brief calls for, in its incremental form.

@@ -114,15 +114,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cosine_topk_ivf",
     "pq_topk",
     "label_centroids",
-    # embedding transforms
+    # embedding transforms + semantic dedup
     "embedding_int8_quantize",
-    "embedding_downsample",
+    "semantic_pruned_corpus",
     # incremental dedup store (new family: O(batch) corpus dedup)
     "incremental_dedup_ingest",
     # text analysis family
     "lang_id",
     "doc_token_stats",
-    "text_quality",
+    "gopher_quality_filter",
     "doc_tfidf_terms",
     "doc_fingerprints",
     "doc_repetition_ratio",

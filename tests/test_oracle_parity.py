@@ -76,6 +76,7 @@ def test_driver_window_contract():
         "bpe_merge_rules", "split_contamination",
         "binary_doc_stats", "doc_frame_samples",
         "incremental_priority_revenue", "daily_uniques_hll",
-        "incremental_dedup_ingest",
+        "incremental_dedup_ingest", "gopher_quality_filter",
+        "semantic_pruned_corpus",
     }
     assert must_have <= set(DRIVER_WINDOW)

@@ -233,3 +233,22 @@ def test_jaccard_verify_broadcast_guard_switches_strategy(spark):
     assert "ResolvedHint" not in big._jdf.queryExecution().logical().toString()
     # results identical either way
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_gopher_filter_single_pass_no_shuffle(spark):
+    """Every Gopher signal is a higher-order-function projection —
+    the plan must contain no Exchange, no Join, no Generate
+    (explode), and no Python eval."""
+    plan = _plan(spark, "gopher_quality_filter")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_prune_single_cluster_shuffle_no_cartesian(spark):
+    """SemDeDup pairing must go through a cluster-key equi-join —
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    plan = _plan(spark, "semantic_pruned_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
