@@ -74,3 +74,67 @@ def test_batch_without_dups_appends_all(spark, cat):
     m = cat.latest_manifest("dedup.all")
     assert m["version"] == v1 + 1
     assert len(m["dirs"]) == 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# docs drawn from 3 content families (within-family = near-dup by
+# construction, cross-family = disjoint vocabularies)
+_FAMS = [
+    "the quick brown fox jumps over the lazy dog and runs far away ",
+    "catalyst tungsten codegen shuffle partition broadcast exchange ",
+    "manifest lakehouse bucket vacuum snapshot timetravel appendlog ",
+]
+DOC = st.tuples(st.integers(0, 2), st.integers(0, 3))  # (family, suffix)
+BATCH = st.dictionaries(st.integers(1, 12), DOC, min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(b1=BATCH, b2=BATCH)
+def test_dedup_store_invariants_fuzzed(spark, tmp_path_factory, b1, b2):
+    """Over random two-batch chains: accepted/rejected partition each
+    batch; every rejection names a plausible survivor (stored, or a
+    lower-id store-clean batch mate); replaying a batch never grows
+    the store."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    tmp = tmp_path_factory.mktemp("fuzz")
+    cat = ManifestCatalog(spark, f"file://{tmp}/lake")
+    store = MinHashDedupStore(cat, "z.sigs", threshold=0.6)
+
+    def mk(batch, offset):
+        rows = [
+            (k + offset, _FAMS[f] * 4 + f"tail{sfx}")
+            for k, (f, sfx) in sorted(batch.items())
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    seen_store: set[int] = set()
+    for batch, offset in ((b1, 0), (b2, 100)):
+        df = mk(batch, offset)
+        ids = {k + offset for k in batch}
+        acc, rej = store.ingest(df, "text")
+        acc_ids = {r.doc_id for r in acc.collect()}
+        rej_rows = rej.collect()
+        rej_ids = {r.doc_id for r in rej_rows}
+        # partition of the batch
+        assert acc_ids | rej_ids == ids
+        assert not (acc_ids & rej_ids)
+        # every rejection's survivor is stored, or a lower batch id
+        for r in rej_rows:
+            assert (r.dup_of in seen_store) or (
+                r.dup_of in ids and r.dup_of < r.doc_id
+            )
+            assert 0.6 <= r.est_jaccard <= 1.0
+        seen_store |= acc_ids
+        assert {r.doc_id for r in cat.read("z.sigs").collect()} == seen_store
+
+    # replay batch 2 verbatim: store must not grow
+    acc3, _ = store.ingest(mk(b2, 100), "text")
+    assert acc3.count() == 0
+    assert {r.doc_id for r in cat.read("z.sigs").collect()} == seen_store
