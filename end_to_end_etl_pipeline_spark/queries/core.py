@@ -8,6 +8,15 @@ enforcement → dedup → per-entity aggregates (count / distinct-count /
 max) → left join → derived KPI columns (trim/initcap/when-otherwise/
 date arithmetic). The rest cover each §2 operator family on the
 driver's tables.
+
+
+Broadcast-hint policy (100 TB rule): ``F.broadcast`` is applied ONLY
+to fixed-cardinality frames — nation (25), region (5), scalar
+aggregates, window-capped top-k lists. SF-scaled tables (part,
+supplier, customer and anything derived from them) carry no hint:
+Spark's size-based planning + AQE still broadcast them at small
+scale, but a forced hint would OOM the driver when the same query
+runs against a 100 TB warehouse where part alone is hundreds of GB.
 """
 
 from __future__ import annotations
@@ -1172,7 +1181,8 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q17 shape THROUGH THE SQL SURFACE: spark.sql with a "
     "correlated scalar subquery over the temp-view catalog. Catalyst "
     "decorrelates it into an aggregate + self-join (no per-row "
-    "re-execution); the brand filter broadcasts the pruned part side. "
+    "re-execution); the pruned part side joins hint-free (AQE promotes "
+    "it to broadcast while it is small - module broadcast policy). "
     "Exercises the engine's second API: identical semantics whether a "
     "query arrives as DataFrame calls or ANSI SQL.",
     tags=("parity", "joins", "sql-surface"),
@@ -1284,7 +1294,7 @@ def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q14 shape: promo revenue share per ship month - a "
     "ratio of two conditional sums in ONE aggregate pass (no "
-    "self-join, no second scan). part joins broadcast after pruning "
+    "self-join, no second scan). part joins hint-free after pruning "
     "to (partkey, type).",
     tags=("parity", "joins"),
 )
@@ -1294,7 +1304,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
     )
@@ -1357,11 +1367,11 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(cust_nations), customer.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(supp_nation), supplier.s_nationkey == F.col("sn_key"))
     )
     share_num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
@@ -1410,9 +1420,9 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
     )
     return joined.groupBy(
@@ -1469,7 +1479,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q16 shape (lineitem stands in for partsupp as the "
     "part-supplier bridge): distinct suppliers per (brand,type,size) "
     "excluding a NOT-IN denylist of negative-balance suppliers. The "
-    "denylist compiles to a broadcast left-anti join; part prunes via "
+    "denylist compiles to a left-anti join (AQE-sized, not hint-forced); part prunes via "
     "brand/size-set filters then broadcasts.",
     tags=("parity", "joins"),
 )
@@ -1483,8 +1493,8 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(denylist), li.l_suppkey == denylist.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(denylist, li.l_suppkey == denylist.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1512,7 +1522,7 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "finished multi-supplier orders where NO other supplier also had "
     "a return - an EXISTS (left-semi) plus a NOT EXISTS (left-anti), "
     "both self-joins on lineitem with an orderkey equi-key and a "
-    "suppkey-inequality residual. supplier broadcasts for naming.",
+    "suppkey-inequality residual. supplier joins hint-free for naming.",
     tags=("parity", "joins"),
 )
 def lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,7 +1552,7 @@ def lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         anti.join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -1747,7 +1757,7 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#34") & size.between(1, 35) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & pred)
+        li.join(part, (li.l_partkey == part.p_partkey) & pred)
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
@@ -1932,7 +1942,7 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
         .filter(F.col("src") != F.col("dst"))
@@ -2258,8 +2268,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     ).select("p_partkey", "p_name")
     eligible = (
-        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        ps.join(supp, ps.l_suppkey == supp.s_suppkey)
+        .join(part, ps.l_partkey == part.p_partkey)
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -2311,7 +2321,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     byp = (
-        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey, "left_semi")
+        li.join(supp_n, li.l_suppkey == supp_n.s_suppkey, "left_semi")
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
     )
@@ -2347,7 +2357,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whose 1997 shipments were under half their all-time volume. The "
     "correlated availqty>threshold subquery collapses into a single "
     "conditional aggregation (two sums, one CASE-filtered) on one "
-    "(part,supp) groupBy shuffle, then a broadcast part filter and a "
+    "(part,supp) groupBy shuffle, then an AQE-sized part filter and a "
     "left-semi join into supplier - no second lineitem pass.",
     tags=("parity", "joins", "aggregates"),
 )
@@ -2366,7 +2376,7 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     qual = (
         pq.filter((F.col("yr_qty") > 0) & (F.col("total_qty") > 2 * F.col("yr_qty")))
-        .join(F.broadcast(parts), pq.l_partkey == parts.p_partkey, "left_semi")
+        .join(parts, pq.l_partkey == parts.p_partkey, "left_semi")
         .select("l_suppkey")
     )
     nation = load(spark, sf_dir, "nation")

@@ -1452,7 +1452,10 @@ def near_dup_pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc.join(survivors, cc.node == survivors.keep_id, "left_anti")
         .select(F.col("node").alias("doc_id"))
     )
-    return corpus.join(F.broadcast(dupes), "doc_id", "left_anti").select(
+    # no broadcast hint: the drop list is dup-count-sized (unbounded
+    # on a dup-heavy corpus) — AQE promotes the anti-join to broadcast
+    # at runtime when it actually is small
+    return corpus.join(dupes, "doc_id", "left_anti").select(
         "doc_id", F.length("text").alias("n_chars")
     )
 
