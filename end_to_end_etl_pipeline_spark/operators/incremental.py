@@ -125,8 +125,11 @@ def refresh_extremes_for_changed_groups(
     """min/max upkeep: re-aggregate ONLY the groups present in the
     CDC batch (left-semi join of base on the delta's distinct keys —
     cost tracks the change set, not the base) and union with the
-    untouched groups' stored extremes (anti join on the same tiny
-    key set).
+    untouched groups' stored extremes (anti join on the same key
+    set). The key set carries no broadcast hint: it is
+    delta-proportional, and a backfill-sized delta would OOM a forced
+    broadcast — AQE promotes both joins to broadcast at runtime
+    whenever the set is actually small (the steady-state case).
 
     ``state`` is the previous extremes table ``(keys, min_*, max_*)``.
     New groups appear via the fresh side; fully-deleted groups vanish
@@ -140,7 +143,7 @@ def refresh_extremes_for_changed_groups(
     b, s = base.alias("b"), state.alias("s")
     fresh = (
         b.join(
-            F.broadcast(touched),
+            touched,
             [b[k].eqNullSafe(touched[k]) for k in keys],
             "left_semi",
         )
@@ -152,7 +155,7 @@ def refresh_extremes_for_changed_groups(
         .select(*keys, *out_cols)
     )
     untouched = s.join(
-        F.broadcast(touched),
+        touched,
         [s[k].eqNullSafe(touched[k]) for k in keys],
         "left_anti",
     ).select(*keys, *out_cols)
