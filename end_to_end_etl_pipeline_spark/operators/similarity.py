@@ -366,8 +366,12 @@ def semantic_dedup_prune(
     survivors come from a left-anti join against the (small) pruned
     set. Zero-norm vectors never match anything (guarded cosine) and
     so always survive."""
-    c = _prep(corpus, corpus_id, vec_col, "vid", "__v").join(
-        corpus.select(F.col(corpus_id).alias("vid"), F.col(cluster_col)), "vid"
+    v = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(corpus_id).alias("vid"),
+        F.col(cluster_col),
+        v.alias("__v"),
+        F.sqrt(dot(v, v)).alias("__v_norm"),
     )
     a = c.select(
         F.col(cluster_col),
