@@ -11,15 +11,14 @@ Scan operators return lazy DataFrames; Catalyst pushes filters and
 prunes columns into the file scan (verify with
 ``df.explain("formatted")`` → ``PushedFilters`` / ``ReadSchema``).
 
-Scope decision — S8 (pre-Spark REST extractor): the reference's AWS
-Glue pythonshell job (``aws/ ch_ingest_company_overview_raw.py:49-74``)
-fetches a REST API and lands raw JSON on S3 *before* Spark ever runs.
-That is an extraction process outside the analytics engine's
-boundary, deliberately NOT rebuilt here: the engine's contract starts
-at files-on-storage (S1/S2 read the layout that job produces, and
-``rows_source`` covers small API-harvested batches). Rebuilding an
-HTTP crawler inside a Spark engine would couple scheduling, retry,
-and secret concerns into the wrong layer.
+S8 (pre-Spark REST extractor): the reference's AWS Glue pythonshell
+job (``aws/ ch_ingest_company_overview_raw.py:49-74``) fetches a REST
+API and lands raw JSON on S3 *before* Spark ever runs. That lives in
+:mod:`end_to_end_etl_pipeline_spark.sources.rest` — an
+injectable-transport extractor (retry/backoff, pagination, raw-first
+landing at the reference's partitioned layout) whose output these
+scans then read (S1/S2), plus a ``mapInPandas`` distributed-fetch
+variant for cluster-scale pulls.
 """
 
 from __future__ import annotations
