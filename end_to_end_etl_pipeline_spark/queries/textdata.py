@@ -1585,3 +1585,82 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("keep"),
     )
+
+
+@register(
+    "source_mix_plan",
+    oracle="""
+    WITH avail AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      w -> length(w) > 0))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs, avail_tokens,
+             -- deterministic target weight: even mix with a 3x boost
+             -- for sources whose numeric suffix is divisible by 4
+             CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 0
+                  THEN 3.0 ELSE 1.0 END AS w_raw
+      FROM avail
+    ),
+    tot AS (SELECT sum(w_raw) AS wsum, sum(avail_tokens) AS atot FROM w)
+    SELECT source, n_docs, avail_tokens,
+           CAST(round(CAST(w_raw / wsum AS DECIMAL(20,10)), 6) AS DOUBLE)
+             AS target_share,
+           CAST(floor(w_raw / wsum * 50000) AS BIGINT) AS target_tokens,
+           CAST(round(CAST(least(1.0, (w_raw / wsum * 50000) / avail_tokens)
+                           AS DECIMAL(20,10)), 6) AS DOUBLE) AS sample_rate,
+           CAST(ceil((w_raw / wsum * 50000) / avail_tokens) AS BIGINT)
+             AS epochs
+    FROM w, tot
+    """,
+    doc="Source-mixing plan (the LLaMA/DoReMi-style pre-training mix "
+    "step): per-source available tokens vs deterministic target "
+    "weights and a fixed 50k-token budget -> target share, sampling "
+    "rate (capped at 1.0), and epochs-to-repeat for oversampled "
+    "sources. One groupBy over the corpus + a broadcast scalar - the "
+    "plan that drives doc_stratified_sample/source_capped_docs "
+    "downstream. Decimal-routed rounding on the two ratios.",
+    tags=("north-star", "text", "sampling"),
+)
+def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    budget = 50000
+    avail = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "CAST(sum(size(filter(split(text, ' '), w -> length(w) > 0))) AS BIGINT)"
+        ).alias("avail_tokens"),
+    )
+    w = avail.withColumn(
+        "w_raw",
+        F.when(
+            F.expr("CAST(substring(source, 4) AS INT) % 4 = 0"), F.lit(3.0)
+        ).otherwise(F.lit(1.0)),
+    )
+    tot = w.agg(F.sum("w_raw").alias("wsum"))
+    need = F.col("w_raw") / F.col("wsum") * budget
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            F.round((F.col("w_raw") / F.col("wsum")).cast("decimal(20,10)"), 6)
+            .cast("double")
+            .alias("target_share"),
+            F.floor(need).cast("bigint").alias("target_tokens"),
+            F.round(
+                F.least(F.lit(1.0), need / F.col("avail_tokens")).cast(
+                    "decimal(20,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("sample_rate"),
+            F.ceil(need / F.col("avail_tokens")).cast("bigint").alias("epochs"),
+        )
+    )
