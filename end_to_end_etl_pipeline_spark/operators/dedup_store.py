@@ -47,9 +47,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from end_to_end_etl_pipeline_spark.operators.text_dedup import (
-    char_shingles,
     lsh_bands,
-    minhash_signatures_cw,
+    minhash_signatures_arr,
+    shingle_array,
 )
 
 
@@ -81,8 +81,10 @@ class MinHashDedupStore:
 
     # -- internals -------------------------------------------------------
     def _signatures(self, docs: DataFrame, text_col: str) -> DataFrame:
-        sh = char_shingles(docs, self.id_col, text_col, n=self.shingle_len)
-        return minhash_signatures_cw(sh, self.id_col, self.num_hashes)
+        # fused per-row path: no shingle-level explode or shuffle;
+        # bit-identical to the explode/groupBy route
+        sarr = shingle_array(docs, self.id_col, text_col, n=self.shingle_len)
+        return minhash_signatures_arr(sarr, self.id_col, self.num_hashes)
 
     def _est_jaccard(self) -> F.Column:
         """Fraction of equal components between the ``a.``/``b.``

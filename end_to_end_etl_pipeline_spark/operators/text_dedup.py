@@ -132,6 +132,37 @@ def minhash_signatures_cw(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_arr(
+    df_with_shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, m0..m{K-1}) computed entirely per-row from a ``shingles``
+    array — the fused fast path for signature materialization (the
+    dedup STORE needs the signatures themselves, not just band
+    hashes, so :func:`band_hashes_arr` doesn't cover it).
+
+    Same Carter-Wegman arithmetic as :func:`minhash_signatures_cw`
+    (values bit-identical, oracles unchanged) but with no
+    shingle-level explode and no shuffle: the md5 digest is evaluated
+    ONCE per shingle via the nested 1-element-transform let-binding,
+    and the K minima run as array passes inside one projection. Docs
+    with no shingles are dropped (same as the groupBy route, which
+    gives them no signature row)."""
+    hp = (
+        "transform(shingles, s -> transform(array(md5(s)), d -> named_struct("
+        "'h1', CAST(conv(substring(d, 1, 8), 16, 10) AS BIGINT), "
+        "'h2', CAST(conv(substring(d, 9, 8), 16, 10) AS BIGINT)))[0])"
+    )
+    mins = ", ".join(
+        f"'m{k}', array_min(transform(hp, p -> (p.h1 + {k} * p.h2) % {_MOD}))"
+        for k in range(num_hashes)
+    )
+    sig = f"transform(array({hp}), hp -> named_struct({mins}))[0]"
+    out = df_with_shingles.filter(F.expr("size(shingles) > 0")).select(
+        F.col(id_col), F.expr(sig).alias("__sig")
+    )
+    return out.select(id_col, "__sig.*")
+
+
 def band_hashes_arr(
     df_with_shingles: DataFrame, id_col: str, bands: int = 4, rows: int = 4
 ) -> DataFrame:
