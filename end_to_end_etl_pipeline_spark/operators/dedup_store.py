@@ -27,14 +27,15 @@ O(batch + collisions):
   (:meth:`ManifestCatalog.append`), so concurrent ingests don't lose
   updates, and the decision + append are reproducible.
 
-Scale path beyond this module: each ingest scans the full signature
+Two storage modes. Default: each ingest scans the full signature
 store to derive band hashes (signature-width, so a billion-doc store
-is ~100 GB — one cheap columnar scan, not a corpus scan). When even
-that matters, persist the store bucketed BY band hash
-(``BucketedSCD2``-style manifest bucket dirs, like the IVF store's
-cell layout) and read only the buckets the batch's band hashes
-collide with — the same storage-level pruning trick
-``operators/ivf_store.py`` already demonstrates.
+is ~100 GB — one cheap columnar scan, not a corpus scan).
+``band_buckets=N``: the store additionally maintains a band table
+bucketed by ``pmod(hash(band_hash), N)`` in the manifest
+(``ManifestCatalog.append_bucketed``) and each ingest reads ONLY the
+buckets the batch's own band hashes fall in — lossless storage-level
+pruning (equal band_hash ⇒ equal bucket), the same trick as the IVF
+store's cell layout. Decisions are bit-identical across modes.
 
 No reference counterpart (the reference dedups by business key only,
 ``medallion/silver/b2s_company_house.py:70``); this is the
@@ -67,7 +68,17 @@ class MinHashDedupStore:
         bands: int = 4,
         shingle_len: int = 6,
         threshold: float = 0.6,
+        band_buckets: int | None = None,
     ):
+        """``band_buckets``: when set, the store ALSO maintains
+        ``<table>__bands`` — the (id, band, band_hash) rows bucketed
+        by ``pmod(hash(band_hash), band_buckets)`` in the manifest —
+        and each ingest reads ONLY the buckets the batch's own band
+        hashes fall in (equal band_hash ⇒ equal bucket, so pruning is
+        lossless). That turns the per-ingest store read from
+        O(store) into O(store × touched_buckets / band_buckets) of
+        IO — the storage-level pruning scale path; decisions are
+        bit-identical to the unbucketed mode."""
         if num_hashes % bands:
             raise ValueError("num_hashes must be divisible by bands")
         self.catalog = catalog
@@ -78,6 +89,8 @@ class MinHashDedupStore:
         self.rows = num_hashes // bands
         self.shingle_len = shingle_len
         self.threshold = threshold
+        self.band_buckets = band_buckets
+        self.bands_table = f"{table}__bands"
 
     # -- internals -------------------------------------------------------
     def _signatures(self, docs: DataFrame, text_col: str) -> DataFrame:
@@ -125,7 +138,22 @@ class MinHashDedupStore:
         rejected_vs_store = None
         if self.catalog.exists(self.table):
             sig_old = self.catalog.read(self.table)
-            bands_old = lsh_bands(sig_old, self.id_col, self.bands, self.rows)
+            if self.band_buckets is not None:
+                # storage-level pruning: only read band buckets the
+                # batch can collide with (batch-bounded id list)
+                touched = sorted(
+                    r.b
+                    for r in bands_new.select(
+                        F.pmod(F.hash("band_hash"), F.lit(self.band_buckets))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                bands_old = self.catalog.read(self.bands_table, buckets=touched)
+            else:
+                bands_old = lsh_bands(sig_old, self.id_col, self.bands, self.rows)
             cand = self._collisions(bands_new, bands_old)
             est = (
                 cand.join(sig_new.alias("a"), F.col("id_a") == F.col(f"a.{self.id_col}"))
@@ -198,6 +226,19 @@ class MinHashDedupStore:
             self.catalog.append(accepted_sigs, self.table)
         else:
             self.catalog.replace_atomic(accepted_sigs, self.table)
+        if self.band_buckets is not None:
+            accepted_bands = lsh_bands(
+                accepted_sigs, self.id_col, self.bands, self.rows
+            )
+            self.catalog.append_bucketed(
+                accepted_bands,
+                self.bands_table,
+                bucket_expr=F.pmod(
+                    F.hash("band_hash"), F.lit(self.band_buckets)
+                ),
+                n_buckets=self.band_buckets,
+                bucket_keys=["band_hash"],
+            )
         accepted = accepted_sigs.select(self.id_col)
         # decision frames must survive sig_new's unpersist
         accepted = accepted.localCheckpoint(eager=True)

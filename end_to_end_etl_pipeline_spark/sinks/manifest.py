@@ -434,6 +434,86 @@ class ManifestCatalog:
             ):
                 return
 
+    def append_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_expr,
+        n_buckets: int,
+        bucket_keys: Sequence[str],
+        bucket_fn: str = "hash_pmod",
+    ) -> None:
+        """K2 for BUCKETED tables: write the batch partitioned by its
+        bucket id and CAS-merge the new per-bucket subdirs into
+        ``bucket_dirs`` — buckets untouched by the batch keep their
+        existing dir lists verbatim, so bucket-pruned readers never
+        pay for appends elsewhere. First call creates the table with
+        the given layout; later calls must match it (changing the
+        bucket contract silently would corrupt pruning).
+
+        ``bucket_expr`` is a Column producing the bucket id (callers
+        own the contract — e.g. ``pmod(hash(cols), n)`` or an identity
+        cell id, mirroring ``bucket_fn``)."""
+        data_dir = self._new_data_dir(name)
+        (
+            df.withColumn(BUCKET_COL, bucket_expr.cast("int"))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(data_dir)
+        )
+        new_subdirs: dict[str, str] = {}
+        for p in self.fs.listdir(data_dir):
+            base = p.rsplit("/", 1)[-1]
+            if base.startswith(f"{BUCKET_COL}="):
+                new_subdirs[base.split("=", 1)[1]] = p
+        while True:
+            manifest = self.latest_manifest(name)
+            if manifest is None:
+                bucket_dirs = {b: [d] for b, d in new_subdirs.items()}
+                committed = self._commit_if(
+                    name,
+                    {
+                        "dirs": None,
+                        "bucket_dirs": bucket_dirs,
+                        "n_buckets": n_buckets,
+                        "bucket_keys": list(bucket_keys),
+                        "bucket_fn": bucket_fn,
+                    },
+                    0,
+                )
+                if committed:
+                    return
+                continue
+            if manifest.get("bucket_dirs") is None:
+                raise ValueError(
+                    f"table {name} is unbucketed; use append, not append_bucketed"
+                )
+            if (
+                manifest.get("n_buckets") != n_buckets
+                or list(manifest.get("bucket_keys") or []) != list(bucket_keys)
+                or manifest.get("bucket_fn", "hash_pmod") != bucket_fn
+            ):
+                raise ValueError(
+                    f"table {name}: bucket layout mismatch "
+                    f"(existing n={manifest.get('n_buckets')} "
+                    f"keys={manifest.get('bucket_keys')} "
+                    f"fn={manifest.get('bucket_fn', 'hash_pmod')!r})"
+                )
+            bucket_dirs = {b: list(ds) for b, ds in manifest["bucket_dirs"].items()}
+            for b, d in new_subdirs.items():
+                bucket_dirs.setdefault(b, []).append(d)
+            extras = {
+                k: v
+                for k, v in manifest.items()
+                if k not in ("version", "dirs", "bucket_dirs", "stats")
+            }
+            if self._commit_if(
+                name,
+                extras | {"dirs": None, "bucket_dirs": bucket_dirs},
+                manifest["version"],
+            ):
+                return
+
     def drop(self, name: str) -> None:
         self.fs.delete(self.table_dir(name))
 

@@ -138,3 +138,65 @@ def test_dedup_store_invariants_fuzzed(spark, tmp_path_factory, b1, b2):
     acc3, _ = store.ingest(mk(b2, 100), "text")
     assert acc3.count() == 0
     assert {r.doc_id for r in cat.read("z.sigs").collect()} == seen_store
+
+
+def test_bucketed_band_store_matches_unbucketed_and_prunes(spark, tmp_path):
+    """band_buckets mode: identical accept/reject decisions to the
+    unbucketed store (band-hash bucket pruning is lossless), while a
+    small second batch touches a strict subset of band buckets —
+    the storage-level pruning scale path."""
+    from pyspark.sql import functions as F
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    b1 = _docs(spark, [(1, BASE + "x"), (2, BASE + "y"), (3, OTHER)])
+    b2 = _docs(spark, [(10, BASE + "z"), (11, OTHER[5:] + "qq" * 20)])
+
+    results = {}
+    for mode, kw in (("plain", {}), ("bucketed", {"band_buckets": 16})):
+        cat = ManifestCatalog(spark, f"file://{tmp_path}/{mode}")
+        store = MinHashDedupStore(cat, "s.sigs", threshold=0.6, **kw)
+        store.ingest(b1, "text")
+        acc, rej = store.ingest(b2, "text")
+        results[mode] = (
+            sorted(r.doc_id for r in acc.collect()),
+            sorted((r.doc_id, r.dup_of, r.est_jaccard) for r in rej.collect()),
+        )
+    assert results["plain"] == results["bucketed"]
+
+    # pruning check: batch 2's band hashes touch < all populated buckets
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/bucketed")
+    m = cat.latest_manifest("s.sigs__bands")
+    populated = {b for b, ds in m["bucket_dirs"].items() if ds}
+    assert len(populated) >= 2  # the layout actually spreads
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import lsh_bands
+
+    store = MinHashDedupStore(cat, "s.sigs", threshold=0.6, band_buckets=16)
+    sig2 = store._signatures(b2, "text")
+    touched = {
+        str(r.b)
+        for r in lsh_bands(sig2, "doc_id", 4, 4)
+        .select(F.pmod(F.hash("band_hash"), F.lit(16)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert len(touched) <= 8  # 2 docs x 4 bands: bounded probe set
+
+
+def test_append_bucketed_layout_guard(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    df = spark.createDataFrame([(1, "h1"), (2, "h2")], "id int, band_hash string")
+    be = F.pmod(F.hash("band_hash"), F.lit(8))
+    cat.append_bucketed(df, "t.bands", be, n_buckets=8, bucket_keys=["band_hash"])
+    cat.append_bucketed(df, "t.bands", be, n_buckets=8, bucket_keys=["band_hash"])
+    # two appends: every populated bucket lists its dirs cumulatively
+    m = cat.latest_manifest("t.bands")
+    assert sum(len(ds) for ds in m["bucket_dirs"].values()) == 4  # 2 rows x 2 appends
+    assert cat.read("t.bands").count() == 4
+    with pytest.raises(ValueError, match="layout mismatch"):
+        cat.append_bucketed(df, "t.bands", be, n_buckets=16, bucket_keys=["band_hash"])
+    with pytest.raises(ValueError, match="unbucketed"):
+        cat.replace_atomic(df, "t.plain")
+        cat.append_bucketed(df, "t.plain", be, n_buckets=8, bucket_keys=["band_hash"])
