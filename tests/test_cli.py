@@ -1,0 +1,73 @@
+"""Pipeline CLI: config → layers → published tables, bad-config and
+failure exit codes. Runs in-process (same session) — the CLI is a thin
+argparse shell over MedallionPipeline."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.cli import main
+from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+
+def _write_config(tmp_path, spark):
+    src = tmp_path / "orders_src"
+    spark.createDataFrame(
+        [(1, 10, "2026-01-05", 100.0), (2, 10, "2026-04-01", 50.0),
+         (3, 11, "2026-01-20", 70.0), (3, 11, "2026-01-20", 70.0)],
+        "order_id int, cust int, d string, amount double",
+    ).write.mode("overwrite").parquet(str(src))
+    cfg = {
+        "catalog_root": str(tmp_path / "lake"),
+        "bronze": [
+            {"table": "bronze.orders",
+             "source": {"format": "parquet", "path": str(src)}}
+        ],
+        "silver": [
+            {"table": "silver.orders", "from": "bronze.orders",
+             "business_keys": ["order_id"],
+             "bounds": {"amount": [0, 1000000]},
+             "derive": {"quarter": "CAST(date_trunc('quarter', CAST(d AS DATE)) AS DATE)"},
+             "dedup": {"keys": ["order_id"], "order_by": ["d DESC"]}}
+        ],
+        "gold": [
+            {"table": "gold.orders", "from": "silver.orders", "kind": "promote"}
+        ],
+    }
+    p = tmp_path / "pipeline.json"
+    p.write_text(json.dumps(cfg))
+    return p
+
+
+def test_cli_runs_pipeline_and_publishes(spark, tmp_path, capsys):
+    cfg = _write_config(tmp_path, spark)
+    assert main([str(cfg), "--catalog", "manifest"]) == 0
+    out = capsys.readouterr().out
+    assert "published gold: gold.orders" in out
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    gold = cat.read("gold.orders")
+    assert sorted(r.order_id for r in gold.collect()) == [1, 2, 3]  # deduped
+    assert "quarter" in gold.columns
+    assert "last_updated_ts" not in gold.columns  # technical cols stripped
+
+
+def test_cli_layer_selection(spark, tmp_path):
+    cfg = _write_config(tmp_path, spark)
+    assert main([str(cfg), "--layers", "bronze"]) == 0
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    assert cat.exists("bronze.orders") and not cat.exists("silver.orders")
+
+
+def test_cli_exit_codes(spark, tmp_path):
+    bad = tmp_path / "nope.json"
+    assert main([str(bad)]) == 2  # missing file
+    bad.write_text("{not json")
+    assert main([str(bad)]) == 2  # unparsable
+    cfg = _write_config(tmp_path, spark)
+    assert main([str(cfg), "--layers", "platinum"]) == 2  # unknown layer
+    # failing pipeline (silver references a table bronze never built)
+    broken = json.loads(cfg.read_text())
+    broken["silver"][0]["from"] = "bronze.missing"
+    p2 = tmp_path / "broken.json"
+    p2.write_text(json.dumps(broken))
+    assert main([str(p2), "--layers", "silver"]) == 1
