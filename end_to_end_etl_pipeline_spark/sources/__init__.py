@@ -1,3 +1,9 @@
+from end_to_end_etl_pipeline_spark.sources.rest import (
+    RestError,
+    RestExtractor,
+    extract_distributed,
+    urllib_transport,
+)
 from end_to_end_etl_pipeline_spark.sources.readers import (
     read_csv,
     read_json,
@@ -9,6 +15,10 @@ from end_to_end_etl_pipeline_spark.sources.readers import (
 )
 
 __all__ = [
+    "RestError",
+    "RestExtractor",
+    "extract_distributed",
+    "urllib_transport",
     "read_csv",
     "read_json",
     "read_parquet",
