@@ -469,3 +469,108 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_match_chars: int = 1,
+    drop_empty_docs: bool = False,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup with document reconstruction
+    (the C4 `remove duplicate lines` / RefinedWeb line-dedup step —
+    boilerplate nav bars, cookie banners, and licence footers repeat
+    across millions of pages; dropping repeats beats dropping docs).
+
+    A line occurrence survives only at its FIRST occurrence in corpus
+    order (lowest ``(id, line_pos)``) — every later occurrence of the
+    same normalized line (lower + trim) anywhere in the corpus is
+    removed. Documents are reassembled from their surviving lines in
+    original order. Lines whose normalized form is shorter than
+    ``min_match_chars`` (e.g. blank separators) are exempt: they never
+    match anything and are always kept.
+
+    Returns (id, text, n_lines, n_lines_kept) — ``text`` rebuilt with
+    ``sep``; empty docs kept as '' unless ``drop_empty_docs``.
+
+    Plan shape (the 100 TB design):
+
+    * one ``posexplode`` projection (no shuffle);
+    * ONE agg shuffle on the normalized line hash with
+      ``min_by(row, (id, pos))`` — map-side partial agg means a
+      boilerplate line occurring 10^9 times still contributes one
+      candidate row per map task, so hot lines cannot skew a
+      partition (a window over the hash would funnel every
+      occurrence of the hottest line into one task);
+    * exempt lines bypass the agg entirely (union);
+    * one re-agg shuffle on ``id`` to rebuild documents.
+
+    Two shuffles total — the floor for "global first-wins + per-doc
+    reassembly" (duplicates must meet once; a doc's lines must meet
+    once)."""
+    import re as _re
+
+    pat = _re.escape(sep)  # F.split takes a REGEX pattern string
+    row_w = F.struct(F.col("__id").alias("id"), F.col("__pos").alias("pos"))
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), pat, -1)).alias("__n_lines"),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__norm", F.lower(F.trim(F.col("__line"))))
+    eligible = F.length("__norm") >= min_match_chars
+    payload = F.struct(
+        F.col("__id").alias("id"),
+        F.col("__pos").alias("pos"),
+        F.col("__line").alias("line"),
+        F.col("__n_lines").alias("n_lines"),
+    )
+    winners = (
+        lines.filter(eligible)
+        .groupBy(F.md5(F.col("__norm")).alias("__k"))
+        .agg(F.min_by(payload, row_w).alias("__r"))
+        .select("__r.id", "__r.pos", "__r.line", "__r.n_lines")
+    )
+    kept = winners.unionByName(
+        lines.filter(~eligible).select(
+            F.col("__id").alias("id"),
+            F.col("__pos").alias("pos"),
+            F.col("__line").alias("line"),
+            F.col("__n_lines").alias("n_lines"),
+        )
+    )
+    docs = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.first("n_lines").alias("n_lines"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    # a doc whose every line lost re-enters with text='' via the
+    # original frame (its id has no surviving row at all); the rejoin
+    # scans only (id, text-length) — column-pruned, no payload
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), pat, -1)).alias("__nl"),
+    )
+    out = (
+        base.join(docs, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_lines"), F.col("__nl")).alias("n_lines"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+        )
+    )
+    if drop_empty_docs:
+        out = out.filter(F.col("n_lines_kept") > 0)
+    return out

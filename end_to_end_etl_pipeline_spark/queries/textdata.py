@@ -1664,3 +1664,82 @@ def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(need / F.col("avail_tokens")).cast("bigint").alias("epochs"),
         )
     )
+
+
+@register(
+    "line_dedup_corpus",
+    oracle="""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+      FROM documents
+    ),
+    d2 AS (
+      SELECT doc_id,
+             CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+               [array_to_string(words[(i*5+1):(i*5+5)], ' ')
+                FOR i IN generate_series(0, CAST(ceil(len(words)/5.0) AS INT) - 1)]
+             END AS lines
+      FROM wl
+    ),
+    ln AS (
+      SELECT doc_id, n_lines, CAST(i AS INT) AS pos,
+             lines[CAST(i AS INT) + 1] AS line
+      FROM (SELECT doc_id, lines, len(lines) AS n_lines,
+                   unnest(generate_series(0, len(lines) - 1)) AS i
+            FROM d2)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line, n_lines,
+             row_number() OVER (PARTITION BY lower(trim(line))
+                                ORDER BY doc_id, pos) AS rn,
+             length(trim(line)) >= 1 AS eligible
+      FROM ln
+    ),
+    kept AS (
+      SELECT doc_id, pos, line, n_lines FROM ranked
+      WHERE rn = 1 OR NOT eligible
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             any_value(n_lines) AS n_lines, count(*) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d2.doc_id,
+           coalesce(agg.text, '') AS text,
+           CAST(coalesce(agg.n_lines, len(d2.lines)) AS INT) AS n_lines,
+           CAST(coalesce(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM d2 LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Corpus-wide line-level exact dedup with document "
+    "reconstruction (C4 remove-duplicate-lines / RefinedWeb line "
+    "dedup): a line survives only at its first corpus occurrence "
+    "(lowest (doc_id, pos), lower+trim normalized), and documents "
+    "are rebuilt from surviving lines in order. The synthetic corpus "
+    "has no newlines, so docs are first re-lined into 5-word lines "
+    "(same derivation in the oracle). Plan: posexplode -> ONE "
+    "min_by agg shuffle on the line hash (map-side partials make "
+    "boilerplate hot lines skew-proof; a window would funnel every "
+    "occurrence of the hottest line into one task) -> one doc-id "
+    "re-agg. Two shuffles, the floor for global-first-wins + "
+    "reassembly.",
+    tags=("north-star", "dedup", "text"),
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+        dedup_lines_global,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    n_lines = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+    lines = F.when(F.size(words) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+        )
+    )
+    relined = _spread(
+        docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    )
+    return dedup_lines_global(relined, "doc_id", "text", sep="\n")

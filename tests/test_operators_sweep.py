@@ -458,3 +458,52 @@ def test_minhash_broadcast_guard_dup_heavy_corpus(spark):
     assert [(r.id_a, r.id_b) for r in bc_rows] == [(r.id_a, r.id_b) for r in sh_rows]
     for a, b in zip(bc_rows, sh_rows):
         assert a.jaccard == b.jaccard
+
+
+def test_line_dedup_global_first_wins_and_exemptions(spark):
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+        dedup_lines_global,
+    )
+
+    rows = [
+        (1, "Hello World\nCOOKIE BANNER\nunique one"),
+        (2, "cookie banner\nunique two\n\nHello world"),
+        (3, "cookie banner"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup_lines_global(df, "doc_id", "text").collect()
+    }
+    # doc 1: every line is a first occurrence — untouched
+    assert out[1].text == rows[0][1]
+    assert (out[1].n_lines, out[1].n_lines_kept) == (3, 3)
+    # doc 2: loses both repeats (case/trim-insensitive), keeps the
+    # blank separator (exempt from matching) and its unique line
+    assert out[2].text == "unique two\n"
+    assert (out[2].n_lines, out[2].n_lines_kept) == (4, 2)
+    # doc 3: every line lost — kept as empty text, not dropped
+    assert out[3].text == ""
+    assert (out[3].n_lines, out[3].n_lines_kept) == (1, 0)
+    # drop_empty_docs prunes the emptied doc
+    kept_ids = {
+        r.doc_id
+        for r in dedup_lines_global(
+            df, "doc_id", "text", drop_empty_docs=True
+        ).collect()
+    }
+    assert kept_ids == {1, 2}
+
+
+def test_line_dedup_single_agg_shuffle_on_line_hash(spark):
+    """The global-winner stage must be a map-side-partial aggregate on
+    the line hash (skew-proof), not a window: no Window node before
+    the first exchange, and partial_min_by appears below it."""
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+        dedup_lines_global,
+    )
+
+    df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    plan = dedup_lines_global(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "min_by" in plan
+    assert "Window" not in plan  # winner choice is agg-based, not window
