@@ -44,7 +44,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from end_to_end_etl_pipeline_spark.operators.similarity import ensure_codegen_fields
+from end_to_end_etl_pipeline_spark.operators.similarity import (
+    ensure_codegen_fields,
+    ivf_probe as ivf_probe_fn,
+)
 
 # cb[m] = [(code, [subdim centroid components]), ...] sorted by code.
 # Codes are stable labels (init cluster ids), not list positions —
@@ -201,6 +204,85 @@ def pq_encode(df: DataFrame, vec_col: str, cb: Codebook, round_dp: int = 6) -> D
     return df.withColumn("pq_codes", _codes_expr(v, cb, round_dp))
 
 
+def _query_dtable(vec_col: str, cb: Codebook, round_dp: int) -> Column:
+    """A query row's M×K ADC distance table as one nested-array
+    column: exact subspace squared-L2 to every codebook centroid,
+    rounded. Tables are dense over code labels 0..K-1; a dropped
+    cluster's slot is a 0.0 filler no surviving code ever points at."""
+    CB, LB = _cb_literals(cb)
+    subdim = _subdim(cb)
+    num_k = max(code for cb_m in cb for code, _ in cb_m) + 1
+    qv = F.col(vec_col).cast("array<double>")
+
+    def per_m_table(m: Column) -> Column:
+        sub = F.slice(qv, m * subdim + 1, subdim)
+        lbm = F.element_at(LB, m + 1)
+        cbm = F.element_at(CB, m + 1)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_k - 1)),
+            lambda code: F.when(F.array_position(lbm, code) == 0, F.lit(0.0)).otherwise(
+                _fold_l2sq(
+                    sub,
+                    F.element_at(cbm, F.array_position(lbm, code).cast("int")),
+                    round_dp,
+                )
+            ),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(len(cb) - 1)), per_m_table)
+
+
+def _adc_dist() -> Column:
+    """Approximate squared-L2 from a row's (__dt, pq_codes): M
+    ``element_at`` lookups folded JVM-side — no vector math per doc."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("__dt"),
+            F.col("pq_codes"),
+            lambda t, code: F.element_at(t, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    round_dp: int,
+) -> DataFrame:
+    """Exact squared-L2 re-rank of an ADC shortlist against the raw
+    vectors. ``short`` is (query_id, match_id) — candidate-keyed, so
+    the raw-vector side is touched for shortlist rows only."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    exact = (
+        F.broadcast(short)
+        .join(q, "query_id")
+        .join(c, "match_id")
+        .withColumn("l2sq", _fold_l2sq(F.col("__qv"), F.col("__cv"), round_dp))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2sq").asc(), F.col("match_id").asc()
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "match_id", "l2sq")
+    )
+
+
 def pq_topk_adc(
     queries: DataFrame,
     encoded: DataFrame,
@@ -224,47 +306,13 @@ def pq_topk_adc(
     per-query top-k is a ``row_number`` window; Spark's
     WindowGroupLimit turns the rank filter into partial per-partition
     top-k, so the exchange carries ≤ k rows per partition per query."""
-    CB, LB = _cb_literals(cb)
-    subdim = _subdim(cb)
-    num_k = max(code for cb_m in cb for code, _ in cb_m) + 1
-    qv = F.col(vec_col).cast("array<double>")
-
-    def per_m_table(m: Column) -> Column:
-        sub = F.slice(qv, m * subdim + 1, subdim)
-        lbm = F.element_at(LB, m + 1)
-        cbm = F.element_at(CB, m + 1)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(num_k - 1)),
-            lambda code: F.when(F.array_position(lbm, code) == 0, F.lit(0.0)).otherwise(
-                _fold_l2sq(
-                    sub,
-                    F.element_at(cbm, F.array_position(lbm, code).cast("int")),
-                    round_dp,
-                )
-            ),
-        )
-
-    dtable = F.transform(F.sequence(F.lit(0), F.lit(len(cb) - 1)), per_m_table)
+    dtable = _query_dtable(vec_col, cb, round_dp)
     q = queries.select(F.col(query_id).alias("query_id"), dtable.alias("__dt"))
     c = encoded.select(F.col(corpus_id).alias("match_id"), "pq_codes")
     scored = c.join(F.broadcast(q), F.lit(True))
     if exclude_self:
         scored = scored.filter(F.col("match_id") != F.col("query_id"))
-    scored = scored.withColumn(
-        "adc_dist",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("__dt"),
-                    F.col("pq_codes"),
-                    lambda t, code: F.element_at(t, code + 1),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            round_dp,
-        ),
-    )
+    scored = scored.withColumn("adc_dist", F.round(_adc_dist(), round_dp))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("match_id").asc()
     )
@@ -312,25 +360,72 @@ def pq_topk_rerank(
         round_dp=round_dp,
         exclude_self=exclude_self,
     ).select("query_id", "match_id")
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
+    return _exact_rerank(
+        short, queries, corpus, query_id, corpus_id, vec_col, k, round_dp
     )
-    c = corpus.select(
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    encoded: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    cell_col: str,
+    cb: Codebook,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist_factor: int = 5,
+    round_dp: int = 6,
+    exclude_self: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVFADC — the full production ANN retrieval stack in one plan:
+    coarse IVF routing picks ``nprobe`` cells per query, the ADC pass
+    scores ONLY the probed cells' PQ codes, and exact squared-L2
+    re-ranks the shortlist against raw vectors. Returns
+    (query_id, match_id, l2sq), smallest first, ties to lowest id.
+
+    This composes the two scale levers the tiers provide separately:
+
+    * **IVF** (`operators/similarity.ivf_probe`): the candidate scan
+      covers nprobe/cells of the corpus — with the cell-partitioned
+      store (`operators/ivf_store`) that is a storage-level dir prune,
+      not just a plan filter;
+    * **PQ**: what IS scanned is M small codes per doc, not D floats
+      (~30–60× fewer bytes), scored with M table lookups per doc.
+
+    At 100 TB: the probe is centroid-model-sized, the per-cell join is
+    an equi-join on the cell key (broadcast side = queries × nprobe ×
+    (M×K table) — model-parameter scale), and the re-rank touches raw
+    vectors for k·factor·|Q| rows only. ``encoded`` must carry
+    ``cell_col`` (encode once, store codes + cell together)."""
+    probed = ivf_probe_fn(
+        queries, corpus, query_id, vec_col, cell_col, nprobe=nprobe, dim=dim
+    )
+    dtable = _query_dtable(vec_col, cb, round_dp)
+    q = queries.select(F.col(query_id).alias("query_id"), dtable.alias("__dt"))
+    qp = probed.join(q, "query_id").withColumnRenamed("label", "__cell")
+    c = encoded.select(
         F.col(corpus_id).alias("match_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+        "pq_codes",
+        F.col(cell_col).alias("__cell"),
     )
-    exact = (
-        F.broadcast(short)
-        .join(q, "query_id")
-        .join(c, "match_id")
-        .withColumn("l2sq", _fold_l2sq(F.col("__qv"), F.col("__cv"), round_dp))
+    scored = c.join(F.broadcast(qp), "__cell")
+    if exclude_self:
+        scored = scored.filter(F.col("match_id") != F.col("query_id"))
+    scored = scored.withColumn("adc_dist", F.round(_adc_dist(), round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("match_id").asc()
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("l2sq").asc(), F.col("match_id").asc())
-    return (
-        exact.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "match_id", "l2sq")
+    short = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * shortlist_factor)
+        .select("query_id", "match_id")
+    )
+    return _exact_rerank(
+        short, queries, corpus, query_id, corpus_id, vec_col, k, round_dp
     )
 
 

@@ -143,6 +143,48 @@ def label_centroids_array(
     )
 
 
+def ivf_probe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    vec_col: str,
+    label_col: str,
+    nprobe: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """The coarse-quantizer routing step shared by every IVF-tier
+    search (:func:`cosine_topk_ivf`, `operators/pq.ivfpq_topk`,
+    `operators/ivf_store`): rank the per-cell centroids against each
+    query by cosine (rounded 6dp, tie → label asc) and keep the
+    ``nprobe`` best. Returns (query_id, label) — queries × nprobe
+    rows, model-parameter scale. The centroid frame is cells × dim
+    (broadcast); the ranking itself never touches the corpus beyond
+    the one centroid-training aggregation."""
+    cent = label_centroids_array(corpus, label_col, vec_col, dim=dim)
+    qq = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
+    ).select("query_id", (F.col("pos0") + 1).alias("pos"), "v")
+    qcent = (
+        qq.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("d"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qn"),
+            F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn"),
+        )
+        .withColumn("score", F.round(F.col("d") / (F.col("qn") * F.col("cn")), 6))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        qcent.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "label")
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -162,28 +204,8 @@ def cosine_topk_ivf(
     cells (the recall/cost dial is ``nprobe``). Pass ``dim`` (the
     fixed embedding width) so the quantizer build avoids the
     posexplode row inflation — see :func:`label_centroids_array`."""
-    cent = label_centroids_array(corpus, label_col, vec_col, dim=dim)
-    qq = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
-    ).select("query_id", (F.col("pos0") + 1).alias("pos"), "v")
-    qcent = (
-        qq.join(F.broadcast(cent), "pos")
-        .groupBy("query_id", "label")
-        .agg(
-            F.sum(F.col("v") * F.col("cv")).alias("d"),
-            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qn"),
-            F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn"),
-        )
-        .withColumn("score", F.round(F.col("d") / (F.col("qn") * F.col("cn")), 6))
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("label").asc()
-    )
-    probed = (
-        qcent.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "label")
+    probed = ivf_probe(
+        queries, corpus, query_id, vec_col, label_col, nprobe=nprobe, dim=dim
     )
     q = _prep(queries, query_id, vec_col, "query_id", "__qv")
     # carry the label in the same projection — joining the corpus back

@@ -497,3 +497,132 @@ def semantic_pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_prune(
         corpus, "vec_id", "embedding", "label", threshold=0.995
     )
+
+
+@register(
+    "ivfpq_topk",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id AS id,
+             CAST((pos - 1) // (dim // {_PQ_M}) AS INT) AS m,
+             CAST((pos - 1) % (dim // {_PQ_M}) + 1 AS INT) AS i,
+             x
+      FROM (SELECT vec_id, len(embedding) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+    ),
+    lab AS (SELECT vec_id AS id, label FROM embeddings),
+    cb0 AS (
+      SELECT m, CAST(id % {_PQ_K} AS INT) AS code, i, round(avg(x), 6) AS c
+      FROM el GROUP BY m, code, i
+    ),
+    d1 AS (
+      SELECT e.id, e.m, b.code, round(sum((e.x - b.c) * (e.x - b.c)), 6) AS dist
+      FROM el e JOIN cb0 b ON e.m = b.m AND e.i = b.i
+      GROUP BY e.id, e.m, b.code
+    ),
+    a1 AS (
+      SELECT id, m, code FROM d1
+      QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY dist, code) = 1
+    ),
+    cb1 AS (
+      SELECT e.m, a.code, e.i, round(avg(e.x), 6) AS c
+      FROM el e JOIN a1 a ON e.id = a.id AND e.m = a.m
+      GROUP BY e.m, a.code, e.i
+    ),
+    d2 AS (
+      SELECT e.id, e.m, b.code, round(sum((e.x - b.c) * (e.x - b.c)), 6) AS dist
+      FROM el e JOIN cb1 b ON e.m = b.m AND e.i = b.i
+      GROUP BY e.id, e.m, b.code
+    ),
+    codes AS (
+      SELECT id, m, code FROM d2
+      QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY dist, code) = 1
+    ),
+    cent AS (
+      SELECT l.label, e.m, e.i, round(avg(e.x), 6) AS cv
+      FROM el e JOIN lab l ON l.id = e.id
+      GROUP BY l.label, e.m, e.i
+    ),
+    qcent AS (
+      SELECT q.id AS query_id, cent.label,
+             round(sum(q.x * cent.cv) /
+                   (sqrt(sum(q.x * q.x)) * sqrt(sum(cent.cv * cent.cv))), 6) AS score
+      FROM el q JOIN cent ON q.m = cent.m AND q.i = cent.i
+      WHERE q.id < 10
+      GROUP BY 1, 2
+    ),
+    probed AS (
+      SELECT query_id, label FROM qcent
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, label) <= 2
+    ),
+    dt AS (
+      SELECT q.id AS query_id, q.m, b.code,
+             round(sum((q.x - b.c) * (q.x - b.c)), 6) AS d
+      FROM el q JOIN cb1 b ON q.m = b.m AND q.i = b.i
+      WHERE q.id < 10
+      GROUP BY q.id, q.m, b.code
+    ),
+    score AS (
+      SELECT t.query_id, s.id AS match_id, round(sum(t.d), 6) AS adc_dist
+      FROM codes s
+      JOIN lab cm ON cm.id = s.id
+      JOIN probed p ON p.label = cm.label
+      JOIN dt t ON s.m = t.m AND s.code = t.code
+             AND t.query_id = p.query_id AND s.id <> t.query_id
+      GROUP BY t.query_id, s.id
+    ),
+    short AS (
+      SELECT query_id, match_id FROM score
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, match_id) <= 25
+    ),
+    rerank AS (
+      SELECT s.query_id, s.match_id, round(sum((a.x - b.x) * (a.x - b.x)), 6) AS l2sq
+      FROM short s
+      JOIN el a ON a.id = s.query_id
+      JOIN el b ON b.id = s.match_id AND b.m = a.m AND b.i = a.i
+      GROUP BY s.query_id, s.match_id
+    )
+    SELECT query_id, match_id, l2sq FROM rerank
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    """,
+    doc="IVFADC — the composed production ANN stack: coarse IVF "
+    "routing (label cells, centroid cosine, nprobe=2) restricts the "
+    "ADC pass to the probed cells' PQ codes only, then exact "
+    "squared-L2 re-ranks the 25-candidate shortlist to top-5. "
+    "Combines both scale levers in one plan: the candidate scan "
+    "covers nprobe/cells of the corpus AND reads M 3-bit codes per "
+    "doc instead of 64 floats; the re-rank touches raw vectors for "
+    "shortlist rows only. The oracle replays coarse training, PQ "
+    "training (id%8 seed + 1 Lloyd step), routing, restricted ADC, "
+    "and re-rank exactly (everything rounded 6dp before comparisons).",
+    tags=("north-star", "vectors"),
+)
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=_PQ_M, num_centroids=_PQ_K, iters=1,
+    )
+    encoded = pq_encode(emb, "embedding", cb)
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        encoded,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "label",
+        cb,
+        k=5,
+        nprobe=2,
+        shortlist_factor=5,
+        dim=_dim(emb),
+    )
