@@ -1,0 +1,97 @@
+"""Mergeable frequency sketches: count-min (heavy-hitter estimation)
+— the streaming/distributed counterpart to exact group-by counts
+(BASELINE.json north star; reference has no sketches; the HLL
+distinct-count family lives in ``queries/core.py`` on Spark's
+``hll_sketch_agg``).
+
+A count-min sketch is a depth × width counter grid: each of ``depth``
+deterministic hash rows maps a key to one of ``width`` buckets; an
+occurrence increments one bucket per row. The estimate for a key is
+the MIN of its ``depth`` bucket counts — always ≥ the true count
+(collisions only inflate), with error ≤ 2N/width at probability
+1-(1/2)^depth.
+
+Why this matters at 100 TB: the sketch is ``depth × width`` integers
+REGARDLESS of corpus size or key cardinality, and it merges by
+bucket-wise addition — per-partition/per-day sketches roll up without
+re-touching data (the same mergeability contract as HLL). The build
+is one map-side-partial aggregation; no shuffle grows with the number
+of distinct keys.
+
+Determinism: bucket hashing is ``md5(row || ':' || key)`` (first 8
+hex chars as an integer, mod width) — no RNG, identical across
+engines, so a DuckDB oracle replays the exact grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(row: Column, key: Column, width: int) -> Column:
+    """Deterministic bucket for (hash-row, key): md5-derived 32-bit
+    int mod width. JVM-side (md5/conv built-ins), engine-replicable."""
+    h = F.md5(F.concat(row.cast("string"), F.lit(":"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt), depth × width rows max.
+
+    One projection (explode over ``depth`` — bounded constant fanout)
+    + one aggregation; map-side partials cap the exchange at
+    depth × width rows per task no matter how many occurrences or
+    distinct keys flow in. ``weight_col`` counts weighted occurrences
+    (e.g. token counts per doc) instead of rows."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = df.select(
+        F.col(key_col).alias("__key"),
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    return (
+        rows.withColumn("bucket", _bucket(F.col("row"), F.col("__key"), width))
+        .groupBy("row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bucket-wise sum of two sketches built with the same
+    (depth, width) — the rollup path: per-day/per-partition sketches
+    combine without re-reading data."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-estimate each key in ``keys``: min over the key's
+    ``depth`` bucket counts. The sketch side is ≤ depth × width rows —
+    broadcast; the probe is a projection + one small-key aggregation.
+    A key the sketch never saw estimates 0 (all its buckets may still
+    collide upward — CMS never underestimates)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).withColumn("bucket", _bucket(F.col("row"), F.col(key_col), width))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col)
+    )

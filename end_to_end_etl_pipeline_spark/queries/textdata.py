@@ -1743,3 +1743,87 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
     )
     return dedup_lines_global(relined, "doc_id", "text", sep="\n")
+
+
+def _cms_bucket_sql(row_expr: str, key_expr: str, width: int) -> str:
+    """DuckDB bucket expression matching operators/sketches._bucket:
+    md5(row:key) first-8-hex-chars as int, mod width."""
+    h = f"md5(CAST({row_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR))"
+    return f"({_nibble_int(h, 1)} % {width})"
+
+
+@register(
+    "word_heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS word
+      FROM documents
+    ),
+    exact AS (SELECT word, count(*) AS exact_cnt FROM tok GROUP BY word),
+    top AS (
+      SELECT word, exact_cnt FROM exact
+      QUALIFY row_number() OVER (ORDER BY exact_cnt DESC, word) <= 20
+    ),
+    r AS (SELECT unnest(generate_series(0, 3)) AS row),
+    grid AS (
+      SELECT row, {_cms_bucket_sql('row', 'word', 256)} AS bucket,
+             count(*) AS cnt
+      FROM tok CROSS JOIN r
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT t.word, t.exact_cnt, r.row,
+             {_cms_bucket_sql('r.row', 't.word', 256)} AS bucket
+      FROM top t CROSS JOIN r
+    ),
+    est AS (
+      SELECT p.word, p.exact_cnt, min(coalesce(g.cnt, 0)) AS cms_est
+      FROM probe p LEFT JOIN grid g ON g.row = p.row AND g.bucket = p.bucket
+      GROUP BY 1, 2
+    )
+    SELECT word, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+    FROM est
+    """,
+    doc="Heavy-hitter word frequencies via a count-min sketch (depth "
+    "4 x width 256, md5-derived buckets) probed for the exact top-20 "
+    "words, with the exact counts and the CMS overcount alongside. "
+    "The estimate is min over 4 bucket rows, so it never "
+    "underestimates; the sketch is depth x width integers regardless "
+    "of corpus size and merges bucket-wise (per-partition/per-day "
+    "rollup without re-reading data - same mergeability contract as "
+    "the HLL family). Build is one map-side-partial agg; nothing in "
+    "the exchange grows with vocabulary.",
+    tags=("north-star", "text", "sketches"),
+)
+def word_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("word")
+    )
+    exact = tok.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    top = (
+        exact.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), F.col("word").asc())
+            ),
+        )
+        .filter(F.col("__rn") <= 20)
+        .drop("__rn")
+    )
+    sketch = cms_build(tok, "word", depth=4, width=256)
+    est = cms_estimate(sketch, top.select("word"), "word", depth=4, width=256)
+    return top.join(est, "word").select(
+        "word",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -507,3 +507,37 @@ def test_line_dedup_single_agg_shuffle_on_line_hash(spark):
     plan = dedup_lines_global(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "min_by" in plan
     assert "Window" not in plan  # winner choice is agg-based, not window
+
+
+def test_cms_merge_equals_single_build_and_never_underestimates(spark):
+    """The rollup contract: bucket-wise merging per-partition sketches
+    must equal one sketch over the union, and every estimate must be
+    >= the true count (CMS errs only upward)."""
+    from end_to_end_etl_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    part1 = spark.createDataFrame(
+        [(w,) for w in ["a", "b", "a", "c", "a", "b"]], ["k"]
+    )
+    part2 = spark.createDataFrame(
+        [(w,) for w in ["b", "d", "a", "d", "e"]], ["k"]
+    )
+    merged = cms_merge(
+        cms_build(part1, "k", depth=3, width=8),
+        cms_build(part2, "k", depth=3, width=8),
+    )
+    single = cms_build(part1.unionByName(part2), "k", depth=3, width=8)
+    as_map = lambda df: {(r.row, r.bucket): r.cnt for r in df.collect()}
+    assert as_map(merged) == as_map(single)
+
+    truth = {"a": 4, "b": 3, "c": 1, "d": 2, "e": 1, "zzz": 0}
+    keys = spark.createDataFrame([(k,) for k in truth], ["k"])
+    est = {
+        r.k: r.cms_est
+        for r in cms_estimate(merged, keys, "k", depth=3, width=8).collect()
+    }
+    for k, t in truth.items():
+        assert est[k] >= t  # never underestimates (width=8 forces collisions)
