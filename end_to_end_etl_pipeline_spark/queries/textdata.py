@@ -1827,3 +1827,80 @@ def word_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+@register(
+    "doc_bigram_logppl",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, ws, len(ws) AS n
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+            FROM documents)
+    ),
+    bg AS (
+      SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, n - 1)) AS i FROM toks)
+    ),
+    bfreq AS (SELECT w1, w2, count(*) AS f FROM bg GROUP BY 1, 2),
+    cfreq AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT word) AS v
+              FROM (SELECT unnest(ws) AS word FROM toks))
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln((bfreq.f + 1.0) / (cfreq.cw + vocab.v))), 4)
+             AS avg_neg_logp2
+    FROM bg JOIN bfreq USING (w1, w2) JOIN cfreq USING (w1) CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+    doc="Bigram log-perplexity quality scoring - the order-2 upgrade "
+    "of doc_unigram_logppl: per document, the mean negative log of "
+    "the add-one-smoothed conditional P(w2|w1) = (c(w1,w2)+1) / "
+    "(c(w1 .)+V) under the self-trained corpus bigram LM. Catches "
+    "what unigram scoring cannot: shuffled/unnatural word ORDER "
+    "scores high even when the word mix is normal. Bigrams come from "
+    "one per-row array transform (no join to build pairs, no "
+    "shuffle); the LM tables are the bigram/context frequency "
+    "relations joined on their keys - exactly the ngram-shard join "
+    "shape of a KenLM filter at scale; V broadcasts as one row. "
+    "Docs with fewer than 2 tokens have no bigrams and are absent.",
+    tags=("north-star", "text"),
+)
+def doc_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    pairs = F.when(F.size(words) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"),
+                F.element_at(words, i + 1).alias("w2"),
+            ),
+        )
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("f"))
+    cfreq = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    return (
+        bg.join(bfreq, ["w1", "w2"])
+        .join(cfreq, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("f") + F.lit(1.0))
+                        / (F.col("cw") + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("avg_neg_logp2"),
+        )
+    )
