@@ -100,18 +100,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orc_scan_roundtrip",
     # SCD2 transition semantics (K5/J3)
     "scd2_transition",
-    # dedup family
+    # dedup family (line_dedup = C4-style line-level dedup; the
+    # swapped-out ngram_jaccard_topk keeps sf0.01 pytest parity)
     "dedup_exact_text",
     "near_dup_pairs",
     "simhash_near_dup",
-    "ngram_jaccard_topk",
+    "line_dedup_corpus",
     "near_dup_clusters",
     "near_dup_pruned_corpus",
     "embedding_near_dup",
     "doc_span_overlap",
-    # similarity / ANN family
+    # similarity / ANN family (ivfpq = the IVFADC composite — it
+    # exercises the IVF probe AND the full PQ pipeline in one row;
+    # cosine_topk_ivf / pq_topk keep pytest parity)
     "cosine_topk",
-    "cosine_topk_ivf",
+    "ivfpq_topk",
     "pq_topk",
     "label_centroids",
     # embedding transforms + semantic dedup
@@ -125,9 +128,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gopher_quality_filter",
     "doc_tfidf_terms",
     "doc_fingerprints",
-    "doc_repetition_ratio",
+    # word_heavy_hitters_cms adds the mergeable count-min sketch
+    # family; doc_bigram_logppl supersedes the unigram LM row (same
+    # ngram-shard join shape, plus word-order sensitivity) — the
+    # swapped-out rows keep sf0.01 pytest parity
+    "word_heavy_hitters_cms",
     "boilerplate_ratio",
-    "doc_unigram_logppl",
+    "doc_bigram_logppl",
     "doc_normalized",
     "doc_pii_redacted",
     # tokenizer training

@@ -71,7 +71,8 @@ def test_driver_window_contract():
         "scd2_transition",
         "dedup_exact_text", "near_dup_pairs", "simhash_near_dup",
         "near_dup_clusters", "doc_span_overlap",
-        "cosine_topk", "cosine_topk_ivf", "pq_topk",
+        "cosine_topk", "ivfpq_topk", "pq_topk",
+        "line_dedup_corpus", "word_heavy_hitters_cms",
         "lang_id", "doc_token_stats", "doc_tfidf_terms",
         "bpe_merge_rules", "split_contamination",
         "binary_doc_stats", "doc_frame_samples",
