@@ -288,3 +288,59 @@ def sliding_chunks(
             F.slice(words, s, chunk_words).alias("toks"),
         ),
     )
+
+
+def hashed_feature_weights(
+    spark: SparkSession, dim: int, seed: str = "w"
+) -> DataFrame:
+    """The model-parameter table for :func:`hashed_linear_score`:
+    (bucket int, weight double) for buckets 0..dim-1, with weights
+    derived deterministically from md5 (no RNG — any engine replays
+    them): w(b) = first-8-hex-chars(md5(seed:b)) / 2^32 - 0.5, i.e.
+    uniform in [-0.5, 0.5). In production this frame is the trained
+    classifier's weight vector loaded from storage; its shape (dim
+    rows, broadcast into the scoring join) is identical."""
+    b = F.col("id").cast("int")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), b.cast("string")))
+    w = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+        - 0.5
+    )
+    return spark.range(dim).select(b.alias("bucket"), w.alias("weight"))
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    dim: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """fastText-shape linear quality-classifier inference: hash each
+    token into one of ``dim`` feature buckets (md5, deterministic),
+    average the buckets' weights over the document (mean-pooled
+    bag-of-words — exactly a one-layer fastText scorer), and classify
+    by the margin's sign. Returns (id, n_tokens, margin, keep).
+
+    The scale shape is what matters: the model is a ``dim``-row
+    weights frame BROADCAST into the token stream (model-parameter
+    scale, like the PQ codebooks), scoring is one projection + one
+    per-doc aggregation — no shuffle grows with vocabulary, and the
+    doc-key agg is map-side-partial. The margin is decimal-routed
+    before rounding so cross-engine double summation agrees."""
+    tok = _tokens(df, id_col, text_col)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("f:"), F.col("word"))), 1, 8), 16, 10)
+        .cast("long") % dim
+    ).cast("int")
+    scored = tok.withColumn("bucket", bucket).join(F.broadcast(weights), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            (F.sum("weight") / F.count(F.lit(1))).cast("decimal(20,10)"), round_dp
+        )
+        .cast("double")
+        .alias("margin"),
+        (F.sum("weight") >= 0).alias("keep"),
+    )

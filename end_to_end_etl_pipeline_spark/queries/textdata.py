@@ -1904,3 +1904,52 @@ def doc_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logp2"),
         )
     )
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS word
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             ({_nibble_int("md5('f:' || word)", 1)} % 512) AS bucket
+      FROM tok
+    ),
+    wtd AS (
+      SELECT doc_id,
+             {_nibble_int("md5('w:' || CAST(bucket AS VARCHAR))", 1)}
+               / 4294967296.0 - 0.5 AS weight
+      FROM feat
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(round(CAST(sum(weight) / count(*) AS DECIMAL(20,10)), 6)
+                AS DOUBLE) AS margin,
+           sum(weight) >= 0 AS keep
+    FROM wtd GROUP BY doc_id
+    """,
+    doc="fastText-shape quality-classifier inference "
+    "(operators/text_analysis.hashed_linear_score): tokens hash into "
+    "512 feature buckets (md5, no RNG), the md5-derived weight table "
+    "- standing in for a trained classifier's weight vector, same "
+    "shape - broadcasts into the token stream, and each document "
+    "classifies by the sign of its mean-pooled margin. The CCNet/"
+    "LLaMA-pipeline quality-filter step as one projection + one "
+    "map-side-partial doc aggregation; nothing in the plan grows "
+    "with vocabulary.",
+    tags=("north-star", "text"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        hashed_feature_weights,
+        hashed_linear_score,
+    )
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    weights = hashed_feature_weights(spark, dim=512)
+    return hashed_linear_score(docs, "doc_id", "text", weights, dim=512)
