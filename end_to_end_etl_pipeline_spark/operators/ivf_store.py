@@ -74,22 +74,18 @@ def write_ivf_store(
     catalog.replace_atomic(cent, f"{table}__centroids")
 
 
-def ivf_store_topk(
-    catalog: ManifestCatalog,
-    table: str,
+def _collect_probe(
+    cent: DataFrame,
     queries: DataFrame,
     query_id: str,
     vec_col: str,
-    k: int = 5,
-    nprobe: int = 2,
-    exclude_self: bool = True,
-) -> tuple[DataFrame, list[int]]:
-    """Top-k cosine over the stored corpus, scanning only the probed
-    cells' bucket dirs. Returns ``(result, probed_cells)`` so callers
-    (and tests) can assert the physical scan set; result columns are
-    (query_id, match_id, cosine), 6dp-rounded, ties to lowest id —
-    identical to ``cosine_topk_ivf`` whenever the probe sets agree."""
-    cent = catalog.read(f"{table}__centroids")
+    nprobe: int,
+) -> list[tuple]:
+    """Rank stored centroids per query (cosine 6dp, tie → label asc)
+    and collect the (query_id, cell) probe assignment — queries ×
+    nprobe pairs, model-parameter scale. Collected ONCE and re-entered
+    as a literal frame so the ranking subplan never re-executes inside
+    the scored join."""
     qq = queries.select(
         F.col(query_id).alias("query_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
@@ -107,17 +103,32 @@ def ivf_store_topk(
     wp = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("label").asc()
     )
-    # collect the probe assignment ONCE (queries x nprobe pairs —
-    # model-parameter scale) and re-enter it as a literal frame, so
-    # the centroid-ranking subplan doesn't execute a second time
-    # inside the scored join
-    probed_rows = [
+    return [
         (r["query_id"], int(r["label"]))
         for r in qcent.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "label")
         .collect()
     ]
+
+
+def ivf_store_topk(
+    catalog: ManifestCatalog,
+    table: str,
+    queries: DataFrame,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+) -> tuple[DataFrame, list[int]]:
+    """Top-k cosine over the stored corpus, scanning only the probed
+    cells' bucket dirs. Returns ``(result, probed_cells)`` so callers
+    (and tests) can assert the physical scan set; result columns are
+    (query_id, match_id, cosine), 6dp-rounded, ties to lowest id —
+    identical to ``cosine_topk_ivf`` whenever the probe sets agree."""
+    cent = catalog.read(f"{table}__centroids")
+    probed_rows = _collect_probe(cent, queries, query_id, vec_col, nprobe)
     spark = queries.sparkSession
     # derive the probe schema from the actual query-id DataType: a
     # hardcoded 'query_id long' would reject string/decimal doc ids
@@ -179,5 +190,158 @@ def ivf_store_topk(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("query_id", "match_id", "cosine")
+    )
+    return result, cells
+
+
+def write_ivfpq_store(
+    catalog: ManifestCatalog,
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    cell_col: str,
+    cb,
+    table: str,
+    dim: int | None = None,
+) -> None:
+    """Persist the full IVFADC index: rows cell-partitioned (identity
+    bucket = cell id, like :func:`write_ivf_store`) with their PQ
+    codes PRE-COMPUTED alongside the raw vectors, the coarse centroids
+    as a side table, and the codebook in the manifest (model
+    parameters — a few KB of floats, exactly what a production index
+    ships next to its data). A top-k query then needs NO training, NO
+    encoding pass: route → read probed cells' dirs → ADC on stored
+    codes → re-rank on the same rows' raw vectors."""
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_encode
+
+    df = pq_encode(
+        corpus.select(
+            F.col(corpus_id),
+            F.col(vec_col),
+            F.col(cell_col).cast("int").alias("cell"),
+        ),
+        vec_col,
+        cb,
+    ).withColumn(BUCKET_COL, F.col("cell"))
+    data_dir = catalog._new_data_dir(table)
+    df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
+    bucket_dirs: dict[str, list[str]] = {}
+    for p in catalog.fs.listdir(data_dir):
+        base = p.rsplit("/", 1)[-1]
+        if base.startswith(f"{BUCKET_COL}="):
+            bucket_dirs[base.split("=", 1)[1]] = [p]
+    catalog._commit(
+        table,
+        {
+            "dirs": None,
+            "bucket_dirs": bucket_dirs,
+            "n_buckets": len(bucket_dirs),
+            "bucket_keys": ["cell"],
+            "bucket_fn": "identity",
+            "ivf_id_col": corpus_id,
+            "ivf_vec_col": vec_col,
+            # JSON round-trips tuples as lists; read back via
+            # _codebook_from_manifest which restores the (code,
+            # centroid) pairing
+            "pq_codebook": [
+                [[int(code), [float(x) for x in cvec]] for code, cvec in cb_m]
+                for cb_m in cb
+            ],
+        },
+    )
+    cent = label_centroids_array(
+        corpus.select(F.col(cell_col).alias("label"), F.col(vec_col)),
+        "label",
+        vec_col,
+        dim=dim,
+    )
+    catalog.replace_atomic(cent, f"{table}__centroids")
+
+
+def _codebook_from_manifest(manifest: dict):
+    return [
+        [(int(code), [float(x) for x in cvec]) for code, cvec in cb_m]
+        for cb_m in manifest["pq_codebook"]
+    ]
+
+
+def ivfpq_store_topk(
+    catalog: ManifestCatalog,
+    table: str,
+    queries: DataFrame,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist_factor: int = 5,
+    round_dp: int = 6,
+    exclude_self: bool = True,
+) -> tuple[DataFrame, list[int]]:
+    """IVFADC over the persisted index: coarse-route against the
+    stored centroids, read ONLY the probed cells' bucket dirs, ADC on
+    the STORED codes (no training or encoding at query time), exact
+    squared-L2 re-rank on the same probed rows' raw vectors. Returns
+    ``(result, probed_cells)`` — result is (query_id, match_id, l2sq)
+    like `operators/pq.ivfpq_topk`, and matches it exactly whenever
+    the probe sets agree (same codebook, same rounding).
+
+    The 100 TB shape this proves: the candidate scan is a
+    storage-level dir prune (nprobe/cells of the BYTES), the scanned
+    bytes are mostly code columns (the raw-vector column is read only
+    for shortlist re-rank rows — a column-pruned second pass over the
+    same pruned dirs), and query-time model state (codebook +
+    centroids + probe pairs) is kilobytes."""
+    from end_to_end_etl_pipeline_spark.operators.pq import (
+        _adc_dist,
+        _exact_rerank,
+        _query_dtable,
+    )
+
+    manifest = catalog.latest_manifest(table)
+    cb = _codebook_from_manifest(manifest)
+    id_col = manifest["ivf_id_col"]
+    cent = catalog.read(f"{table}__centroids")
+    probed_rows = _collect_probe(cent, queries, query_id, vec_col, nprobe)
+    spark = queries.sparkSession
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qid_type = queries.schema[query_id].dataType
+    probed = spark.createDataFrame(
+        probed_rows,
+        StructType(
+            [
+                StructField("query_id", qid_type, True),
+                StructField("cell", IntegerType(), True),
+            ]
+        ),
+    )
+    cells = sorted({c for _, c in probed_rows})
+    stored = catalog.read(table, buckets=cells)
+
+    dtable = _query_dtable(vec_col, cb, round_dp)
+    q = queries.select(F.col(query_id).alias("query_id"), dtable.alias("__dt"))
+    c = stored.select(F.col(id_col).alias("match_id"), "pq_codes", "cell")
+    scored = c.join(F.broadcast(probed.join(q, "query_id")), "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("match_id") != F.col("query_id"))
+    scored = scored.withColumn("adc_dist", F.round(_adc_dist(), round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("match_id").asc()
+    )
+    short = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * shortlist_factor)
+        .select("query_id", "match_id")
+    )
+    raw = stored.select(F.col(id_col).alias("__rid"), F.col(vec_col))
+    result = _exact_rerank(
+        short,
+        queries,
+        raw.withColumnRenamed("__rid", id_col),
+        query_id,
+        id_col,
+        vec_col,
+        k,
+        round_dp,
     )
     return result, cells

@@ -194,3 +194,45 @@ def test_ivf_store_string_ids_and_zero_norm_guard(spark, tmp_path):
     assert "zero" not in ids  # zero-norm vector filtered, not NULL-ranked
     assert ids == {"b", "c"}  # string ids flow through probe + join
     assert all(r.cosine is not None for r in out)
+
+
+def test_ivfpq_store_matches_in_plan_ivfpq_and_prunes(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        ivfpq_store_topk,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    cb = pq_train(emb, "vec_id", "embedding", num_subspaces=8, num_centroids=8)
+    write_ivfpq_store(
+        cat, emb, "vec_id", "embedding", "label", cb, "ann.pq", dim=dim
+    )
+    n_cells = cat.latest_manifest("ann.pq")["n_buckets"]
+
+    queries = emb.orderBy("vec_id").limit(4)
+    got, probed = ivfpq_store_topk(
+        cat, "ann.pq", queries, "vec_id", "embedding", k=3, nprobe=2
+    )
+    # physical pruning: <= queries x nprobe cells actually read
+    assert 0 < len(probed) <= 8 < n_cells
+    # no train/encode at query time, yet identical to the in-plan
+    # composite over the full corpus with the same codebook
+    want = ivfpq_topk(
+        queries, emb, pq_encode(emb, "embedding", cb),
+        "vec_id", "vec_id", "embedding", "label", cb,
+        k=3, nprobe=2, dim=dim,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the codebook survived the manifest JSON round-trip exactly
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        _codebook_from_manifest,
+    )
+    assert _codebook_from_manifest(cat.latest_manifest("ann.pq")) == cb
