@@ -483,3 +483,81 @@ def foreach_batch_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_cms_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    key_col: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = True,
+):
+    """Streaming heavy-hitter state: keep a count-min sketch
+    (``operators/sketches``) current over an unbounded key stream.
+    Each micro-batch builds its own depth × width sketch (one
+    map-side-partial agg over the batch) and merges bucket-wise into
+    the persisted grid — the state is depth × width integers FOREVER,
+    regardless of stream length or key cardinality, which is the whole
+    reason to sketch: exact streaming ``groupBy(key).count()`` state
+    grows with distinct keys and eventually cannot fit anywhere.
+
+    Like additive agg maintenance (and unlike the dedup-store bridge),
+    bucket increments are NOT idempotent under at-least-once replay,
+    so the committed grid carries the last applied ``_batch_id``; a
+    replayed batch is detected and skipped.
+
+    Returns the started ``StreamingQuery`` (caller awaits). Query the
+    sketch any time with ``operators/sketches.cms_estimate`` over
+    ``catalog.read(table).drop('_batch_id')``."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cms_batch(
+            catalog, table, key_col, batch_df, batch_id, depth=depth, width=width
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_cms_batch(
+    catalog,
+    table: str,
+    key_col: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    depth: int = 4,
+    width: int = 256,
+) -> bool:
+    """One micro-batch of :func:`foreach_batch_cms_maintenance`,
+    exposed for direct replay testing. Returns False when the batch
+    was skipped (empty, or already applied under at-least-once
+    replay)."""
+    from end_to_end_etl_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    if batch_df.isEmpty():
+        return False
+    delta = cms_build(batch_df, key_col, depth=depth, width=width)
+    if catalog.exists(table):
+        stored = catalog.read(table)
+        first = stored.select("_batch_id").first()
+        if first is not None and first["_batch_id"] >= batch_id:
+            return False
+        merged = cms_merge(stored.drop("_batch_id"), delta)
+    else:
+        merged = delta
+    catalog.replace_atomic(
+        merged.withColumn("_batch_id", F.lit(batch_id).cast("long")), table
+    )
+    return True

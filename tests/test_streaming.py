@@ -409,3 +409,71 @@ def test_foreach_batch_dedup_ingest_spans_triggers(spark, tmp_path):
     [r] = rej.collect()
     assert r.dup_of == 11 and r.est_jaccard == 1.0
     assert sorted(r.doc_id for r in cat.read("corpus.sigs").collect()) == [1, 2, 11]
+
+
+def test_foreach_batch_cms_maintenance_matches_batch_sketch(
+    spark, stream_dir, tmp_path
+):
+    """The streamed grid (merged per micro-batch) must equal one
+    sketch built over all the data at once, and estimates from it
+    must never undercount the true frequencies."""
+    from end_to_end_etl_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_cms_maintenance,
+    )
+
+    catalog = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    stream = read_stream_files(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+    q = foreach_batch_cms_maintenance(
+        stream,
+        catalog,
+        "gold.user_cms",
+        key_col="user_id",
+        checkpoint_dir=str(tmp_path / "ck_cms"),
+        depth=3,
+        width=16,
+    )
+    q.awaitTermination(120)
+    grid = catalog.read("gold.user_cms").drop("_batch_id")
+    all_rows = spark.read.schema(SCHEMA).json(stream_dir)
+    want = cms_build(all_rows, "user_id", depth=3, width=16)
+    as_map = lambda df: {(r.row, r.bucket): r.cnt for r in df.collect()}
+    assert as_map(grid) == as_map(want)
+
+    truth = {
+        r.user_id: r.n
+        for r in all_rows.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    keys = spark.createDataFrame([(k,) for k in truth], "user_id long")
+    est = {
+        r.user_id: r.cms_est
+        for r in cms_estimate(grid, keys, "user_id", depth=3, width=16).collect()
+    }
+    for k, t in truth.items():
+        assert est[k] >= t
+
+
+def test_cms_maintenance_skips_replayed_batch(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import apply_cms_batch
+
+    catalog = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    b0 = spark.createDataFrame([(1,), (2,), (1,)], "user_id long")
+    b1 = spark.createDataFrame([(1,), (3,)], "user_id long")
+    assert apply_cms_batch(catalog, "g.cms", "user_id", b0, 0, depth=2, width=8)
+    assert apply_cms_batch(catalog, "g.cms", "user_id", b1, 1, depth=2, width=8)
+    snap = {
+        (r.row, r.bucket): r.cnt
+        for r in catalog.read("g.cms").drop("_batch_id").collect()
+    }
+    # at-least-once replay of batch 1: must be skipped, state unchanged
+    assert not apply_cms_batch(catalog, "g.cms", "user_id", b1, 1, depth=2, width=8)
+    again = {
+        (r.row, r.bucket): r.cnt
+        for r in catalog.read("g.cms").drop("_batch_id").collect()
+    }
+    assert again == snap
