@@ -95,3 +95,74 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col)
     )
+
+
+def _bloom_pos(h: Column, key: Column, num_bits: int) -> Column:
+    """Bit position for (hash-row, key): md5-derived, mod num_bits."""
+    hx = F.md5(F.concat(h.cast("string"), F.lit(":"), key.cast("string")))
+    return (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % num_bits).cast(
+        "int"
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 2048,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over the key column: (word int, bits
+    long) — the bitmap packed 32 bits per word (32, not 64, so the
+    shift never touches the sign bit and any engine's signed-integer
+    semantics replay it). Merge two filters with bit_or on word.
+
+    Membership sketches are the cheap side of dedup/anti-join at
+    100 TB: the filter is num_bits/32 longs REGARDLESS of corpus
+    size, builds in one map-side-partial aggregation, and a probe
+    needs no shuffle of the probing side at all (the filter
+    broadcasts). No false negatives ever; false positives at the
+    standard (1-e^(-kn/m))^k rate."""
+    rows = df.select(
+        F.col(key_col).alias("__key"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__h"),
+    ).withColumn("__pos", _bloom_pos(F.col("__h"), F.col("__key"), num_bits))
+    return (
+        rows.select(
+            (F.col("__pos") / 32).cast("int").alias("word"),
+            # F.shiftleft takes only literal shift amounts; the SQL
+            # form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), __pos % 32)").alias("__bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 2048,
+    num_hashes: int = 3,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Append ``out_col`` (boolean): True iff every one of the key's
+    ``num_hashes`` bits is set — i.e. the key MIGHT be in the built
+    set (false positives possible, false negatives never). The filter
+    side broadcasts; the probe is a projection + one key-local
+    aggregation — the big probing side is never shuffled on a join
+    key, which is the point of pre-filtering an anti-join."""
+    probes = df.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__h"),
+    ).withColumn("__pos", _bloom_pos(F.col("__h"), F.col(key_col), num_bits))
+    probes = probes.withColumn("word", (F.col("__pos") / 32).cast("int"))
+    joined = probes.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.expr(
+            "shiftright(coalesce(bits, CAST(0 AS BIGINT)), __pos % 32)"
+        )
+        % 2
+        == 1
+    )
+    return joined.groupBy(key_col).agg(F.bool_and(hit).alias(out_col))

@@ -1953,3 +1953,86 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load(spark, sf_dir, "documents"))
     weights = hashed_feature_weights(spark, dim=512)
     return hashed_linear_score(docs, "doc_id", "text", weights, dim=512)
+
+
+def _bloom_pos_sql(h_expr: str, key_expr: str, num_bits: int) -> str:
+    """DuckDB bit position matching operators/sketches._bloom_pos."""
+    hx = f"md5(CAST({h_expr} AS VARCHAR) || ':' || {key_expr})"
+    return f"({_nibble_int(hx, 1)} % {num_bits})"
+
+
+@register(
+    "bloom_seen_docs",
+    oracle=f"""
+    WITH seen AS (SELECT md5(text) AS ch FROM documents),
+    probe AS (
+      SELECT doc_id, md5(text) AS ch FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5('unseen:' || text) AS ch
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    hh AS (SELECT unnest(generate_series(0, 2)) AS h),
+    bloom AS (
+      SELECT CAST(pos // 32 AS INT) AS word,
+             bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+      FROM (SELECT {_bloom_pos_sql('h', 'ch', 2048)} AS pos
+            FROM seen CROSS JOIN hh)
+      GROUP BY 1
+    ),
+    probed AS (
+      SELECT p.doc_id, p.ch,
+             {_bloom_pos_sql('hh.h', 'p.ch', 2048)} AS pos
+      FROM probe p CROSS JOIN hh
+    ),
+    might AS (
+      SELECT doc_id, ch,
+             bool_and(((coalesce(b.bits, 0) >> (pos % 32)) % 2) = 1)
+               AS might_seen
+      FROM probed LEFT JOIN bloom b ON b.word = CAST(pos // 32 AS INT)
+      GROUP BY 1, 2
+    )
+    SELECT m.doc_id, m.might_seen,
+           m.ch IN (SELECT ch FROM seen) AS actually_seen
+    FROM might m
+    """,
+    doc="Have-we-seen-this-document membership pre-filter: a Bloom "
+    "filter (2048 bits, 3 md5 hashes, 32-bit packed words) built "
+    "over the corpus content hashes, probed by the corpus plus "
+    "planted UNSEEN variants. Output carries both the bloom verdict "
+    "and exact membership, so the oracle verifies the no-false-"
+    "negative guarantee bit-for-bit. This is the cheap front of "
+    "incremental dedup / anti-join at 100 TB: the filter is "
+    "num_bits/32 longs regardless of corpus size, broadcasts to the "
+    "probe side, and definitely-new rows skip the store entirely - "
+    "only maybe-seen rows pay the exact check.",
+    tags=("north-star", "dedup", "sketches"),
+)
+def bloom_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    seen = docs.select(F.md5("text").alias("ch"))
+    probe = docs.select("doc_id", F.md5("text").alias("ch")).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.md5(F.concat(F.lit("unseen:"), F.col("text"))).alias("ch"),
+        )
+    )
+    bloom = bloom_build(seen, "ch", num_bits=2048, num_hashes=3)
+    verdicts = bloom_probe(
+        bloom, probe.select("ch").distinct(), "ch",
+        num_bits=2048, num_hashes=3, out_col="might_seen",
+    )
+    exact = seen.distinct().withColumn("actually_seen", F.lit(True))
+    return (
+        probe.join(verdicts, "ch")
+        .join(exact, "ch", "left")
+        .select(
+            "doc_id",
+            "might_seen",
+            F.coalesce(F.col("actually_seen"), F.lit(False)).alias("actually_seen"),
+        )
+    )

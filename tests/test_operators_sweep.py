@@ -541,3 +541,35 @@ def test_cms_merge_equals_single_build_and_never_underestimates(spark):
     }
     for k, t in truth.items():
         assert est[k] >= t  # never underestimates (width=8 forces collisions)
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    from end_to_end_etl_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    seen = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], ["k"]
+    )
+    # tiny filter (64 bits, 3 hashes, 50 keys) to force false positives
+    bloom = bloom_build(seen, "k", num_bits=64, num_hashes=3)
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(80)], ["k"]
+    )
+    got = {
+        r.k: r.might_contain
+        for r in bloom_probe(bloom, probe, "k", num_bits=64, num_hashes=3).collect()
+    }
+    # every inserted key MUST hit (no false negatives, ever)
+    for i in range(50):
+        assert got[f"key{i}"] is True
+    # merging two half-filters equals one filter over the union
+    h1 = bloom_build(seen.filter(F.col("k") < "key3"), "k", num_bits=64, num_hashes=3)
+    h2 = bloom_build(seen.filter(F.col("k") >= "key3"), "k", num_bits=64, num_hashes=3)
+    merged = (
+        h1.unionByName(h2).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    as_map = lambda df: {r.word: r.bits for r in df.collect()}
+    assert as_map(merged) == as_map(bloom)
