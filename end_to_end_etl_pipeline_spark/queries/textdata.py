@@ -2036,3 +2036,104 @@ def bloom_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("actually_seen"), F.lit(False)).alias("actually_seen"),
         )
     )
+
+
+_CURR_FEAT = "md5('f:' || word)"
+_CURR_BUCKET = f"({_nibble_int(_CURR_FEAT, 1)} % 512)"
+_CURR_WEIGHT = _nibble_int(
+    f"md5('w:' || CAST({_CURR_BUCKET} AS VARCHAR))", 1
+)
+
+
+@register(
+    "curriculum_sample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS word
+      FROM documents
+    ),
+    wtd AS (
+      SELECT doc_id,
+             {_CURR_WEIGHT}
+               / 4294967296.0 - 0.5 AS weight
+      FROM tok
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(round(CAST(sum(weight) / count(*) AS DECIMAL(20,10)), 6)
+                  AS DOUBLE) AS margin
+      FROM wtd GROUP BY doc_id
+    ),
+    q AS (
+      SELECT CAST(round(CAST(quantile_cont(margin, 0.25) AS DECIMAL(20,8)), 6) AS DOUBLE) AS b1,
+             CAST(round(CAST(quantile_cont(margin, 0.50) AS DECIMAL(20,8)), 6) AS DOUBLE) AS b2,
+             CAST(round(CAST(quantile_cont(margin, 0.75) AS DECIMAL(20,8)), 6) AS DOUBLE) AS b3
+      FROM m
+    ),
+    t AS (
+      SELECT doc_id, margin,
+             CASE WHEN margin >= q.b3 THEN 'q1'
+                  WHEN margin >= q.b2 THEN 'q2'
+                  WHEN margin >= q.b1 THEN 'q3'
+                  ELSE 'q4' END AS tier
+      FROM m, q
+    )
+    SELECT doc_id, tier, margin FROM t
+    WHERE ({_nibble_int("md5(CAST(doc_id AS VARCHAR))", 1)} % 10000) <
+          CASE tier WHEN 'q1' THEN 10000 WHEN 'q2' THEN 7500
+                    WHEN 'q3' THEN 5000 ELSE 2500 END
+    """,
+    doc="Curriculum / quality-weighted corpus sampling: classifier "
+    "margins (the fastText-shape scorer) bucket documents into "
+    "quality quartiles via exact global quantile bounds - a 1-row "
+    "broadcast, not a global sort - and each tier keeps a "
+    "content-addressed hash sample at its own rate (q1 100% down to "
+    "q4 25%). This is the quality-pyramid resampling step between "
+    "filtering and training: keep everything good, downsample the "
+    "tail instead of dropping it. Composes hashed_linear_score + "
+    "percentile bounds + stratified_sample; the kept SET is stable "
+    "across reruns, partitionings, and engines. At 100 TB swap the "
+    "exact percentile for approx_percentile - identical shape.",
+    tags=("north-star", "sampling", "text"),
+)
+def curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import stratified_sample
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        hashed_feature_weights,
+        hashed_linear_score,
+    )
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    weights = hashed_feature_weights(spark, dim=512)
+    scored = hashed_linear_score(docs, "doc_id", "text", weights, dim=512).select(
+        "doc_id", "margin"
+    )
+    b = scored.agg(
+        F.expr("percentile(margin, array(0.25D, 0.50D, 0.75D))").alias("__q")
+    ).select(
+        *[
+            F.round(F.col("__q")[i].cast("decimal(20,8)"), 6)
+            .cast("double")
+            .alias(f"b{i + 1}")
+            for i in range(3)
+        ]
+    )
+    tiered = (
+        scored.crossJoin(F.broadcast(b))
+        .withColumn(
+            "tier",
+            F.when(F.col("margin") >= F.col("b3"), "q1")
+            .when(F.col("margin") >= F.col("b2"), "q2")
+            .when(F.col("margin") >= F.col("b1"), "q3")
+            .otherwise("q4"),
+        )
+        .select("doc_id", "tier", "margin")
+    )
+    return stratified_sample(
+        tiered,
+        "doc_id",
+        "tier",
+        rates={"q1": 1.0, "q2": 0.75, "q3": 0.5, "q4": 0.25},
+    )
