@@ -2137,3 +2137,155 @@ def curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier",
         rates={"q1": 1.0, "q2": 0.75, "q3": 0.5, "q4": 0.25},
     )
+
+
+@register(
+    "corpus_funnel_audit",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+      FROM corpus
+    ),
+    lens AS (
+      SELECT doc_id, norm_text,
+             CASE WHEN norm_text = '' THEN 0
+                  ELSE len(string_split(norm_text, ' ')) END AS n_tokens
+      FROM norm
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS word
+      FROM corpus
+    ),
+    clf AS (
+      SELECT doc_id,
+             CAST(round(CAST(sum({_CURR_WEIGHT} / 4294967296.0 - 0.5)
+                             / count(*) AS DECIMAL(20,10)), 6) AS DOUBLE)
+               AS margin
+      FROM tok GROUP BY doc_id
+    ),
+    med AS (
+      SELECT CAST(round(CAST(quantile_cont(margin, 0.5) AS DECIMAL(20,8)), 6)
+                  AS DOUBLE) AS m
+      FROM clf
+    ),
+    gated AS (
+      SELECT l.doc_id, l.norm_text, l.n_tokens,
+             l.n_tokens >= 30 AS passed_len,
+             coalesce(c.margin >= med.m, FALSE) AS passed_clf
+      FROM lens l LEFT JOIN clf c USING (doc_id) CROSS JOIN med
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM gated
+      WHERE passed_len AND passed_clf
+      GROUP BY md5(norm_text)
+    ),
+    final AS (
+      SELECT g.doc_id, g.n_tokens, g.passed_len, g.passed_clf,
+             (c.doc_id IS NOT NULL) AS is_canonical
+      FROM gated g LEFT JOIN canon c USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, passed_len, passed_clf, is_canonical,
+           CASE WHEN NOT passed_len THEN 'dropped_short'
+                WHEN NOT passed_clf THEN 'dropped_classifier'
+                WHEN NOT is_canonical THEN 'dropped_duplicate'
+                WHEN {_SQL_H32.format(c="doc_id")} % 10000 < 9000 THEN 'kept_train'
+                WHEN {_SQL_H32.format(c="doc_id")} % 10000 < 9500 THEN 'kept_val'
+                ELSE 'kept_test' END AS disposition
+    FROM final
+    """,
+    doc="Per-document curation funnel with first-failure attribution "
+    "- the lineage record a production corpus build emits alongside "
+    "the kept set: every input document appears exactly once with "
+    "its gate verdicts (length on canonical text, classifier margin, "
+    "canonical-after-dedup) and a single disposition (dropped_short /"
+    " dropped_classifier / dropped_duplicate / kept_<split>). "
+    "Attribution order mirrors gate cost: cheap length gate first, "
+    "classifier second, dedup (the only shuffle) last over survivors "
+    "only. The classifier gate is corpus-relative (margin >= the "
+    "corpus median, a 1-row broadcast) so the keep/drop split is "
+    "non-degenerate whatever the weight distribution; exact copies "
+    "of every 7th document are planted so dropped_duplicate has "
+    "guaranteed targets. The audit is the same DAG as clean_corpus "
+    "run WITHOUT discarding the losers - one extra left join against "
+    "the canonical winners, no extra corpus scan.",
+    tags=("north-star", "text", "dedup", "sampling"),
+)
+def corpus_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.dedup import dedup_exact_hash
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        hashed_feature_weights,
+        hashed_linear_score,
+        normalize_text,
+    )
+
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs = _spread(base.unionByName(copies))
+    norm = normalize_text(docs, "text")
+    lens = norm.withColumn(
+        "n_tokens",
+        F.when(F.col("norm_text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("norm_text"), " ")))
+        .cast("bigint"),
+    )
+    weights = hashed_feature_weights(spark, dim=512)
+    clf = hashed_linear_score(docs, "doc_id", "text", weights, dim=512).select(
+        "doc_id", "margin"
+    )
+    med = clf.agg(
+        F.round(
+            F.expr("percentile(margin, 0.5D)").cast("decimal(20,8)"), 6
+        )
+        .cast("double")
+        .alias("m")
+    )
+    gated = (
+        lens.join(clf, "doc_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            "norm_text",
+            "n_tokens",
+            (F.col("n_tokens") >= 30).alias("passed_len"),
+            F.coalesce(F.col("margin") >= F.col("m"), F.lit(False)).alias(
+                "passed_clf"
+            ),
+        )
+    )
+    canon = dedup_exact_hash(
+        gated.filter(F.col("passed_len") & F.col("passed_clf")),
+        ["norm_text"],
+        "doc_id",
+        keep_cols=["doc_id"],
+    ).select("doc_id", F.lit(True).alias("is_canonical"))
+    final = gated.join(canon, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "passed_len",
+        "passed_clf",
+        F.coalesce(F.col("is_canonical"), F.lit(False)).alias("is_canonical"),
+    )
+    from end_to_end_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    b = hash_bucket(F.col("doc_id"), 10000)
+    return final.withColumn(
+        "disposition",
+        F.when(~F.col("passed_len"), "dropped_short")
+        .when(~F.col("passed_clf"), "dropped_classifier")
+        .when(~F.col("is_canonical"), "dropped_duplicate")
+        .when(b < 9000, "kept_train")
+        .when(b < 9500, "kept_val")
+        .otherwise("kept_test"),
+    )

@@ -252,3 +252,29 @@ def test_semantic_prune_single_cluster_shuffle_no_cartesian(spark):
     plan = _plan(spark, "semantic_pruned_corpus")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_never_shuffles_probe_keys(spark):
+    """The Bloom filter side must enter the probe as a broadcast —
+    the probing side joins it without a key shuffle (one exchange for
+    the final per-key verdict agg is the only shuffle allowed)."""
+    plan = _plan(spark, "bloom_seen_docs")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_build_is_partial_aggregated(spark):
+    """The sketch build must partial-aggregate map-side (the exchange
+    carries depth x width rows per task, not one row per occurrence),
+    and the whole query must stay JVM-side."""
+    from end_to_end_etl_pipeline_spark.operators.sketches import cms_build
+
+    docs = REGISTRY["doc_word_counts"]  # any token source; use documents
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    plan = cms_build(df, "word")._jdf.queryExecution().executedPlan().toString()
+    # partial_sum below the exchange == map-side combine is in place
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan
