@@ -61,3 +61,41 @@ def quarantine_split(df: DataFrame, *rules: Column) -> tuple[DataFrame, DataFram
     for r in rules:
         pred = pred & r
     return df.filter(pred), df.filter(~pred)
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column data profile in ONE aggregation pass over the table:
+    (column, n_rows, n_nulls, null_frac, n_distinct) — the schema-
+    drift / completeness report a pipeline emits before trusting a new
+    landing (the reference hand-checks nulls per silver script; this
+    is that check generalized to every column at once).
+
+    Plan: a single global aggregate computes count + per-column null
+    sums + per-column exact distinct counts (Catalyst plans the
+    multi-distinct via one Expand — still one scan), then a stack()
+    unpivots the 1-row result into one row per column. The exchange
+    carries ONE row; nothing scales with table size but the scan.
+    At 100 TB swap ``countDistinct`` for ``approx_count_distinct``
+    (HLL, no Expand multiplication) — identical shape."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__nn_{c}`, `__nd_{c}`" for c in cols
+    )
+    long = one.select(
+        F.col("__n"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct)"
+        ),
+    )
+    return long.select(
+        F.col("column"),
+        F.col("__n").alias("n_rows"),
+        F.col("n_nulls"),
+        F.round(F.col("n_nulls") / F.col("__n"), 6).alias("null_frac"),
+        F.col("n_distinct"),
+    )

@@ -2693,3 +2693,55 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile("lineitem.l_orderkey", li, "l_orderkey").unionByName(
         profile("events.user_id", ev, "user_id")
     )
+
+
+@register(
+    "orders_column_profile",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders),
+    p AS (
+      SELECT 'o_orderkey' AS "column",
+             count(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             count(*) FILTER (WHERE o_custkey IS NULL),
+             count(DISTINCT o_custkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             count(*) FILTER (WHERE o_orderstatus IS NULL),
+             count(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             count(*) FILTER (WHERE o_totalprice IS NULL),
+             count(DISTINCT o_totalprice) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             count(*) FILTER (WHERE o_orderdate IS NULL),
+             count(DISTINCT o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             count(*) FILTER (WHERE o_orderpriority IS NULL),
+             count(DISTINCT o_orderpriority) FROM orders
+    )
+    SELECT p."column", n.n_rows, p.n_nulls,
+           round(CAST(p.n_nulls AS DOUBLE) / n.n_rows, 6) AS null_frac,
+           p.n_distinct
+    FROM p CROSS JOIN n
+    """,
+    doc="Whole-table column profile (operators/dq.profile_columns): "
+    "null counts/fractions and exact distinct counts for every "
+    "column of orders in ONE scan - the completeness / schema-drift "
+    "report a pipeline emits before trusting a new landing "
+    "(generalizes the reference's per-script null checks). The "
+    "single global aggregate plans the multi-distinct via one "
+    "Expand; the exchange carries one row, then stack() unpivots to "
+    "a row per column. At 100 TB swap countDistinct for "
+    "approx_count_distinct - identical shape.",
+    tags=("parity", "profiling", "dq"),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.dq import profile_columns
+
+    return profile_columns(load(spark, sf_dir, "orders"))

@@ -2289,3 +2289,58 @@ def corpus_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b < 9500, "kept_val")
         .otherwise("kept_test"),
     )
+
+
+@register(
+    "weighted_doc_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+             ({_SQL_H32.format(c="doc_id")} + 1) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(round(CAST(ln(u) / n_tokens AS DECIMAL(20,10)), 6) AS DOUBLE)
+             AS sample_key
+    FROM w WHERE n_tokens > 0
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 50
+    """,
+    doc="Weighted sampling WITHOUT replacement, probability "
+    "proportional to token count (the Efraimidis-Spirakis exponential"
+    "-key scheme, rank-equivalent form ln(u)/w): each doc draws a "
+    "deterministic md5-uniform u and the top 50 keys win - exactly "
+    "the importance-sampling step for token-budgeted corpus draws, "
+    "where a long document should win a slot proportionally more "
+    "often. RNG-free, so the drawn set is stable across reruns, "
+    "partitionings, and engines, and adding documents never "
+    "reshuffles previously-drawn keys (only the cutoff moves). The "
+    "top-k is orderBy+limit - Spark plans TakeOrderedAndProject "
+    "(per-partition partial top-k, no global sort materialization).",
+    tags=("north-star", "sampling"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    # hash_bucket with modulus 2^32 == the raw 32-bit value
+    u = (hash_bucket(F.col("doc_id"), 4294967296) + 1) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        u.alias("__u"),
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        keyed.withColumn(
+            "sample_key",
+            F.round(
+                (F.log(F.col("__u")) / F.col("n_tokens")).cast("decimal(20,10)"), 6
+            ).cast("double"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select("doc_id", "n_tokens", "sample_key")
+    )

@@ -573,3 +573,70 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
     )
     as_map = lambda df: {r.word: r.bits for r in df.collect()}
     assert as_map(merged) == as_map(bloom)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_LINE_WORDS = ["alpha", "Beta", "GAMMA", "delta", " epsilon ", ""]
+_LINE = st.integers(0, len(_LINE_WORDS) - 1)
+_DOC_LINES = st.lists(_LINE, min_size=1, max_size=6)
+_CORPUS = st.dictionaries(st.integers(1, 9), _DOC_LINES, min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(corpus=_CORPUS)
+def test_line_dedup_invariants_fuzzed(spark, corpus):
+    """Over random corpora: (1) every eligible normalized line appears
+    at most once across ALL output docs; (2) each output doc's lines
+    are a subsequence of its input lines; (3) the corpus-order first
+    occurrence of every eligible line survives; (4) n_lines counts
+    match the inputs."""
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+        dedup_lines_global,
+    )
+
+    rows = [
+        (i, "\n".join(_LINE_WORDS[j] for j in lines))
+        for i, lines in sorted(corpus.items())
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup_lines_global(df, "doc_id", "text").collect()}
+
+    norm = lambda s: s.strip().lower()
+    seen_first: dict[str, tuple] = {}
+    for i, lines in sorted(corpus.items()):
+        for pos, j in enumerate(lines):
+            key = norm(_LINE_WORDS[j])
+            if key and key not in seen_first:
+                seen_first[key] = (i, pos)
+
+    all_eligible_out: list[str] = []
+    for i, lines in sorted(corpus.items()):
+        row = out[i]
+        in_lines = [_LINE_WORDS[j] for j in lines]
+        out_lines = row.text.split("\n") if row.text != "" else []
+        # blank-doc edge: a doc whose every line lost emits text=''
+        if row.n_lines_kept == 0:
+            assert row.text == ""
+        # (4) n_lines is the input line count
+        assert row.n_lines == len(in_lines)
+        # (2) subsequence check
+        it = iter(in_lines)
+        assert all(any(o == x for x in it) for o in out_lines), (
+            i, in_lines, out_lines,
+        )
+        for o in out_lines:
+            if norm(o):
+                all_eligible_out.append(norm(o))
+        # (3) the first-occurrence doc keeps its first-occurrence lines
+        for pos, j in enumerate(lines):
+            key = norm(_LINE_WORDS[j])
+            if key and seen_first[key] == (i, pos):
+                assert key in [norm(o) for o in out_lines]
+    # (1) global uniqueness of eligible lines
+    assert len(all_eligible_out) == len(set(all_eligible_out))
