@@ -52,7 +52,66 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _query_main(argv: list[str]) -> int:
+    """``python -m end_to_end_etl_pipeline_spark query <name>`` — run
+    any registered engine query by name (the full conformance surface
+    is the user-facing query library). ``query --list`` enumerates."""
+    p = argparse.ArgumentParser(
+        prog="end_to_end_etl_pipeline_spark query",
+        description="Run a registered engine query.",
+    )
+    p.add_argument("name", nargs="?", help="query name (see --list)")
+    p.add_argument("--list", action="store_true", help="list registered queries")
+    p.add_argument(
+        "--sf-dir",
+        default=None,
+        help="testdata dir (default $SPARK_GRAFT_SF_DIR or sf0.01)",
+    )
+    p.add_argument("--limit", type=int, default=20, help="rows to print")
+    p.add_argument(
+        "--output", default=None, help="write full result as parquet here"
+    )
+    p.add_argument("--master", default=None, help="Spark master override")
+    args = p.parse_args(argv)
+
+    from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY
+
+    if args.list:
+        for name, q in REGISTRY.items():
+            print(f"{name}\t{'oracle' if q.oracle else 'rows-only'}")
+        return 0
+    if not args.name:
+        p.print_usage(sys.stderr)
+        return 2
+    q = REGISTRY.get(args.name)
+    if q is None:
+        print(f"unknown query: {args.name} (try --list)", file=sys.stderr)
+        return 2
+    import os
+
+    sf_dir = args.sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    from end_to_end_etl_pipeline_spark.session import create_spark_session
+
+    spark = create_spark_session(app_name=f"query-{args.name}", master=args.master)
+    df = q.spark(spark, sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+        return 0
+    # deterministic preview: sort by every column so reruns agree
+    shown = df.orderBy(*df.columns).limit(args.limit).collect()
+    print("\t".join(df.columns))
+    for r in shown:
+        print("\t".join(str(v) for v in r))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
     args = _build_parser().parse_args(argv)
     try:
         with open(args.config) as f:

@@ -230,3 +230,41 @@ def write_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    shard_col: str | None = None,
+    n_shards: int | None = None,
+    id_col: str | None = None,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """Training-data export: newline-delimited JSON, the interchange
+    format every tokenizer/training stack ingests. Three sharding
+    modes:
+
+    * ``shard_col`` — one output subdir per existing shard value
+      (``partitionBy``), e.g. the ``hash_shard`` column, so a
+      downstream loader maps shard → worker deterministically;
+    * ``n_shards`` + ``id_col`` — derive the shard here via the same
+      content-addressed ``hash_bucket`` the sampling operators use
+      (stable under reruns/appends, unlike ``repartition`` round-robin);
+    * neither — plain distributed write, one file per task.
+
+    Always a distributed write (no driver collect); gzip per file by
+    default, the usual corpus-at-rest tradeoff."""
+    if shard_col is None and n_shards is not None:
+        if id_col is None:
+            raise ValueError("n_shards requires id_col to derive the shard")
+        from end_to_end_etl_pipeline_spark.operators.sampling import hash_bucket
+
+        df = df.withColumn("shard", hash_bucket(F.col(id_col), n_shards))
+        shard_col = "shard"
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if shard_col:
+        writer = writer.partitionBy(shard_col)
+    writer.json(path)

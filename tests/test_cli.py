@@ -71,3 +71,22 @@ def test_cli_exit_codes(spark, tmp_path):
     p2 = tmp_path / "broken.json"
     p2.write_text(json.dumps(broken))
     assert main([str(p2), "--layers", "silver"]) == 1
+
+
+def test_cli_query_runner_and_list(capsys):
+    from end_to_end_etl_pipeline_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "customer_master\toracle" in out
+
+    assert main(["query", "nope_nope"]) == 2
+
+    rc = main([
+        "query", "pricing_summary",
+        "--sf-dir", "/root/testdata/sf0.001", "--limit", "3",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t")[0] == "l_returnflag"
+    assert 2 <= len(out) <= 4

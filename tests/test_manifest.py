@@ -504,3 +504,29 @@ def test_read_all_empty_bucketed_manifest(spark, cat):
     assert "k" in out.columns and "attr" in out.columns
     # single-empty-bucket selection still returns the empty frame too
     assert cat.read("d", buckets=[0]).count() == 0
+
+
+def test_write_jsonl_sharded_content_addressed(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.operators.sampling import hash_bucket
+    from end_to_end_etl_pipeline_spark.sinks.writers import write_jsonl_sharded
+    from pyspark.sql import functions as F
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl_sharded(docs, out, n_shards=4, id_col="doc_id", compression=None)
+    back = spark.read.json(out)
+    assert back.count() == 40
+    # shard derivation is the content-addressed hash, not round-robin
+    expect = {
+        r.doc_id: r.shard
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 4).alias("shard")
+        ).collect()
+    }
+    got = {r.doc_id: int(r.shard) for r in back.collect()}
+    assert got == expect
+    with pytest.raises(ValueError, match="id_col"):
+        write_jsonl_sharded(docs, out, n_shards=4)
