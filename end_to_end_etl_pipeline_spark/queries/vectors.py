@@ -499,10 +499,10 @@ def semantic_pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ivfpq_topk",
-    oracle=f"""
-    WITH el AS (
+# The IVFADC oracle CTE chain (training -> routing -> restricted ADC
+# -> exact re-rank), shared by the ivfpq_topk conformance query and
+# the ann_recall_at_k evaluation query.
+_IVFPQ_CTES = f"""el AS (
       SELECT vec_id AS id,
              CAST((pos - 1) // (dim // {_PQ_M}) AS INT) AS m,
              CAST((pos - 1) % (dim // {_PQ_M}) + 1 AS INT) AS i,
@@ -584,6 +584,13 @@ def semantic_pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN el b ON b.id = s.match_id AND b.m = a.m AND b.i = a.i
       GROUP BY s.query_id, s.match_id
     )
+    """
+
+
+@register(
+    "ivfpq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTES}
     SELECT query_id, match_id, l2sq FROM rerank
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
     """,
@@ -625,4 +632,95 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         shortlist_factor=5,
         dim=_dim(emb),
+    )
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    approx AS (
+      SELECT query_id, match_id FROM rerank
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    ),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.id AS query_id, c.id AS match_id,
+               round(sum((q.x - c.x) * (q.x - c.x)), 6) AS l2sq
+        FROM el q JOIN el c ON c.m = q.m AND c.i = q.i AND c.id <> q.id
+        WHERE q.id < 10
+        GROUP BY 1, 2
+      )
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(a.match_id) AS BIGINT) AS n_hits,
+           round(count(a.match_id) / 5.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.match_id = e.match_id
+    GROUP BY e.query_id
+    """,
+    doc="ANN retrieval evaluation - recall@5 of the full IVFADC stack "
+    "against brute-force exact squared-L2 ground truth, per query. "
+    "The eval harness every production ANN deployment runs on a "
+    "sampled query set before trusting an index: ground truth is the "
+    "same corpus scanned exactly (bounded to the sampled queries), "
+    "and the metric is the size of the intersection of the two "
+    "deterministic top-5 sets. Both retrieval paths AND the metric "
+    "replay identically in the oracle, so the driver hash-checks the "
+    "evaluation itself, not just the retrieval.",
+    tags=("north-star", "vectors"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from end_to_end_etl_pipeline_spark.operators.pq import (
+        _fold_l2sq,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=_PQ_M, num_centroids=_PQ_K, iters=1,
+    )
+    approx = ivfpq_topk(
+        queries, emb, pq_encode(emb, "embedding", cb),
+        "vec_id", "vec_id", "embedding", "label", cb,
+        k=5, nprobe=2, shortlist_factor=5, dim=_dim(emb),
+    ).select("query_id", F.col("match_id").alias("a_match"))
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").cast("array<double>").alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2sq").asc(), F.col("match_id").asc()
+    )
+    exact = (
+        c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .withColumn("l2sq", _fold_l2sq(F.col("__qv"), F.col("__cv"), 6))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "match_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.match_id == approx.a_match),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("a_match").alias("n_hits"),
+            F.round(F.count("a_match") / 5.0, 6).alias("recall_at_5"),
+        )
     )
