@@ -635,6 +635,53 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_l2_top5(emb: DataFrame, queries: DataFrame) -> DataFrame:
+    """Brute-force exact squared-L2 top-5 ground truth (query_id,
+    match_id) — queries broadcast, ties to lowest id, 6dp rounding."""
+    from pyspark.sql import Window
+    from end_to_end_etl_pipeline_spark.operators.pq import _fold_l2sq
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").cast("array<double>").alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2sq").asc(), F.col("match_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .withColumn("l2sq", _fold_l2sq(F.col("__qv"), F.col("__cv"), 6))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "match_id")
+    )
+
+
+def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, n_hits, recall_at_5) — per-query overlap of the
+    exact top-5 with the approximate top-5 (approx columns must be
+    (query_id, a_match))."""
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.match_id == approx.a_match),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("a_match").alias("n_hits"),
+            F.round(F.count("a_match") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+
+
+
 @register(
     "ann_recall_at_k",
     oracle=f"""
@@ -672,9 +719,7 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("north-star", "vectors"),
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from end_to_end_etl_pipeline_spark.operators.pq import (
-        _fold_l2sq,
         ivfpq_topk,
         pq_encode,
         pq_train,
@@ -691,36 +736,247 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "vec_id", "embedding", "label", cb,
         k=5, nprobe=2, shortlist_factor=5, dim=_dim(emb),
     ).select("query_id", F.col("match_id").alias("a_match"))
+    return _recall_frame(_exact_l2_top5(emb, queries), approx)
 
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("__qv"),
+
+def _lloyd_ctes(prefix: str, M: int, K: int) -> str:
+    """Parameterized replay of deterministic Lloyd training (id%K
+    init, one step, 6dp rounding, argmin tie -> lowest code) over
+    ``embeddings`` — the generic form of the PQ-training chain. With
+    M=1 this IS full-vector k-means (the coarse quantizer); with M>1
+    it is product quantization. ``prefix`` namespaces the CTEs so a
+    coarse chain and a fine chain compose in one oracle."""
+    p = prefix
+    return f"""{p}el AS (
+      SELECT vec_id AS id,
+             CAST((pos - 1) // (dim // {M}) AS INT) AS m,
+             CAST((pos - 1) % (dim // {M}) + 1 AS INT) AS i,
+             x
+      FROM (SELECT vec_id, len(embedding) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+    ),
+    {p}cb0 AS (
+      SELECT m, CAST(id % {K} AS INT) AS code, i, round(avg(x), 6) AS c
+      FROM {p}el GROUP BY m, code, i
+    ),
+    {p}d1 AS (
+      SELECT e.id, e.m, b.code, round(sum((e.x - b.c) * (e.x - b.c)), 6) AS dist
+      FROM {p}el e JOIN {p}cb0 b ON e.m = b.m AND e.i = b.i
+      GROUP BY e.id, e.m, b.code
+    ),
+    {p}a1 AS (
+      SELECT id, m, code FROM {p}d1
+      QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY dist, code) = 1
+    ),
+    {p}cb1 AS (
+      SELECT e.m, a.code, e.i, round(avg(e.x), 6) AS c
+      FROM {p}el e JOIN {p}a1 a ON a.id = e.id AND a.m = e.m
+      GROUP BY e.m, a.code, e.i
+    ),
+    {p}d2 AS (
+      SELECT e.id, e.m, b.code, round(sum((e.x - b.c) * (e.x - b.c)), 6) AS dist
+      FROM {p}el e JOIN {p}cb1 b ON e.m = b.m AND e.i = b.i
+      GROUP BY e.id, e.m, b.code
+    ),
+    {p}codes AS (
+      SELECT id, m, code FROM {p}d2
+      QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY dist, code) = 1
+    )"""
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=f"""
+    WITH {_lloyd_ctes("", 1, 16)},
+    sizes AS (SELECT code, count(*) AS n FROM codes GROUP BY code)
+    SELECT c.id AS vec_id, c.code AS cluster, s.n AS cluster_size,
+           d.dist AS l2sq_to_centroid
+    FROM codes c
+    JOIN sizes s ON s.code = c.code
+    JOIN d2 d ON d.id = c.id AND d.code = c.code
+    """,
+    doc="Full-vector k-means clustering (K=16, deterministic Lloyd: "
+    "id%K init + one step, 6dp-rounded centroids, argmin ties to the "
+    "lowest label) - the quantizer-training operator behind every "
+    "IVF tier, exposed standalone. Implemented as product "
+    "quantization with ONE subspace (operators/pq.pq_train at M=1), "
+    "so the training plan is the proven one-aggregation-per-step "
+    "shape: the exchange carries K x dim doubles, never rows. The "
+    "oracle replays training, assignment, cluster sizes, and each "
+    "vector's distance to its centroid exactly.",
+    tags=("north-star", "vectors"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.pq import (
+        _query_dtable,
+        pq_encode,
+        pq_train,
     )
-    c = emb.select(
-        F.col("vec_id").alias("match_id"),
-        F.col("embedding").cast("array<double>").alias("__cv"),
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_train(
+        emb, "vec_id", "embedding", num_subspaces=1, num_centroids=16, iters=1
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("l2sq").asc(), F.col("match_id").asc()
+    enc = pq_encode(emb, "embedding", cb)
+    # distance to own centroid: the M=1 ADC table indexed by the code
+    dt = _query_dtable("embedding", cb, 6)
+    enc = enc.withColumn(
+        "l2sq_to_centroid",
+        F.element_at(
+            F.element_at(dt, 1), F.element_at(F.col("pq_codes"), 1) + 1
+        ),
+    ).withColumn("cluster", F.element_at(F.col("pq_codes"), 1))
+    sizes = enc.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return enc.join(sizes, "cluster").select(
+        F.col("vec_id"), "cluster", "cluster_size", "l2sq_to_centroid"
     )
-    exact = (
-        c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
-        .withColumn("l2sq", _fold_l2sq(F.col("__qv"), F.col("__cv"), 6))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 5)
+
+
+@register(
+    "ann_recall_trained_cells",
+    oracle=f"""
+    WITH {_lloyd_ctes("c", 1, 16)},
+    {_lloyd_ctes("f", _PQ_M, _PQ_K)},
+    probe AS (
+      SELECT id AS query_id, code AS cell FROM cd2
+      WHERE id < 10
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, code) <= 2
+    ),
+    dt AS (
+      SELECT q.id AS query_id, q.m, b.code,
+             round(sum((q.x - b.c) * (q.x - b.c)), 6) AS d
+      FROM fel q JOIN fcb1 b ON q.m = b.m AND q.i = b.i
+      WHERE q.id < 10
+      GROUP BY q.id, q.m, b.code
+    ),
+    cellmap AS (SELECT id, code AS cell FROM ccodes),
+    score AS (
+      SELECT t.query_id, s.id AS match_id, round(sum(t.d), 6) AS adc_dist
+      FROM fcodes s
+      JOIN cellmap cm ON cm.id = s.id
+      JOIN probe p ON p.cell = cm.cell
+      JOIN dt t ON t.query_id = p.query_id AND t.m = s.m
+             AND t.code = s.code AND s.id <> t.query_id
+      GROUP BY t.query_id, s.id
+    ),
+    short AS (
+      SELECT query_id, match_id FROM score
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, match_id) <= 25
+    ),
+    rerank AS (
+      SELECT s.query_id, s.match_id,
+             round(sum((a.x - b.x) * (a.x - b.x)), 6) AS l2sq
+      FROM short s
+      JOIN fel a ON a.id = s.query_id
+      JOIN fel b ON b.id = s.match_id AND b.m = a.m AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT query_id, match_id FROM rerank
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    ),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.id AS query_id, c2.id AS match_id,
+               round(sum((q.x - c2.x) * (q.x - c2.x)), 6) AS l2sq
+        FROM fel q JOIN fel c2 ON c2.m = q.m AND c2.i = q.i AND c2.id <> q.id
+        WHERE q.id < 10
+        GROUP BY 1, 2
+      )
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(a.match_id) AS BIGINT) AS n_hits,
+           round(count(a.match_id) / 5.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.match_id = e.match_id
+    GROUP BY e.query_id
+    """,
+    doc="Recall@5 of IVFADC over TRAINED coarse cells: the coarse "
+    "quantizer is the deterministic k-means (M=1 Lloyd, K=16) "
+    "instead of the dataset's random label partition, queries route "
+    "to their 2 nearest trained centroids by exact L2, and the rest "
+    "of the stack (PQ codes, restricted ADC, exact re-rank) is "
+    "unchanged. Paired with ann_recall_at_k (random cells, ~0.3 "
+    "recall) this row quantifies exactly what quantizer training "
+    "buys the index - the A/B an ANN deployment runs before "
+    "choosing nlist/training budget. Oracle replays BOTH Lloyd "
+    "chains (coarse and fine), routing, and the evaluation.",
+    tags=("north-star", "vectors"),
+)
+def ann_recall_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from end_to_end_etl_pipeline_spark.operators.pq import (
+        _adc_dist,
+        _exact_rerank,
+        _query_dtable,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    coarse = pq_train(
+        emb, "vec_id", "embedding", num_subspaces=1, num_centroids=16, iters=1
+    )
+    cells = pq_encode(emb, "embedding", coarse).select(
+        "vec_id", F.element_at("pq_codes", 1).alias("cell")
+    )
+    fine = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=_PQ_M, num_centroids=_PQ_K, iters=1,
+    )
+    fenc = pq_encode(emb, "embedding", fine).select("vec_id", "pq_codes")
+
+    # route: nearest-2 TRAINED centroids by exact rounded L2 (tie ->
+    # lowest code), ranking only surviving codes — the dense ADC
+    # table's 0.0 filler slots must not win the argmin
+    cdt = F.element_at(_query_dtable("embedding", coarse, 6), 1)
+    surviving = [code for code, _ in coarse[0]]
+    cand = F.array(
+        *[
+            F.struct(
+                F.element_at(cdt, code + 1).alias("dist"),
+                F.lit(code).alias("cell"),
+            )
+            for code in surviving
+        ]
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c.dist").asc(), F.col("c.cell").asc()
+    )
+    probe = (
+        queries.select(F.col("vec_id").alias("query_id"), F.explode(cand).alias("c"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= 2)
+        .select("query_id", F.col("c.cell").alias("cell"))
+    )
+
+    fdt = _query_dtable("embedding", fine, 6)
+    q = queries.select(F.col("vec_id").alias("query_id"), fdt.alias("__dt"))
+    qp = probe.join(q, "query_id")
+    c = fenc.join(cells, "vec_id").select(
+        F.col("vec_id").alias("match_id"), "pq_codes", "cell"
+    )
+    scored = (
+        c.join(F.broadcast(qp), "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(_adc_dist(), 6))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("match_id").asc()
+    )
+    short = (
+        scored.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= 25)
         .select("query_id", "match_id")
     )
-    return (
-        exact.join(
-            approx,
-            (exact.query_id == approx.query_id)
-            & (exact.match_id == approx.a_match),
-            "left",
-        )
-        .drop(approx.query_id)
-        .groupBy("query_id")
-        .agg(
-            F.count("a_match").alias("n_hits"),
-            F.round(F.count("a_match") / 5.0, 6).alias("recall_at_5"),
-        )
-    )
+    approx = _exact_rerank(
+        short, queries.withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "match_id"),
+        "query_id", "match_id", "embedding", 5, 6,
+    ).select("query_id", F.col("match_id").alias("a_match"))
+    return _recall_frame(_exact_l2_top5(emb, queries), approx)
