@@ -100,53 +100,55 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orc_scan_roundtrip",
     # SCD2 transition semantics (K5/J3)
     "scd2_transition",
-    # dedup family (line_dedup = C4-style line-level dedup; the
-    # swapped-out ngram_jaccard_topk keeps sf0.01 pytest parity)
+    # dedup family (line_dedup = C4-style line-level dedup;
+    # bloom_seen_docs = membership-sketch pre-filter; the swapped-out
+    # ngram_jaccard_topk / near_dup_pruned_corpus / embedding_near_dup
+    # keep sf0.01 pytest parity)
     "dedup_exact_text",
     "near_dup_pairs",
     "simhash_near_dup",
     "line_dedup_corpus",
     "near_dup_clusters",
-    "near_dup_pruned_corpus",
-    "embedding_near_dup",
+    "bloom_seen_docs",
     "doc_span_overlap",
     # similarity / ANN family (ivfpq = the IVFADC composite — it
     # exercises the IVF probe AND the full PQ pipeline in one row;
-    # cosine_topk_ivf / pq_topk keep pytest parity)
+    # ann_recall_trained_cells adds k-means quantizer training + the
+    # recall evaluation; cosine_topk_ivf / pq_topk keep pytest parity)
     "cosine_topk",
     "ivfpq_topk",
-    "pq_topk",
+    "ann_recall_trained_cells",
     "label_centroids",
     # embedding transforms + semantic dedup
     "embedding_int8_quantize",
     "semantic_pruned_corpus",
     # incremental dedup store (new family: O(batch) corpus dedup)
     "incremental_dedup_ingest",
-    # text analysis family
+    # text analysis family (classifier inference + bigram LM; the
+    # swapped-out fingerprints/boilerplate/normalized rows keep
+    # sf0.01 pytest parity — winnowing stays exercised via
+    # doc_span_overlap, normalization via clean_corpus)
     "lang_id",
     "doc_token_stats",
     "gopher_quality_filter",
     "doc_tfidf_terms",
-    "doc_fingerprints",
-    # word_heavy_hitters_cms adds the mergeable count-min sketch
-    # family; doc_bigram_logppl supersedes the unigram LM row (same
-    # ngram-shard join shape, plus word-order sensitivity) — the
-    # swapped-out rows keep sf0.01 pytest parity
+    "quality_classifier_scores",
     "word_heavy_hitters_cms",
-    "boilerplate_ratio",
     "doc_bigram_logppl",
-    "doc_normalized",
     "doc_pii_redacted",
     # tokenizer training
     "bpe_merge_rules",
     "bpe_token_freqs",
-    # corpus curation: cleaning, splits, sampling, packing, chunking
+    # corpus curation: cleaning, splits, sampling, packing, chunking,
+    # lineage (funnel audit), quality-tiered sampling
     "clean_corpus",
+    "corpus_funnel_audit",
     "doc_split_assign",
     "split_contamination",
     "doc_chunks",
     "doc_packed_bins",
-    "doc_stratified_sample",
+    "curriculum_sample",
+    "weighted_doc_sample",
     "source_capped_docs",
     "vocab_oov_rates",
     # multimodal binary
@@ -154,9 +156,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_frame_samples",
     # incremental view maintenance
     "incremental_priority_revenue",
-    # sketches + late core shapes never driver-run in r02
+    # sketches, profiling + late core shapes never driver-run in r02
     "daily_uniques_hll",
     "winsorized_price_stats",
+    "orders_column_profile",
     "daily_event_anomaly",
     "customer_record_linkage",
     "min_cost_supplier",

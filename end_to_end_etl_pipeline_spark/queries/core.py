@@ -2745,3 +2745,50 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_etl_pipeline_spark.operators.dq import profile_columns
 
     return profile_columns(load(spark, sf_dir, "orders"))
+
+
+@register(
+    "price_quantile_sketch",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(20,8)), 2)
+                AS DOUBLE) AS exact_p50,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(20,8)), 2)
+                AS DOUBLE) AS exact_p95,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM orders GROUP BY 1
+    """,
+    doc="Mergeable quantile sketch per order priority: Spark's "
+    "approx_percentile (a Greenwald-Khanna-style summary that "
+    "merges associatively across partitions - the quantile analogue "
+    "of the HLL and count-min rows) at accuracy 10000, checked "
+    "against the exact interpolated percentile with a +/-2% relative "
+    "tolerance boolean the oracle asserts TRUE. Same conformance "
+    "trick as daily_uniques_hll: the sketch internals stay "
+    "engine-private, a broken sketch pipeline still fails the gate. "
+    "At 100 TB the exact leg disappears and per-partition summaries "
+    "merge without a value shuffle.",
+    tags=("parity", "profiling", "north-star"),
+)
+def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5D, 0.95D), 10000)"
+        ).alias("__ap"),
+        F.expr("percentile(o_totalprice, array(0.5D, 0.95D))").alias("__ex"),
+    )
+    def ok(i: int):
+        return (
+            F.abs(F.col("__ap")[i] / F.col("__ex")[i] - 1.0) <= 0.02
+        ).alias(["p50_ok", "p95_ok"][i])
+    return g.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("__ex")[0].cast("decimal(20,8)"), 2).cast("double").alias("exact_p50"),
+        F.round(F.col("__ex")[1].cast("decimal(20,8)"), 2).cast("double").alias("exact_p95"),
+        ok(0),
+        ok(1),
+    )

@@ -145,3 +145,29 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     write_orc(part, base)
     return read_orc(spark, base, part.schema)
+
+
+@register(
+    "text_scan_roundtrip",
+    oracle="""
+    SELECT text AS value, md5(text) AS line_hash FROM documents
+    """,
+    doc="Raw-text sink then line-oriented text scan "
+    "(sources/readers.read_text_lines): each document written as one "
+    "line of a headerless .txt export, read back as (value string) - "
+    "the schemaless landing format corpus dumps arrive in before any "
+    "table exists. Oracle = the original documents table (the corpus "
+    "has no embedded newlines, so doc <-> line is exactly 1:1). "
+    "Completes the scan family: parquet / JSON / CSV / ORC / text.",
+    tags=("parity", "scans"),
+)
+def text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.sources.readers import read_text_lines
+
+    base = os.path.join(
+        SCRATCH, os.path.basename(sf_dir.rstrip("/")), "documents_txt"
+    )
+    docs = load(spark, sf_dir, "documents").select("text")
+    docs.write.mode("overwrite").text(base)
+    lines = read_text_lines(spark, base)
+    return lines.select("value", F.md5("value").alias("line_hash"))

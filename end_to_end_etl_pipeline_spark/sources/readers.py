@@ -139,3 +139,17 @@ def values_source(spark: SparkSession, sql_values: str, columns: str) -> DataFra
     ``values_source(spark, "(1, 'EUR'), (2, 'USD')", "id, code")``
     """
     return spark.sql(f"SELECT * FROM VALUES {sql_values} AS t({columns})")
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, whole: bool = False
+) -> DataFrame:
+    """Raw text source: one row per line (``value string``), or one
+    row per FILE with ``wholetext`` — the landing format for corpus
+    dumps that predate any schema (the step before a documents table
+    exists). Splits parallelize per file/line range exactly like any
+    file scan; downstream parsing is ordinary column work."""
+    reader = spark.read
+    if whole:
+        reader = reader.option("wholetext", "true")
+    return reader.text(path)

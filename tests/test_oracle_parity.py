@@ -71,9 +71,12 @@ def test_driver_window_contract():
         "scd2_transition",
         "dedup_exact_text", "near_dup_pairs", "simhash_near_dup",
         "near_dup_clusters", "doc_span_overlap",
-        "cosine_topk", "ivfpq_topk", "pq_topk",
-        "line_dedup_corpus", "word_heavy_hitters_cms",
+        "cosine_topk", "ivfpq_topk", "ann_recall_trained_cells",
+        "line_dedup_corpus", "word_heavy_hitters_cms", "bloom_seen_docs",
         "lang_id", "doc_token_stats", "doc_tfidf_terms",
+        "quality_classifier_scores", "corpus_funnel_audit",
+        "curriculum_sample", "weighted_doc_sample",
+        "orders_column_profile",
         "bpe_merge_rules", "split_contamination",
         "binary_doc_stats", "doc_frame_samples",
         "incremental_priority_revenue", "daily_uniques_hll",
