@@ -2344,3 +2344,156 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_tokens", "sample_key")
     )
+
+
+@register(
+    "decontaminated_train_split",
+    oracle=f"""
+    WITH {_SQL_CORPUS},
+    assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN {_SQL_H32.format(c="doc_id")} % 10000 < 8000
+                  THEN 'train' ELSE 'test' END AS split
+      FROM corpus
+    ),
+    {_SQL_GRAMS},
+    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 10),
+    g AS (SELECT grams.doc_id, grams.split, grams.gram
+          FROM grams JOIN rare ON grams.gram = rare.gram),
+    dirty AS (
+      SELECT DISTINCT r.doc_id
+      FROM g t JOIN g r ON t.gram = r.gram
+      WHERE t.split = 'test' AND r.split = 'train'
+    )
+    SELECT a.doc_id,
+           CAST(len(list_filter(string_split(a.text, ' '),
+                                w -> length(w) > 0)) AS BIGINT) AS n_tokens
+    FROM assigned a
+    WHERE a.split = 'train'
+      AND a.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    doc="Decontamination REMOVAL - the step after the audit: the "
+    "train split with every document that shares a rare word-8-gram "
+    "with any test document anti-joined away (same df<=10 skew-guard "
+    "join as split_contamination; the planted cross-split variants "
+    "are exactly what gets removed). The drop list is "
+    "contaminated-doc-sized, so the anti join broadcasts at any "
+    "corpus scale where contamination is the exception - the same "
+    "tiny-drop-list shape as near-dup retention.",
+    tags=("north-star", "dedup", "sampling"),
+)
+def decontaminated_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import split_assign
+
+    corpus = _variant_corpus(load(spark, sf_dir, "documents"))
+    assigned = split_assign(corpus, "doc_id", [("train", 8000), ("test", 2000)])
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    gram_arr = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda s: F.md5(
+                F.encode(F.concat_ws(" ", F.slice(words, s, 8)), "utf-8")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        assigned.select("doc_id", "split", F.explode(gram_arr).alias("gram"))
+        .distinct()
+        .persist()
+    )
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 10)
+        .select("gram")
+    )
+    capped = grams.join(rare, "gram", "left_semi")
+    t = capped.filter(F.col("split") == "test").select("gram")
+    dirty = (
+        capped.filter(F.col("split") == "train")
+        .join(t, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = assigned.filter(F.col("split") == "train")
+    clean = train.join(dirty, "doc_id", "left_anti")
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    return clean.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+
+
+@register(
+    "packed_bin_manifests",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_SQL_H32.format(c="doc_id")} % 8 AS shard,
+             len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix_excl
+      FROM toks
+    ),
+    binned AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(floor(prefix_excl / 2048.0) AS BIGINT) AS bin,
+             CAST(prefix_excl - CAST(floor(prefix_excl / 2048.0) AS BIGINT) * 2048
+                  AS BIGINT) AS start_off
+      FROM packed
+    )
+    SELECT shard, bin,
+           CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY doc_id)
+                AS BIGINT) AS seq,
+           doc_id, start_off, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM binned
+    """,
+    doc="Packed-bin manifests - the per-document boundary records a "
+    "training loader consumes alongside the packed token stream: for "
+    "every (shard, bin), each document's sequence number, its start "
+    "offset inside the 2048-token bin, and its length (what the "
+    "attention mask / sequence-boundary metadata derives from; a doc "
+    "whose tokens straddle the bin cut starts in the bin its first "
+    "token lands in). Same per-shard prefix-sum window as "
+    "doc_packed_bins - shards pack independently, no global sort at "
+    "any scale - projected to per-doc rows instead of per-bin "
+    "aggregates.",
+    tags=("north-star", "sampling"),
+)
+def packed_bin_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("n_tokens"),
+    )
+    wsum = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "prefix_excl", F.sum("n_tokens").over(wsum) - F.col("n_tokens")
+    )
+    binned = packed.withColumn(
+        "bin", F.floor(F.col("prefix_excl") / 2048.0).cast("bigint")
+    ).withColumn(
+        "start_off",
+        (F.col("prefix_excl") - F.col("bin") * 2048).cast("bigint"),
+    )
+    wseq = Window.partitionBy("shard", "bin").orderBy("doc_id")
+    return binned.select(
+        "shard",
+        "bin",
+        F.row_number().over(wseq).cast("bigint").alias("seq"),
+        "doc_id",
+        "start_off",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
