@@ -530,3 +530,35 @@ def test_write_jsonl_sharded_content_addressed(spark, tmp_path):
     assert got == expect
     with pytest.raises(ValueError, match="id_col"):
         write_jsonl_sharded(docs, out, n_shards=4)
+
+
+def test_optimize_rebases_on_concurrent_append(spark, cat):
+    """The compaction lost-update race: an append committing between
+    optimize's base read and its publish must fail the CAS, force a
+    rebase, and SURVIVE the compaction (last-writer-wins here would
+    silently drop the appended dir)."""
+    cat.replace_atomic(_df(spark, [(1, "a"), (2, "b")]), "t8")
+    orig = cat._commit_if
+    fired = {"done": False}
+
+    def racy(name, manifest, expected_base):
+        if not fired["done"]:
+            fired["done"] = True
+            cat._commit_if = orig
+            # concurrent writer lands AFTER optimize pinned its base
+            cat.append(_df(spark, [(99, "z")]), "t8")
+            cat._commit_if = racy
+            # stale CAS: optimize's expected_base predates the append
+            assert orig(name, manifest, expected_base) is None
+            return None
+        return orig(name, manifest, expected_base)
+
+    cat._commit_if = racy
+    try:
+        cat.optimize("t8")
+    finally:
+        cat._commit_if = orig
+    assert sorted(r.k for r in cat.read("t8").collect()) == [1, 2, 99]
+    latest = cat.latest_manifest("t8")
+    # the retry compacted base+append into one dir
+    assert len(latest["dirs"]) == 1
