@@ -278,3 +278,33 @@ def test_cms_build_is_partial_aggregated(spark):
     # partial_sum below the exchange == map-side combine is in place
     assert "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_plans_partial_topk(spark):
+    """The Efraimidis-Spirakis draw must plan as TakeOrderedAndProject
+    (per-partition partial top-k) — never a global Sort
+    materialization."""
+    plan = _plan(spark, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_tier_queries_broadcast_scalar_bounds_only(spark):
+    """curriculum_sample / corpus_funnel_audit join their percentile
+    bounds as a broadcast of ONE row — the plan may contain that
+    broadcast nested loop, but never a CartesianProduct, and the
+    probing side must not shuffle into it."""
+    for name in ("curriculum_sample", "corpus_funnel_audit"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_decontamination_uses_semi_joins_no_pair_blowup(spark):
+    """The removal query must stay on semi/anti joins (drop-list
+    shape) — no test x train pair materialization, no cartesian."""
+    plan = _plan(spark, "decontaminated_train_split")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") >= 2  # df-cap semi + dirty-gram semi
+    assert "LeftAnti" in plan  # clean = train anti drop-list
