@@ -23,6 +23,9 @@ def test_oracle_parity(spark, sf_correctness_dir, name):
     df = q.spark(spark, sf_correctness_dir)
     problems = compare(df, q.oracle, sf_correctness_dir)
     assert not problems, f"{name}: " + "; ".join(problems)
+    # non-vacuity: an empty result passes "empty == empty" and checks
+    # nothing (the r02 failure class — six zero-row TPC-H literals)
+    assert df.count() > 0, f"{name} is vacuous at sf0.01"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
