@@ -7,8 +7,10 @@ from end_to_end_etl_pipeline_spark.sources.rest import (
 from end_to_end_etl_pipeline_spark.sources.readers import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_table,
+    read_text_lines,
     rows_source,
     with_file_metadata,
     with_path_key,
@@ -21,7 +23,9 @@ __all__ = [
     "urllib_transport",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
+    "read_text_lines",
     "read_table",
     "rows_source",
     "with_file_metadata",
