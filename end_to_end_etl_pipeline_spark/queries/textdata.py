@@ -1003,6 +1003,38 @@ _SQL_GRAMS = r"""
   )"""
 
 
+def _capped_rare_grams(assigned):
+    """(doc_id, split, gram) word-8-gram md5 shingles, distinct per
+    doc, restricted to grams with document frequency <= 10 — the
+    df-cap skew guard shared by the contamination audit and the
+    removal query (groupBy+semi-join, never a count-over-gram window:
+    the window would ship every occurrence of a hot gram to one
+    task)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    gram_arr = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda s: F.md5(
+                F.encode(F.concat_ws(" ", F.slice(words, s, 8)), "utf-8")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        assigned.select("doc_id", "split", F.explode(gram_arr).alias("gram"))
+        .distinct()
+        .persist()
+    )
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 10)
+        .select("gram")
+    )
+    return grams.join(rare, "gram", "left_semi")
+
+
 @register(
     "split_contamination",
     oracle=f"""
@@ -1040,34 +1072,7 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _variant_corpus(load(spark, sf_dir, "documents"))
     assigned = split_assign(corpus, "doc_id", [("train", 8000), ("test", 2000)])
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(words)
-    gram_arr = F.when(
-        n >= 8,
-        F.transform(
-            F.sequence(F.lit(1), n - 7),
-            lambda s: F.md5(
-                F.encode(F.concat_ws(" ", F.slice(words, s, 8)), "utf-8")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        assigned.select("doc_id", "split", F.explode(gram_arr).alias("gram"))
-        .distinct()
-        .persist()  # feeds the df-count AND both join sides
-    )
-    # df-cap via groupBy + semi-join, NOT a count-over-gram window: the
-    # window ships every occurrence of a hot gram to one task (no
-    # partial agg) - the exact skew this cap exists to defuse. The
-    # groupBy combines map-side, so the hottest gram costs one partial
-    # row per input partition.
-    rare = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= 10)
-        .select("gram")
-    )
-    capped = grams.join(rare, "gram", "left_semi").persist()
+    capped = _capped_rare_grams(assigned).persist()
     t = capped.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_doc_id"), "gram"
     )
@@ -2387,29 +2392,7 @@ def decontaminated_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _variant_corpus(load(spark, sf_dir, "documents"))
     assigned = split_assign(corpus, "doc_id", [("train", 8000), ("test", 2000)])
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(words)
-    gram_arr = F.when(
-        n >= 8,
-        F.transform(
-            F.sequence(F.lit(1), n - 7),
-            lambda s: F.md5(
-                F.encode(F.concat_ws(" ", F.slice(words, s, 8)), "utf-8")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        assigned.select("doc_id", "split", F.explode(gram_arr).alias("gram"))
-        .distinct()
-        .persist()
-    )
-    rare = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= 10)
-        .select("gram")
-    )
-    capped = grams.join(rare, "gram", "left_semi")
+    capped = _capped_rare_grams(assigned)
     t = capped.filter(F.col("split") == "test").select("gram")
     dirty = (
         capped.filter(F.col("split") == "train")
