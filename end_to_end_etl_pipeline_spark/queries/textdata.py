@@ -2480,3 +2480,122 @@ def packed_bin_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_off",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "keyword_doc_similarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY 1
+    ), tot AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.word,
+             round(t.tf * ln(CAST(tot.n AS DOUBLE) / d.df), 6) AS w
+      FROM tf t JOIN dfreq d USING (word) CROSS JOIN tot
+    ),
+    kw AS (
+      SELECT doc_id, word, w FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY w DESC, word) AS rk
+        FROM scored)
+      WHERE rk <= 5
+    ),
+    capped AS (
+      SELECT word FROM kw GROUP BY word HAVING count(*) <= 64
+    ),
+    post AS (SELECT kw.* FROM kw JOIN capped USING (word)),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM kw GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM post a JOIN post b ON a.word = b.word AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT d.doc_a, d.doc_b,
+             CAST(round(CAST(d.dot / (na.nrm * nb.nrm) AS DECIMAL(20,10)), 6)
+                  AS DOUBLE) AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_a
+      JOIN norms nb ON nb.doc_id = d.doc_b
+    )
+    SELECT doc_a, doc_b, cosine FROM sims
+    QUALIFY row_number() OVER (PARTITION BY doc_a ORDER BY cosine DESC, doc_b) <= 3
+    """,
+    doc="Sparse keyword-vector document similarity - the third "
+    "similarity modality next to MinHash (set overlap) and dense "
+    "embedding cosine: each document is reduced to its top-5 tf-idf "
+    "keywords (6dp-rounded before ranking, ties on the word), and "
+    "per-document top-3 neighbors are found via an INVERTED-INDEX "
+    "self-join on shared keywords - a doc contributes exactly 5 "
+    "posting entries, so join fanout is bounded by construction, "
+    "plus a df<=64 posting-list cap as the boilerplate-keyword skew "
+    "guard (same discipline as the span-overlap and contamination "
+    "joins). Never all-pairs: only docs sharing a distinctive "
+    "keyword ever meet. Cosine over the truncated keyword vectors, "
+    "decimal-routed before rounding.",
+    tags=("north-star", "text", "joins"),
+)
+def keyword_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    toks = docs.select("doc_id", F.explode(words).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "w",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    wk = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("word").asc())
+    kw = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "word", "w")
+        .persist()
+    )
+    capped = (
+        kw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("pl"))
+        .filter(F.col("pl") <= 64)
+        .select("word")
+    )
+    post = kw.join(capped, "word", "left_semi")
+    norms = kw.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = post.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
+    b = post.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    sims = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                (F.col("dot") / (F.col("na") * F.col("nb"))).cast("decimal(20,10)"),
+                6,
+            ).cast("double"),
+        )
+    )
+    wr = Window.partitionBy("doc_a").orderBy(F.col("cosine").desc(), F.col("doc_b").asc())
+    return (
+        sims.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_a", "doc_b", "cosine")
+    )
