@@ -95,3 +95,90 @@ def scd2_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "order_cnt", "total_spent",
         "effective_from", "effective_to", "is_current",
     )
+
+
+_SQL_DIM_STATE = f"""
+    b1 AS ({_SQL_BATCH.format(lo=_W1[0], hi=_W1[1])}),
+    b2 AS ({_SQL_BATCH.format(lo=_W2[0], hi=_W2[1])}),
+    changed AS (
+      SELECT b1.custkey FROM b1 JOIN b2 USING (custkey)
+      WHERE b1.order_cnt IS DISTINCT FROM b2.order_cnt
+         OR b1.total_spent IS DISTINCT FROM b2.total_spent
+    ),
+    dim AS (
+      SELECT b1.custkey, b1.order_cnt, b1.total_spent,
+             TIMESTAMP '{_T1}' AS effective_from,
+             TIMESTAMP '{_T2}' AS effective_to
+      FROM b1 JOIN changed USING (custkey)
+      UNION ALL
+      SELECT b1.custkey, b1.order_cnt, b1.total_spent,
+             TIMESTAMP '{_T1}', TIMESTAMP '{MAX_TS}'
+      FROM b1 ANTI JOIN changed USING (custkey)
+      UNION ALL
+      SELECT b2.custkey, b2.order_cnt, b2.total_spent,
+             TIMESTAMP '{_T2}', TIMESTAMP '{MAX_TS}'
+      FROM b2 LEFT JOIN b1 USING (custkey)
+      WHERE b1.custkey IS NULL
+         OR b1.order_cnt IS DISTINCT FROM b2.order_cnt
+         OR b1.total_spent IS DISTINCT FROM b2.total_spent
+    )"""
+
+
+@register(
+    "orders_pit_dimension_join",
+    oracle=f"""
+    WITH {_SQL_DIM_STATE}
+    SELECT o.o_orderkey, o.o_custkey AS custkey,
+           o.o_orderdate AS order_date,
+           d.order_cnt, d.total_spent,
+           d.custkey IS NOT NULL AS matched
+    FROM orders o
+    LEFT JOIN dim d
+      ON d.custkey = o.o_custkey
+     AND o.o_orderdate >= d.effective_from
+     AND o.o_orderdate <  d.effective_to
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    doc="Point-in-time (as-was) fact-to-SCD2 join - the query shape "
+    "every dimensional warehouse runs and naive joins silently get "
+    "wrong: each 1996-1997 order joins the dimension leg whose "
+    "validity window covers its order date (equi-join on the "
+    "business key + validity-range residual), so facts before the "
+    "second load see version-1 attributes and later facts see the "
+    "current leg; orders whose customer has no dimension history "
+    "keep NULL attributes under the left join (matched=FALSE). "
+    "Validity windows per key are few, so the residual filters a "
+    "handful of rows per key inside an ordinary keyed join - no "
+    "range-bucketing needed (contrast operators/joins.range_join, "
+    "which buckets unbounded time bands). Exercises the SCD2 state "
+    "as a CONSUMER would, not just its construction.",
+    tags=("parity", "scd", "joins"),
+)
+def orders_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    state1 = scd2_next_state(
+        None, _batch(orders, *_W1), ["custkey"], ["order_cnt", "total_spent"], _T1
+    )
+    dim = scd2_next_state(
+        state1, _batch(orders, *_W2), ["custkey"], ["order_cnt", "total_spent"], _T2
+    ).select("custkey", "order_cnt", "total_spent", "effective_from", "effective_to")
+    facts = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = facts.join(
+        dim,
+        (facts.o_custkey == dim.custkey)
+        & (facts.o_orderdate >= dim.effective_from)
+        & (facts.o_orderdate < dim.effective_to),
+        "left",
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("order_date"),
+        "order_cnt",
+        "total_spent",
+        dim.custkey.isNotNull().alias("matched"),
+    )
