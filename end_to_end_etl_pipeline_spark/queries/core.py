@@ -2792,3 +2792,71 @@ def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(0),
         ok(1),
     )
+
+
+@register(
+    "user_time_weighted_value",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, value, event_id
+      FROM events
+    ),
+    stepped AS (
+      SELECT user_id, day, value,
+             coalesce(
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id, day
+                                        ORDER BY ts, event_id),
+               epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))
+             ) - epoch_us(ts) AS w_us
+      FROM ev
+    )
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(CAST(sum(value * w_us) / sum(w_us)
+                           AS DECIMAL(20,10)), 6) AS DOUBLE) AS twap
+    FROM stepped GROUP BY 1, 2
+    """,
+    doc="Time-weighted average over irregular events (the TWAP shape "
+    "finance and metering pipelines run): within each (user, day), a "
+    "reading holds until the next one (step function; the last holds "
+    "to midnight), and the day's average weighs each value by its "
+    "holding duration in exact integer MICROSECONDS (unix_micros / "
+    "epoch_us on both engines - float epoch seconds would diverge). "
+    "Plain event averages overweight bursty periods; TWAP is "
+    "sampling-rate invariant. One lead() window + one grouped agg, "
+    "both keyed on (user, day) - the window partition is reused by "
+    "the aggregation, so the whole query is a single shuffle. "
+    "Deterministic tie-break on event_id for equal timestamps.",
+    tags=("events", "windows", "parity"),
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events ts can read back as TIMESTAMP_NTZ; unix_micros needs the
+    # session-TZ (UTC) timestamp — the same instant DuckDB's naive
+    # epoch_us computes
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    stepped = ev.withColumn(
+        "w_us",
+        F.coalesce(
+            F.lead(F.unix_micros("ts")).over(w),
+            F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp")),
+        )
+        - F.unix_micros("ts"),
+    )
+    return stepped.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            (F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us")).cast(
+                "decimal(20,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("twap"),
+    )
