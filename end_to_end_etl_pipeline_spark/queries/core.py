@@ -2860,3 +2860,60 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("twap"),
     )
+
+
+@register(
+    "order_price_equidepth_bins",
+    oracle="""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               q -> CAST(round(CAST(q AS DECIMAL(20,8)), 2) AS DOUBLE)
+             ) AS bounds
+      FROM orders
+    )
+    SELECT CAST(len(list_filter(b.bounds, x -> o.o_totalprice > x)) + 1 AS INT)
+             AS bucket,
+           count(*) AS n,
+           round(min(o.o_totalprice), 2) AS min_price,
+           round(max(o.o_totalprice), 2) AS max_price
+    FROM orders o CROSS JOIN b
+    GROUP BY 1
+    """,
+    doc="Equi-depth (equal-frequency) discretization of order prices "
+    "into 10 bins - the quantile-binning feature-engineering staple, "
+    "and the complement of the fixed-width order_price_histogram: "
+    "bin populations stay balanced whatever the value distribution. "
+    "The 9 decile bounds are ONE exact-percentile aggregate "
+    "broadcast back over the scan as a single array literal (bucket "
+    "= 1 + bounds-below-value via a per-row HOF count); no sort, no "
+    "second shuffle, same decimal-routed bound rounding as the "
+    "winsorization query. At 100 TB swap approx_percentile in - "
+    "identical shape.",
+    tags=("parity", "profiling"),
+)
+def order_price_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("__q")
+    ).select(
+        F.transform(
+            F.col("__q"),
+            lambda q: F.round(q.cast("decimal(20,8)"), 2).cast("double"),
+        ).alias("bounds")
+    )
+    bucket = (
+        F.size(F.filter(F.col("bounds"), lambda x: F.col("o_totalprice") > x)) + 1
+    ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
