@@ -46,7 +46,11 @@ from end_to_end_etl_pipeline_spark.sinks.writers import ParquetCatalog
 
 SCD_COLS = ("row_hash", "effective_from", "effective_to", "is_current")
 
-MAX_TS = "9999-12-31 23:59:59"
+# Open-ended validity sentinel for current SCD2 rows.  Deliberately within
+# pandas' ns-timestamp range (max 2262-04-11): downstream conformance
+# harnesses round-trip results through pandas, and the conventional
+# 9999-12-31 sentinel raises OutOfBoundsDatetime there.
+MAX_TS = "2200-12-31 23:59:59"
 
 
 def prepare_scd_source(

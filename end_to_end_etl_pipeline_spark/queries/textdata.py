@@ -674,7 +674,7 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard, bin,
            count(*) AS n_docs,
-           sum(n_tokens) AS token_sum,
+           CAST(sum(n_tokens) AS BIGINT) AS token_sum,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM packed
@@ -953,7 +953,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w.doc_id,
            count(*) AS n_tokens,
-           sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab,
+           CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab,
            round(1.0 - sum(CASE WHEN v.word IS NOT NULL THEN 1.0 ELSE 0.0 END)
                  / count(*), 6) AS oov_rate
     FROM w LEFT JOIN vocab v ON w.word = v.word
@@ -1322,7 +1322,7 @@ def _bpe_oracle(num_merges: int) -> str:
       FROM enc{i}, best{i} b
     )""")
     selects = " UNION ALL ".join(
-        f"SELECT {i + 1} AS merge_rank, lhs, rhs, cnt FROM best{i}"
+        f"SELECT {i + 1} AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM best{i}"
         for i in range(num_merges)
     )
     return f"""

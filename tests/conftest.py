@@ -28,3 +28,8 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def sf_correctness_dir():
     return SF_CORRECTNESS
+
+
+@pytest.fixture(scope="session")
+def sf_smoke_dir():
+    return SF_SMOKE
