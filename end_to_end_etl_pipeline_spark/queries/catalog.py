@@ -100,41 +100,38 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orc_scan_roundtrip",
     # SCD2 transition semantics (K5/J3)
     "scd2_transition",
-    # dedup family (line_dedup = C4-style line-level dedup;
-    # bloom_seen_docs = membership-sketch pre-filter; the swapped-out
-    # ngram_jaccard_topk / near_dup_pruned_corpus / embedding_near_dup
-    # keep sf0.01 pytest parity)
+    # dedup family — r04 rotation: the five r03-green rows
+    # (simhash_near_dup, line_dedup_corpus, near_dup_clusters,
+    # bloom_seen_docs, doc_span_overlap) rotate out to pytest parity;
+    # the never-driver-run ngram_jaccard_topk and embedding_near_dup
+    # rotate in so every dedup variant has a driver-green row on file
     "dedup_exact_text",
     "near_dup_pairs",
-    "simhash_near_dup",
-    "line_dedup_corpus",
-    "near_dup_clusters",
-    "bloom_seen_docs",
-    "doc_span_overlap",
-    # similarity / ANN family (ivfpq = the IVFADC composite — it
-    # exercises the IVF probe AND the full PQ pipeline in one row;
-    # ann_recall_trained_cells adds k-means quantizer training + the
-    # recall evaluation; cosine_topk_ivf / pq_topk keep pytest parity)
-    "cosine_topk",
+    "ngram_jaccard_topk",
+    "embedding_near_dup",
+    # similarity / ANN family — r04 rotation: cosine_topk and
+    # ann_recall_trained_cells (green r03) rotate out; pq_topk and
+    # cosine_topk_ivf (never driver-run) rotate in; ivfpq_topk stays
+    # as the IVFADC composite covering the IVF probe + PQ pipeline
     "ivfpq_topk",
-    "ann_recall_trained_cells",
+    "pq_topk",
+    "cosine_topk_ivf",
     "label_centroids",
     # embedding transforms + semantic dedup
     "embedding_int8_quantize",
     "semantic_pruned_corpus",
     # incremental dedup store (new family: O(batch) corpus dedup)
     "incremental_dedup_ingest",
-    # text analysis family (classifier inference + bigram LM; the
-    # swapped-out fingerprints/boilerplate/normalized rows keep
-    # sf0.01 pytest parity — winnowing stays exercised via
-    # doc_span_overlap, normalization via clean_corpus)
+    # text analysis family — r04 rotation: doc_token_stats,
+    # gopher_quality_filter, doc_tfidf_terms (green r03) rotate out;
+    # the r03 swapped-out fingerprints/boilerplate/normalized rows
+    # rotate back in for their driver-green row
     "lang_id",
-    "doc_token_stats",
-    "gopher_quality_filter",
-    "doc_tfidf_terms",
+    "doc_fingerprints",
+    "boilerplate_ratio",
+    "doc_normalized",
     "quality_classifier_scores",
     "word_heavy_hitters_cms",
-    "doc_bigram_logppl",
     "doc_pii_redacted",
     # tokenizer training
     "bpe_merge_rules",
@@ -163,9 +160,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "daily_event_anomaly",
     "customer_record_linkage",
     "min_cost_supplier",
-    # one of the six de-vacuated join shapes (the other five keep
-    # pytest parity at sf0.01; rotate them in next round)
-    "local_supplier_volume",
+    # the six de-vacuated TPC-H join shapes: local_supplier_volume
+    # went driver-green in r03 and rotates out; the other five rotate
+    # in for r04 so every one has a driver row (min_cost_supplier
+    # stays as the composite-key anti-join representative)
+    "forecast_revenue_change",
+    "returned_item_revenue",
+    "priority_shipping_split",
+    "idle_rich_customers",
+    "nation_trade_volume",
 )
 
 

@@ -67,23 +67,51 @@ def test_driver_window_contract():
     assert len(DRIVER_WINDOW) <= 50
     for n in DRIVER_WINDOW:
         assert n in os_, f"window query {n} must be oracle-matched"
-    # one representative per family the driver must see
-    must_have = {
-        "medallion_gold_fact",  # bronze→silver→gold e2e
-        "json_scan_roundtrip", "csv_scan_roundtrip", "orc_scan_roundtrip",
-        "scd2_transition",
-        "dedup_exact_text", "near_dup_pairs", "simhash_near_dup",
-        "near_dup_clusters", "doc_span_overlap",
-        "cosine_topk", "ivfpq_topk", "ann_recall_trained_cells",
-        "line_dedup_corpus", "word_heavy_hitters_cms", "bloom_seen_docs",
-        "lang_id", "doc_token_stats", "doc_tfidf_terms",
-        "quality_classifier_scores", "corpus_funnel_audit",
-        "curriculum_sample", "weighted_doc_sample",
-        "orders_column_profile",
-        "bpe_merge_rules", "split_contamination",
-        "binary_doc_stats", "doc_frame_samples",
-        "incremental_priority_revenue", "daily_uniques_hll",
-        "incremental_dedup_ingest", "gopher_quality_filter",
-        "semantic_pruned_corpus",
+    # At least one representative per family the driver must see.
+    # Families are sets of interchangeable queries so per-round
+    # rotation (giving never-driver-run queries their green row)
+    # can't silently drop a whole family out of the hard signal.
+    window = set(DRIVER_WINDOW)
+    families = {
+        "medallion-e2e": {"medallion_gold_fact"},
+        "json-scan": {"json_scan_roundtrip"},
+        "csv-scan": {"csv_scan_roundtrip"},
+        "orc-scan": {"orc_scan_roundtrip"},
+        "scd2": {"scd2_transition"},
+        "exact-dedup": {"dedup_exact_text", "line_dedup_corpus"},
+        "near-dedup": {
+            "near_dup_pairs", "simhash_near_dup", "ngram_jaccard_topk",
+            "near_dup_clusters", "doc_span_overlap", "embedding_near_dup",
+        },
+        "semantic-dedup": {"semantic_pruned_corpus"},
+        "incremental-dedup": {"incremental_dedup_ingest"},
+        "ann": {
+            "cosine_topk", "ivfpq_topk", "pq_topk", "cosine_topk_ivf",
+            "ann_recall_trained_cells",
+        },
+        "kmeans-vectors": {"label_centroids", "embedding_int8_quantize"},
+        "sketch": {"word_heavy_hitters_cms", "bloom_seen_docs",
+                   "daily_uniques_hll"},
+        "text-analysis": {
+            "lang_id", "doc_token_stats", "doc_tfidf_terms",
+            "gopher_quality_filter", "doc_fingerprints",
+            "boilerplate_ratio", "doc_normalized", "doc_bigram_logppl",
+            "doc_pii_redacted",
+        },
+        "quality-classifier": {"quality_classifier_scores"},
+        "curation-lineage": {"corpus_funnel_audit", "clean_corpus"},
+        "sampling": {"curriculum_sample", "weighted_doc_sample",
+                     "source_capped_docs"},
+        "packing-chunking": {"doc_packed_bins", "doc_chunks"},
+        "splits-contamination": {"doc_split_assign", "split_contamination"},
+        "vocab": {"vocab_oov_rates"},
+        "profiling": {"orders_column_profile", "winsorized_price_stats",
+                      "daily_event_anomaly"},
+        "bpe": {"bpe_merge_rules", "bpe_token_freqs"},
+        "multimodal": {"binary_doc_stats", "doc_frame_samples"},
+        "ivm": {"incremental_priority_revenue"},
+        "entity-resolution": {"customer_record_linkage"},
+        "core-joins": {"min_cost_supplier", "local_supplier_volume"},
     }
-    assert must_have <= set(DRIVER_WINDOW)
+    missing = [f for f, alts in families.items() if not alts & window]
+    assert not missing, f"families with no driver-window representative: {missing}"
