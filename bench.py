@@ -8,6 +8,26 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 Each query is fully materialized through the no-op sink (row-level
 execution, nothing collected to the driver) — the same way a cluster
 job would be costed.
+
+Structure of a run:
+* COLD pass — first execution of each query in a fresh session; the
+  headline metric, kept apples-to-apples across rounds (same query
+  set since r02; additive entries only).
+* WARM passes (x3) — steady-state executions with plans/codegen
+  JIT-warm; per-query MIN ("queries_warm") approximates the marginal
+  cost a long-running cluster job sees, per-query MEDIAN
+  ("queries_warm_median") shows run-to-run stability. Cold-pass
+  variance at n=1 produced phantom 2x "regressions" in r03
+  (nation_market_share, clean_corpus — both sub-second warm); read
+  the warm columns before calling anything a regression.
+
+The ``ivfpq_store_topk`` entry measures QUERY-TIME ANN over a
+pre-built IVFADC store (operators/ivf_store.py): codebook training,
+PQ encoding, and cell partitioning happen once in an untimed setup —
+exactly how a production index amortizes them — so the timed number
+is route -> probed-cell dir scan -> ADC -> re-rank only.  Its twin
+``pq_topk`` (train-in-query, kept for round-over-round continuity)
+shows what NOT amortizing costs.
 """
 
 from __future__ import annotations
@@ -15,12 +35,15 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY
+from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY, load
 from end_to_end_etl_pipeline_spark.session import create_spark_session
 
 BENCH_QUERIES = [
@@ -67,6 +90,47 @@ BENCH_QUERIES = [
     "daily_event_anomaly",
 ]
 
+N_WARM_RUNS = 3
+
+
+def _build_ann_store(spark, sf_dir: str):
+    """Untimed setup: train the PQ codebook once (same params as the
+    pq_topk/ivfpq_topk conformance queries) and persist the IVFADC
+    store — cell-partitioned codes+vectors, centroids side table,
+    codebook in the manifest.  Returns (catalog, store_query_fn,
+    tmpdir)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        ivfpq_store_topk,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.queries.vectors import _PQ_K, _PQ_M
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    tmpdir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    cat = ManifestCatalog(spark, f"file://{tmpdir}/lake")
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    cb = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=_PQ_M, num_centroids=_PQ_K, iters=1,
+    )
+    write_ivfpq_store(
+        cat, emb, "vec_id", "embedding", "label", cb, "ann.emb", dim=dim
+    )
+
+    def store_topk(spark, sf_dir):
+        queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+        res, _probed = ivfpq_store_topk(
+            cat, "ann.emb", queries, "vec_id", "embedding",
+            k=5, nprobe=2, shortlist_factor=5,
+        )
+        return res
+
+    return cat, store_topk, tmpdir
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,43 +141,55 @@ def main() -> None:
     # warmup: JVM/codegen spin-up, not counted
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    timings: dict[str, float] = {}
+    runnable: dict[str, object] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY.get(name)
-        if q is None:
-            continue
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if q is not None:
+            runnable[name] = q.spark
+    tmpdir = None
+    try:
+        _cat, store_topk, tmpdir = _build_ann_store(spark, sf_dir)
+        runnable["ivfpq_store_topk"] = store_topk
+    except Exception as exc:  # pragma: no cover - never skip the bench
+        print(f"ann store setup failed: {exc!r}", file=sys.stderr)
 
-    # Second pass with plans/codegen JIT-warm: the steady-state number
-    # a long-running cluster job sees, where execution dominates and
-    # per-query plan compilation has been amortized away. The COLD
-    # pass above stays the headline metric so round-over-round
-    # comparisons remain apples-to-apples.
-    warm: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        q = REGISTRY.get(name)
-        if q is None:
-            continue
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+    try:
+        timings: dict[str, float] = {}
+        for name, fn in runnable.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total_sec": round(sum(warm.values()), 3),
-                "sf": sf,
-            }
+        warm_samples: dict[str, list[float]] = {n: [] for n in runnable}
+        for _ in range(N_WARM_RUNS):
+            for name, fn in runnable.items():
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                warm_samples[name].append(time.perf_counter() - t0)
+
+        warm_min = {n: round(min(s), 3) for n, s in warm_samples.items()}
+        warm_med = {
+            n: round(statistics.median(s), 3) for n, s in warm_samples.items()
+        }
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "queries_warm": warm_min,
+                    "queries_warm_median": warm_med,
+                    "warm_runs": N_WARM_RUNS,
+                    "warm_total_sec": round(sum(warm_min.values()), 3),
+                    "sf": sf,
+                }
+            )
         )
-    )
+    finally:
+        if tmpdir:
+            shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

