@@ -76,7 +76,14 @@ def bpe_train(
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``num_merges`` merge rules; returns
     ``[(rank, lhs, rhs, cnt), ...]``. Stops early if the vocabulary
-    runs out of pairs."""
+    runs out of pairs.
+
+    Scale note: this launches one pair-count job + one driver
+    round-trip PER MERGE — exactly right for the 3-merge conformance
+    oracle, unusable for a real 30k-merge vocabulary (30k Spark
+    jobs). Production training should call :func:`bpe_train_batched`,
+    which learns provably-identical rules from one snapshot per
+    batch."""
     enc = char_encoded(words, word_col, freq_col)
     rules: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
