@@ -29,10 +29,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: NULL keys hash through this sentinel so they land in a real bucket.
+#: Without it, md5(concat(.., NULL)) is NULL -> bucket NULL, the
+#: estimate/probe join on bucket never matches, and a NULL key
+#: estimates 0 — violating the never-underestimate guarantee.
+_NULL_KEY = "\x00__null__"
+
+
+def _keystr(key: Column) -> Column:
+    return F.coalesce(key.cast("string"), F.lit(_NULL_KEY))
+
+
 def _bucket(row: Column, key: Column, width: int) -> Column:
     """Deterministic bucket for (hash-row, key): md5-derived 32-bit
-    int mod width. JVM-side (md5/conv built-ins), engine-replicable."""
-    h = F.md5(F.concat(row.cast("string"), F.lit(":"), key.cast("string")))
+    int mod width. JVM-side (md5/conv built-ins), engine-replicable.
+    NULL keys are coalesced to a sentinel so they bucket like any
+    other key (counted in the build, matchable in the probe)."""
+    h = F.md5(F.concat(row.cast("string"), F.lit(":"), _keystr(key)))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
 
 
@@ -98,8 +111,10 @@ def cms_estimate(
 
 
 def _bloom_pos(h: Column, key: Column, num_bits: int) -> Column:
-    """Bit position for (hash-row, key): md5-derived, mod num_bits."""
-    hx = F.md5(F.concat(h.cast("string"), F.lit(":"), key.cast("string")))
+    """Bit position for (hash-row, key): md5-derived, mod num_bits.
+    NULL keys coalesce to the same sentinel as the CMS bucketing so
+    an inserted NULL is later found (no false negative on NULL)."""
+    hx = F.md5(F.concat(h.cast("string"), F.lit(":"), _keystr(key)))
     return (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % num_bits).cast(
         "int"
     )
@@ -146,12 +161,19 @@ def bloom_probe(
     num_hashes: int = 3,
     out_col: str = "might_contain",
 ) -> DataFrame:
-    """Append ``out_col`` (boolean): True iff every one of the key's
-    ``num_hashes`` bits is set — i.e. the key MIGHT be in the built
-    set (false positives possible, false negatives never). The filter
-    side broadcasts; the probe is a projection + one key-local
-    aggregation — the big probing side is never shuffled on a join
-    key, which is the point of pre-filtering an anti-join."""
+    """Return one row per DISTINCT key in ``df``: (``key_col``,
+    ``out_col``) where ``out_col`` (boolean) is True iff every one of
+    the key's ``num_hashes`` bits is set — i.e. the key MIGHT be in
+    the built set (false positives possible, false negatives never).
+
+    Note this is a per-key verdict table, NOT a pass-through column
+    append: other columns of ``df`` are dropped and duplicate keys
+    collapse. To annotate the original frame, join the result back on
+    ``key_col`` (the verdict table is small per distinct key — usually
+    broadcastable). The filter side broadcasts; the probe is a
+    projection + one key-local aggregation — the big probing side is
+    never shuffled on a join key, which is the point of pre-filtering
+    an anti-join."""
     probes = df.select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__h"),

@@ -1009,7 +1009,16 @@ def _capped_rare_grams(assigned):
     df-cap skew guard shared by the contamination audit and the
     removal query (groupBy+semi-join, never a count-over-gram window:
     the window would ship every occurrence of a hot gram to one
-    task)."""
+    task).
+
+    Cache lifecycle (owned here, not by callers): the full gram table
+    is cached only long enough to serve its two uses (df agg + the
+    semi-join), the CAPPED result — the rare tail, the small frame —
+    is materialized into its own cache, then the big pre-cap cache is
+    released. The returned frame is persisted (callers branch it by
+    split, so it is read at least twice); it stays in the session's
+    CacheManager, which dedupes by plan, so repeat runs reuse rather
+    than accumulate."""
     words = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(words)
     gram_arr = F.when(
@@ -1032,7 +1041,10 @@ def _capped_rare_grams(assigned):
         .filter(F.col("df") <= 10)
         .select("gram")
     )
-    return grams.join(rare, "gram", "left_semi")
+    capped = grams.join(rare, "gram", "left_semi").persist()
+    capped.count()  # materialize capped before dropping the gram cache
+    grams.unpersist()
+    return capped
 
 
 @register(
@@ -1072,7 +1084,7 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _variant_corpus(load(spark, sf_dir, "documents"))
     assigned = split_assign(corpus, "doc_id", [("train", 8000), ("test", 2000)])
-    capped = _capped_rare_grams(assigned).persist()
+    capped = _capped_rare_grams(assigned)  # persisted by the helper
     t = capped.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_doc_id"), "gram"
     )
@@ -1680,8 +1692,12 @@ def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     d2 AS (
+      -- a zero-word doc is ONE empty line, not zero lines: the engine
+      -- serializes lines via array_join then re-splits, and split('')
+      -- is [''] in every engine — the oracle must agree or an empty
+      -- document breaks parity (n_lines 1 vs 0)
       SELECT doc_id,
-             CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+             CASE WHEN len(words) = 0 THEN [''] ELSE
                [array_to_string(words[(i*5+1):(i*5+5)], ' ')
                 FOR i IN generate_series(0, CAST(ceil(len(words)/5.0) AS INT) - 1)]
              END AS lines

@@ -596,9 +596,15 @@ def foreach_batch_scd2(
             return
         as_of = batch_df.agg(F.max(as_of_col)).first()[0]
         # a CDC batch may carry several versions of one key: the
-        # latest change (by event time, tie -> deterministic) wins
+        # latest change (by event time) wins; equal-timestamp ties
+        # break on the tracked column VALUES (the partition keys are
+        # constant within a window partition, so they can't break a
+        # tie) — same batch content always picks the same winner,
+        # which the replay-convergence contract above depends on
         latest = dedup_by_key(
-            batch_df, keys, order_by=[F.col(as_of_col).desc(), *keys]
+            batch_df,
+            keys,
+            order_by=[F.col(as_of_col).desc(), *[F.col(c) for c in tracked]],
         )
         engine.apply(latest.drop(as_of_col), table, keys, tracked, as_of=as_of)
 

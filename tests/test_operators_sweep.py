@@ -575,6 +575,40 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
     assert as_map(merged) == as_map(bloom)
 
 
+def test_sketches_null_keys_are_counted_not_lost(spark):
+    """A NULL key must behave like any other key: CMS never
+    underestimates it and Bloom never false-negatives it. (Without
+    the sentinel coalesce, NULL hashes to a NULL bucket, the probe
+    join never matches, and the estimate is a silent 0.)"""
+    from end_to_end_etl_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = spark.createDataFrame(
+        [("a",), (None,), (None,), ("b",), (None,)],
+        schema="k string",
+    )
+    sketch = cms_build(rows, "k", depth=3, width=16)
+    keys = spark.createDataFrame([("a",), (None,), ("zzz",)], schema="k string")
+    est = {
+        r.k: r.cms_est
+        for r in cms_estimate(sketch, keys, "k", depth=3, width=16).collect()
+    }
+    assert est[None] >= 3  # the three NULL occurrences, never 0
+    assert est["a"] >= 1
+
+    bloom = bloom_build(rows, "k", num_bits=256, num_hashes=3)
+    got = {
+        r.k: r.might_contain
+        for r in bloom_probe(bloom, keys, "k", num_bits=256, num_hashes=3).collect()
+    }
+    assert got[None] is True  # inserted NULL must be found
+    assert got["a"] is True
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -36,6 +36,42 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_line_dedup_corpus_empty_document_parity(spark, tmp_path):
+    """A zero-word document must count as ONE empty line on both
+    engines (split('') == [''] everywhere). The shipped corpus has no
+    empty docs, so this latent divergence needs a synthetic one."""
+    import os
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "sfempty")
+    os.makedirs(d)
+    for t in os.listdir(src):
+        if t != "documents.parquet":
+            os.symlink(os.path.join(src, t), os.path.join(d, t))
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    from pyspark.sql import Row
+
+    empty = spark.createDataFrame(
+        [Row(doc_id=999999, text="   ", lang="en", source="synthetic",
+             n_chars=3),
+         Row(doc_id=999998, text="", lang="en", source="synthetic",
+             n_chars=0)],
+        schema=docs.schema,
+    )
+    docs.unionByName(empty).coalesce(1).write.parquet(
+        f"file://{tmp_path}/docs_out"
+    )
+    part = next(
+        f for f in os.listdir(tmp_path / "docs_out") if f.endswith(".parquet")
+    )
+    shutil.copy(tmp_path / "docs_out" / part, os.path.join(d, "documents.parquet"))
+
+    q = REGISTRY["line_dedup_corpus"]
+    problems = compare(q.spark(spark, d), q.oracle, d)
+    assert not problems, "; ".join(problems)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

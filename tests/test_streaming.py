@@ -532,3 +532,38 @@ def test_foreach_batch_scd2_history_and_replay_convergence(spark, tmp_path):
     )
     after = sorted(map(tuple, catalog.read("dim.cust").collect()))
     assert after == before
+
+
+def test_foreach_batch_scd2_equal_timestamp_tie_is_content_deterministic(
+    spark, tmp_path
+):
+    """Two CDC rows for the SAME key with EQUAL event timestamps must
+    pick the same winner no matter the batch's row order: the
+    tie-break is on tracked-column VALUES (the partition keys are
+    constant within a window partition and cannot break a tie).
+    Replay convergence depends on this — a nondeterministic winner
+    would emit a spurious history leg on at-least-once redelivery."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import foreach_batch_scd2
+
+    rows = [
+        {"cust_id": 1, "tier": "silver", "changed_at": "2026-01-01T00:00:00Z"},
+        {"cust_id": 1, "tier": "bronze", "changed_at": "2026-01-01T00:00:00Z"},
+    ]
+    schema = "cust_id bigint, tier string, changed_at timestamp"
+    winners = []
+    for tag, ordering in (("fwd", rows), ("rev", rows[::-1])):
+        d = str(tmp_path / f"cdc_{tag}")
+        _write_batch(d, "b1.json", ordering)
+        catalog = ManifestCatalog(spark, f"file://{tmp_path}/lake_{tag}")
+        stream = read_stream_files(spark, d, schema, max_files_per_trigger=1)
+        q = foreach_batch_scd2(
+            stream, catalog, "dim.cust", ["cust_id"], ["tier"],
+            as_of_col="changed_at",
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"), n_buckets=4,
+        )
+        q.awaitTermination(120)
+        got = catalog.read("dim.cust").collect()
+        assert len(got) == 1
+        winners.append(got[0].tier)
+    assert winners[0] == winners[1]
