@@ -34,12 +34,26 @@ def create_spark_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    enable_hive_support: bool = False,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Create (or get) a SparkSession tuned for this engine.
 
     AQE is enabled (coalesce + skew-join) so runtime statistics fix the
     partition count and skew that static planning can't know; Arrow is
     enabled for the pandas-UDF operators (similarity/multimodal).
+
+    ``enable_hive_support`` turns on the Hive metastore so
+    ``saveAsTable``/``spark.table`` names persist ACROSS sessions —
+    the reference's 3-level catalog addressing
+    (``utils/sparksession.py:9`` ``enableHiveSupport``,
+    ``ds2b_company_house.py:96``) via ``sinks.writers.MetastoreCatalog``.
+    Without it the session catalog is in-memory: identical addressing
+    within one session, nothing persisted at exit (the right default
+    for tests and the sandbox — no Derby ``metastore_db`` droppings).
+    ``warehouse_dir`` locates managed-table storage either way. Note
+    ``getOrCreate`` reuses any live session; hive support must be
+    chosen before the first session of the process.
     """
     cores = _local_cores()
     builder = (
@@ -57,6 +71,17 @@ def create_spark_session(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cores}]")
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    if enable_hive_support:
+        if warehouse_dir:
+            # keep Derby's metastore next to the warehouse, not in cwd
+            builder = builder.config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={warehouse_dir.rstrip('/')}"
+                "/metastore_db;create=true",
+            )
+        builder = builder.enableHiveSupport()
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -209,6 +209,100 @@ class ParquetCatalog:
         shutil.rmtree(self.path(name), ignore_errors=True)
 
 
+class MetastoreCatalog:
+    """Metastore-addressed catalog: the reference's 3-level
+    `` `companies-data`.bronze.overview `` naming
+    (``medallion/bronze/config_company_house.json:2-4``,
+    ``medallion/bronze/ds2b_company_house.py:96``) over Spark's
+    session catalog — tables live behind ``saveAsTable``/
+    ``spark.table`` names instead of paths, so the same pipeline
+    config runs against a Hive metastore / Unity-style catalog on a
+    cluster (pair with ``create_spark_session(enable_hive_support=
+    True)`` for cross-session persistence; the in-memory session
+    catalog works identically within one session).
+
+    Name resolution: ``zone.table`` → database ``zone`` (created on
+    demand); ``cat.zone.table`` keeps ``cat`` when it is a registered
+    Spark catalog, otherwise maps it onto the session catalog — OSS
+    Spark without a configured V2 catalog plugin has exactly one
+    writable catalog, so the reference's workspace-catalog level
+    collapses onto it (same tables, same 2-level addressing
+    underneath). Dashes and other specials are backtick-safe.
+
+    Same operator surface as :class:`ParquetCatalog` (exists / read /
+    overwrite / append / replace_atomic / drop), so ``SCDEngine`` /
+    ``MedallionPipeline`` plug in unchanged. ``replace_atomic`` here
+    is the metastore's CREATE-OR-REPLACE: the table pointer flips at
+    commit (Delta/Iceberg make that transactional on a cluster; the
+    parquet session catalog approximates it with overwrite mode).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def _resolve(self, name: str) -> str:
+        parts = [p.strip("`") for p in name.split(".")]
+        if len(parts) == 3:
+            cats = {c.name for c in self.spark.catalog.listCatalogs()}
+            if parts[0] not in cats:
+                parts = parts[1:]  # collapse workspace level (see doc)
+        if len(parts) >= 2:
+            db = ".".join(f"`{p}`" for p in parts[:-1])
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        return ".".join(f"`{p}`" for p in parts)
+
+    def exists(self, name: str) -> bool:
+        """K10 — metastore probe (reference branches create-vs-merge
+        on ``spark.catalog.tableExists``)."""
+        parts = [p.strip("`") for p in name.split(".")]
+        if len(parts) == 3:
+            cats = {c.name for c in self.spark.catalog.listCatalogs()}
+            if parts[0] not in cats:
+                parts = parts[1:]
+        return self.spark.catalog.tableExists(".".join(parts))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self._resolve(name))
+
+    def overwrite(self, df: DataFrame, name: str, partition_by=None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format("parquet").saveAsTable(self._resolve(name))
+
+    def append(self, df: DataFrame, name: str, partition_by=None) -> None:
+        w = df.write.mode("append").option("mergeSchema", "true")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format("parquet").saveAsTable(self._resolve(name))
+
+    def replace_atomic(self, df: DataFrame, name: str, partition_by=None) -> None:
+        # The input plan may read the very table being replaced (SCD
+        # merges do); materialize the new state to a stage table
+        # first, then overwrite the target from the stage — the
+        # classic two-step a metastore needs when the engine lacks
+        # MVCC table formats (Delta/Iceberg replace this whole method
+        # with one transactional MERGE/REPLACE).
+        target = self._resolve(name)
+        # stage table sits next to the target (same database), suffix
+        # INSIDE the backticks so quoted names stay well-formed
+        stage = f"{target[:-1]}__stage`" if target.endswith("`") else f"{target}__stage"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format("parquet").saveAsTable(stage)
+        try:
+            w2 = self.spark.table(stage).write.mode("overwrite")
+            if partition_by:
+                w2 = w2.partitionBy(*partition_by)
+            w2.format("parquet").saveAsTable(target)
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+    def drop(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._resolve(name)}")
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

@@ -16,7 +16,14 @@ SF_CORRECTNESS = f"{TESTDATA}/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = create_spark_session(app_name="tests")
+    import tempfile
+
+    # managed tables (MetastoreCatalog / bucketing tests) go to a
+    # throwaway warehouse, not cwd/spark-warehouse
+    s = create_spark_session(
+        app_name="tests",
+        warehouse_dir=tempfile.mkdtemp(prefix="spark_warehouse_"),
+    )
     yield s
 
 

@@ -562,3 +562,30 @@ def test_optimize_rebases_on_concurrent_append(spark, cat):
     latest = cat.latest_manifest("t8")
     # the retry compacted base+append into one dir
     assert len(latest["dirs"]) == 1
+
+
+def test_metastore_catalog_roundtrip_and_three_level_names(spark):
+    """MetastoreCatalog: saveAsTable/spark.table addressing with the
+    reference's 3-level names — an unregistered workspace catalog
+    level collapses onto the session catalog, dashed names stay
+    backtick-safe, replace_atomic survives reading its own target."""
+    from end_to_end_etl_pipeline_spark.sinks.writers import MetastoreCatalog
+
+    cat = MetastoreCatalog(spark)
+    name = "`companies-data`.bronze_t.overview"
+    try:
+        assert cat.exists(name) is False
+        cat.overwrite(_df(spark, [(1, "a"), (2, "b")]), name)
+        assert cat.exists(name) is True
+        # same table reachable by the collapsed 2-level name
+        assert spark.table("`bronze_t`.`overview`").count() == 2
+        cat.append(_df(spark, [(3, "c")]), name)
+        assert cat.read(name).count() == 3
+        # replace from a plan that reads the target (the SCD shape)
+        newstate = cat.read(name).filter(F.col("k") >= 2)
+        cat.replace_atomic(newstate, name)
+        assert sorted(r.k for r in cat.read(name).collect()) == [2, 3]
+        assert not spark.catalog.tableExists("bronze_t.overview__stage")
+    finally:
+        cat.drop(name)
+    assert cat.exists(name) is False

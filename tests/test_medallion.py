@@ -163,7 +163,7 @@ def _config(dirs, as_of):
     }
 
 
-@pytest.fixture(params=["parquet", "manifest"])
+@pytest.fixture(params=["parquet", "manifest", "metastore"])
 def pipe_factory(request, spark, tmp_path):
     def make():
         if request.param == "manifest":
@@ -171,6 +171,17 @@ def pipe_factory(request, spark, tmp_path):
 
             cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
             return MedallionPipeline(spark, str(tmp_path / "lake"), catalog=cat)
+        if request.param == "metastore":
+            # the reference's addressing: saveAsTable/spark.table
+            # names through the session catalog (3-level names
+            # collapse onto it — see MetastoreCatalog docstring)
+            from end_to_end_etl_pipeline_spark.sinks.writers import (
+                MetastoreCatalog,
+            )
+
+            return MedallionPipeline(
+                spark, str(tmp_path / "lake"), catalog=MetastoreCatalog(spark)
+            )
         return MedallionPipeline(spark, str(tmp_path / "lake"))
 
     return make
