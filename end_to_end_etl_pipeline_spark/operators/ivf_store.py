@@ -74,6 +74,53 @@ def write_ivf_store(
     catalog.replace_atomic(cent, f"{table}__centroids")
 
 
+def _centroid_literals(rows):
+    """Literal-matrix re-entry of a collected coarse quantizer: rows
+    are (label, pos, cv) centroid components — cells × dim doubles,
+    model-parameter scale (kilobytes), the documented bounded-collect
+    class. Returns (CL, LBL) Column exprs: CL a cells × dim nested
+    double array in label-ascending order, LBL the matching label
+    array."""
+    vecs: dict[int, dict[int, float]] = {}
+    for r in rows:
+        vecs.setdefault(int(r["label"]), {})[int(r["pos"])] = float(r["cv"])
+    labels = sorted(vecs)
+    dim = max((max(v) for v in vecs.values()), default=0)
+    cl_sql = "array(%s)" % ",".join(
+        "array(%s)"
+        % ",".join(f"{vecs[lab].get(p, 0.0)!r}d" for p in range(1, dim + 1))
+        for lab in labels
+    )
+    lbl_sql = "array(%s)" % ",".join(str(lab) for lab in labels)
+    return F.expr(cl_sql), F.expr(lbl_sql)
+
+
+def _fold_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _probe_cells_expr(CL, LBL, vec_col: str, nprobe: int):
+    """Array-of-cells Column: this row's top-``nprobe`` coarse cells
+    by cosine against the literal centroid matrix — one shuffle-free
+    projection (dot/norms as sequential JVM folds, top-nprobe via
+    array_sort on (-score, label) structs; 6dp rounding and label-asc
+    tie-break, the shared routing contract)."""
+    qv = F.col(vec_col).cast("array<double>")
+    qn = F.sqrt(_fold_dot(qv, qv))
+    scores = F.transform(
+        CL,
+        lambda c: F.round(_fold_dot(qv, c) / (qn * F.sqrt(_fold_dot(c, c))), 6),
+    )
+    packed = F.zip_with(
+        scores, LBL, lambda s, lab: F.struct((-s).alias("ns"), lab.alias("lab"))
+    )
+    return F.transform(
+        F.slice(F.array_sort(packed), 1, nprobe), lambda x: x["lab"]
+    )
+
+
 def _collect_probe(
     cent: DataFrame,
     queries: DataFrame,
@@ -99,33 +146,8 @@ def _collect_probe(
     (e.g. 100k cells × 1k dims)."""
     rows = cent.limit(max_literal_rows + 1).collect()
     if len(rows) <= max_literal_rows:
-        vecs: dict[int, dict[int, float]] = {}
-        for r in rows:
-            vecs.setdefault(int(r["label"]), {})[int(r["pos"])] = float(r["cv"])
-        labels = sorted(vecs)
-        dim = max((max(v) for v in vecs.values()), default=0)
-        cl_sql = "array(%s)" % ",".join(
-            "array(%s)"
-            % ",".join(f"{vecs[lab].get(p, 0.0)!r}d" for p in range(1, dim + 1))
-            for lab in labels
-        )
-        lbl_sql = "array(%s)" % ",".join(str(lab) for lab in labels)
-        CL, LBL = F.expr(cl_sql), F.expr(lbl_sql)
-        qv = F.col(vec_col).cast("array<double>")
-        fold_dot = lambda a, b: F.aggregate(  # noqa: E731
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        qn = F.sqrt(fold_dot(qv, qv))
-        scores = F.transform(
-            CL,
-            lambda c: F.round(fold_dot(qv, c) / (qn * F.sqrt(fold_dot(c, c))), 6),
-        )
-        packed = F.zip_with(
-            scores, LBL, lambda s, lab: F.struct((-s).alias("ns"), lab.alias("lab"))
-        )
-        probe = F.transform(
-            F.slice(F.array_sort(packed), 1, nprobe), lambda x: x["lab"]
-        )
+        CL, LBL = _centroid_literals(rows)
+        probe = _probe_cells_expr(CL, LBL, vec_col, nprobe)
         return [
             (r["query_id"], int(c))
             for r in queries.select(
@@ -303,6 +325,112 @@ def write_ivfpq_store(
         dim=dim,
     )
     catalog.replace_atomic(cent, f"{table}__centroids")
+
+
+def ivf_assign_cells(
+    cent: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_col: str = "cell",
+    max_literal_rows: int = 1 << 16,
+) -> DataFrame:
+    """Nearest-stored-centroid cell assignment, fully IN-PLAN: append
+    ``out_col`` (int) to every row of ``df`` without collecting any
+    assignment to the driver — the ingest-side counterpart of the
+    query router (same cosine/6dp/label-asc contract, so a vector
+    routes to the cell it was stored in).
+
+    Fast path: the coarse quantizer is collected once (cells × dim
+    floats — kilobytes, model-parameter scale) and re-entered as a
+    literal matrix; assignment is then one shuffle-free projection
+    over the batch, which is what lets a 100-TB ingest assign cells
+    at scan speed. Quantizers too big to inline fall back to a
+    distributed explode-join-window plan keyed on ``id_col``."""
+    rows = cent.limit(max_literal_rows + 1).collect()
+    if len(rows) <= max_literal_rows:
+        CL, LBL = _centroid_literals(rows)
+        top1 = _probe_cells_expr(CL, LBL, vec_col, nprobe=1)
+        return df.withColumn(out_col, F.element_at(top1, 1).cast("int"))
+    ex = df.select(
+        F.col(id_col).alias("__aid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
+    ).select("__aid", (F.col("pos0") + 1).alias("pos"), "v")
+    scored = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("__aid", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("d"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qn"),
+            F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn"),
+        )
+        .withColumn("score", F.round(F.col("d") / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("__aid").orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    assign = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__aid").alias(id_col), F.col("label").cast("int").alias(out_col)
+        )
+    )
+    return df.join(assign, id_col)
+
+
+def append_ivfpq_store(
+    catalog: ManifestCatalog,
+    batch: DataFrame,
+    table: str,
+    cell_col: str | None = None,
+) -> None:
+    """Incremental IVFADC index maintenance: fold a batch of new
+    vectors into the persisted store WITHOUT retraining — encode with
+    the manifest's frozen codebook, assign coarse cells (nearest
+    stored centroid via :func:`ivf_assign_cells`, or ``cell_col`` when
+    the caller already owns an assignment), and CAS-append the rows
+    into the cell bucket dirs (``append_bucketed``: untouched cells
+    keep their dir lists verbatim, so probed-cell pruning never pays
+    for appends elsewhere, and concurrent appends merge).
+
+    Centroids and codebook stay FROZEN — the standard production
+    trade (a moving quantizer would silently re-route existing rows);
+    quantizer drift is handled by periodic re-train + full rewrite,
+    not per batch. Consequence the tests pin: appending in any batch
+    split yields byte-identical query results to a write-once store
+    over the union."""
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_encode
+
+    manifest = catalog.latest_manifest(table)
+    if manifest is None or manifest.get("bucket_fn") != "identity":
+        raise ValueError(
+            f"table {table} is not an IVF store (write_ivfpq_store first)"
+        )
+    cb = _codebook_from_manifest(manifest)
+    id_col = manifest["ivf_id_col"]
+    vec_col = manifest["ivf_vec_col"]
+    if cell_col is None:
+        cent = catalog.read(f"{table}__centroids")
+        batch = ivf_assign_cells(cent, batch, id_col, vec_col, out_col="cell")
+        cell_col = "cell"
+    df = pq_encode(
+        batch.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col(cell_col).cast("int").alias("cell"),
+        ),
+        vec_col,
+        cb,
+    )
+    catalog.append_bucketed(
+        df,
+        table,
+        F.col("cell"),
+        manifest["n_buckets"],
+        ["cell"],
+        bucket_fn="identity",
+    )
 
 
 def _codebook_from_manifest(manifest: dict):

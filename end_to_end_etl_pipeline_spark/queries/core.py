@@ -2748,6 +2748,70 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorized_price_stats_sketch",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(round(CAST(quantile_cont(l_extendedprice, 0.05) AS DECIMAL(20,8)), 2)
+                AS DOUBLE) AS exact_lo,
+           CAST(round(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(20,8)), 2)
+                AS DOUBLE) AS exact_hi,
+           TRUE AS lo_ok, TRUE AS hi_ok,
+           TRUE AS clip_frac_low_ok, TRUE AS clip_frac_high_ok,
+           TRUE AS avg_ok
+    FROM lineitem
+    """,
+    doc="The 100-TB path of winsorized_price_stats made concrete: "
+    "clip bounds come from approx_percentile (mergeable GK-style "
+    "summary - per-partition summaries combine without a value "
+    "shuffle, unlike the exact percentile's sort-based aggregate "
+    "whose cost IS that query's bench cost). Conformance via the "
+    "sketch-tolerance trick (daily_uniques_hll / "
+    "price_quantile_sketch): exact bounds value-matched, booleans "
+    "assert the sketch bounds within 0.5% of exact, the "
+    "sketch-clipped tail fractions within [3%,7%] of the nominal 5%, "
+    "and the sketch-winsorized mean within 0.1% of the "
+    "exact-winsorized mean - a broken sketch pipeline fails the gate "
+    "while sketch internals stay engine-private.",
+    tags=("profiling", "cleaning", "north-star"),
+)
+def winsorized_price_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    b = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)"
+        ).alias("__ap"),
+        F.expr("percentile(l_extendedprice, array(0.05D, 0.95D))").alias("__ex"),
+    ).select(
+        F.col("__ap")[0].alias("alo"),
+        F.col("__ap")[1].alias("ahi"),
+        F.col("__ex")[0].alias("elo"),
+        F.col("__ex")[1].alias("ehi"),
+    )
+    price = F.col("l_extendedprice")
+    g = li.crossJoin(F.broadcast(b)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("alo").alias("alo"),
+        F.first("ahi").alias("ahi"),
+        F.first("elo").alias("elo"),
+        F.first("ehi").alias("ehi"),
+        F.avg(F.greatest(F.col("alo"), F.least(F.col("ahi"), price))).alias("aavg"),
+        F.avg(F.greatest(F.col("elo"), F.least(F.col("ehi"), price))).alias("eavg"),
+        F.sum(F.when(price < F.col("alo"), 1).otherwise(0)).alias("nlo"),
+        F.sum(F.when(price > F.col("ahi"), 1).otherwise(0)).alias("nhi"),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("elo").cast("decimal(20,8)"), 2).cast("double").alias("exact_lo"),
+        F.round(F.col("ehi").cast("decimal(20,8)"), 2).cast("double").alias("exact_hi"),
+        (F.abs(F.col("alo") / F.col("elo") - 1.0) <= 0.005).alias("lo_ok"),
+        (F.abs(F.col("ahi") / F.col("ehi") - 1.0) <= 0.005).alias("hi_ok"),
+        (F.col("nlo") / F.col("n")).between(0.03, 0.07).alias("clip_frac_low_ok"),
+        (F.col("nhi") / F.col("n")).between(0.03, 0.07).alias("clip_frac_high_ok"),
+        (F.abs(F.col("aavg") / F.col("eavg") - 1.0) <= 0.001).alias("avg_ok"),
+    )
+
+
+@register(
     "price_quantile_sketch",
     oracle="""
     SELECT o_orderpriority,

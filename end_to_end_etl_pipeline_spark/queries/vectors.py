@@ -635,6 +635,86 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_store_incremental_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTES}
+    SELECT query_id, match_id, l2sq FROM rerank
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    """,
+    doc="Incremental ANN-index maintenance (operators/ivf_store.py "
+    "append_ivfpq_store): the IVFADC store is built over HALF the "
+    "corpus, then the other half is folded in with the quantizer "
+    "FROZEN - batch rows are PQ-encoded with the manifest's stored "
+    "codebook (no retraining) and CAS-appended into their cell "
+    "bucket dirs (untouched cells keep their dir lists verbatim, so "
+    "probed-cell pruning never pays for appends elsewhere). The "
+    "codebook and coarse centroids are model parameters trained on "
+    "the reference corpus, which is what makes the result provably "
+    "batch-split-invariant: the same ivfpq_topk oracle (coarse "
+    "routing, restricted ADC, exact re-rank) must hold over the "
+    "incrementally-assembled store as over a write-once index.",
+    tags=("north-star", "vectors", "incremental"),
+)
+def ann_store_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        append_ivfpq_store,
+        ivfpq_store_topk,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.operators.similarity import (
+        label_centroids_array,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_ann_store"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = _dim(emb)
+    # model parameters, trained ONCE on the reference corpus (the
+    # production shape: quantizer fixed, data streams in)
+    cb = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=_PQ_M, num_centroids=_PQ_K, iters=1,
+    )
+    cat = ManifestCatalog(spark, f"file://{root}")
+    write_ivfpq_store(
+        cat,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        "vec_id", "embedding", "label", cb, "ann.pq", dim=dim,
+    )
+    # pin the router to the full-corpus label centroids (the trained
+    # quantizer) rather than the half-corpus snapshot the initial
+    # write derived — centroids are model state, not data state
+    cat.replace_atomic(
+        label_centroids_array(
+            emb.select(F.col("label"), F.col("embedding")),
+            "label", "embedding", dim=dim,
+        ),
+        "ann.pq__centroids",
+    )
+    append_ivfpq_store(
+        cat, emb.filter(F.col("vec_id") % 2 == 1), "ann.pq", cell_col="label"
+    )
+    res, _probed = ivfpq_store_topk(
+        cat, "ann.pq",
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5, nprobe=2, shortlist_factor=5,
+    )
+    # eager: the scratch store may be reaped by the next invocation
+    res = res.localCheckpoint(eager=True)
+    return res
+
+
 def _exact_l2_top5(emb: DataFrame, queries: DataFrame) -> DataFrame:
     """Brute-force exact squared-L2 top-5 ground truth (query_id,
     match_id) — queries broadcast, ties to lowest id, 6dp rounding."""

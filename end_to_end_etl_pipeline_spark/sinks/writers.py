@@ -299,6 +299,19 @@ class MetastoreCatalog:
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
+    def add_columns(self, name: str, columns: dict[str, str]) -> None:
+        """K9, literal form — ``ALTER TABLE … ADD COLUMNS``: the
+        reference backfills SCD columns onto an existing table via SQL
+        DDL (``medallion/silver/b2s_yfinance.py:46-61``). Existing
+        rows read the new columns as NULL; a metadata-only operation
+        (no data rewrite) at any table size. ``columns`` maps name →
+        Spark SQL type string (``{"is_current": "boolean"}``). The
+        path-based catalogs cover the same capability with mergeSchema
+        appends; this is the DDL-statement surface for metastore
+        deployments."""
+        cols = ", ".join(f"`{c}` {t}" for c, t in columns.items())
+        self.spark.sql(f"ALTER TABLE {self._resolve(name)} ADD COLUMNS ({cols})")
+
     def drop(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self._resolve(name)}")
 

@@ -589,3 +589,32 @@ def test_metastore_catalog_roundtrip_and_three_level_names(spark):
     finally:
         cat.drop(name)
     assert cat.exists(name) is False
+
+
+def test_metastore_alter_table_add_columns_ddl(spark):
+    """K9 literal DDL: ALTER TABLE ADD COLUMNS backfills SCD columns
+    onto an existing table (reference b2s_yfinance.py:46-61) —
+    existing rows read NULL, appends may fill the new columns, no
+    data rewrite."""
+    from end_to_end_etl_pipeline_spark.sinks.writers import MetastoreCatalog
+
+    cat = MetastoreCatalog(spark)
+    name = "ddl_t.scd_backfill"
+    try:
+        cat.overwrite(_df(spark, [(1, "a")]), name)
+        cat.add_columns(
+            name, {"is_current": "boolean", "effective_from": "timestamp"}
+        )
+        got = cat.read(name)
+        assert {"is_current", "effective_from"} <= set(got.columns)
+        row = got.first()
+        assert row.is_current is None and row.effective_from is None
+        newer = _df(spark, [(2, "b")]).selectExpr(
+            "k", "v", "true AS is_current",
+            "timestamp'2026-01-01 00:00:00' AS effective_from",
+        )
+        cat.append(newer, name)
+        rows = {r.k: r for r in cat.read(name).collect()}
+        assert rows[1].is_current is None and rows[2].is_current is True
+    finally:
+        cat.drop(name)

@@ -236,3 +236,104 @@ def test_ivfpq_store_matches_in_plan_ivfpq_and_prunes(spark, tmp_path):
         _codebook_from_manifest,
     )
     assert _codebook_from_manifest(cat.latest_manifest("ann.pq")) == cb
+
+
+def test_append_ivfpq_store_no_retrain_equals_write_once(spark, tmp_path):
+    """Incremental index maintenance: building the store on half the
+    corpus and appending the other half (frozen codebook+centroids,
+    no retrain) must answer queries byte-identically to a store
+    written once over the union — and the appended cells' new subdirs
+    must extend, not replace, the existing dir lists."""
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        append_ivfpq_store,
+        ivfpq_store_topk,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    cb = pq_train(emb, "vec_id", "embedding", num_subspaces=8, num_centroids=8)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = ManifestCatalog(spark, f"file://{tmp_path}/inc")
+    write_ivfpq_store(cat := inc, even, "vec_id", "embedding", "label", cb,
+                      "ann.pq", dim=dim)
+    # centroids frozen at the even-half state: overwrite the side
+    # table is NOT done by append — pin that before appending
+    cent_before = sorted(map(tuple, cat.read("ann.pq__centroids").collect()))
+    append_ivfpq_store(cat, odd, "ann.pq", cell_col="label")
+    assert sorted(map(tuple, cat.read("ann.pq__centroids").collect())) == cent_before
+
+    once = ManifestCatalog(spark, f"file://{tmp_path}/once")
+    write_ivfpq_store(once, emb, "vec_id", "embedding", "label", cb,
+                      "ann.pq", dim=dim)
+    # the comparison needs the SAME frozen quantizer on both sides:
+    # write-once derives centroids from the full corpus, the
+    # incremental store froze them at the even-half state — pin the
+    # once-store's router to the incremental one's centroids
+    once.replace_atomic(cat.read("ann.pq__centroids"), "ann.pq__centroids")
+    # same rows, same codes, cell by cell
+    key = lambda r: (r["vec_id"],)
+    got_rows = sorted(
+        (r["vec_id"], r["cell"], tuple(r["pq_codes"])) for r in cat.read("ann.pq").collect()
+    )
+    want_rows = sorted(
+        (r["vec_id"], r["cell"], tuple(r["pq_codes"])) for r in once.read("ann.pq").collect()
+    )
+    assert got_rows == want_rows
+
+    queries = emb.orderBy("vec_id").limit(4)
+    got, probed_inc = ivfpq_store_topk(
+        cat, "ann.pq", queries, "vec_id", "embedding", k=3, nprobe=2
+    )
+    want, _ = ivfpq_store_topk(
+        once, "ann.pq", queries, "vec_id", "embedding", k=3, nprobe=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # manifest shape: appended cells have 2 dirs, untouched-by-append
+    # bookkeeping intact (n_buckets/bucket_fn/codebook preserved)
+    m = cat.latest_manifest("ann.pq")
+    assert m["bucket_fn"] == "identity" and m["ivf_id_col"] == "vec_id"
+    assert any(len(ds) == 2 for ds in m["bucket_dirs"].values())
+
+
+def test_ivf_assign_cells_matches_router_and_is_in_plan(spark, tmp_path):
+    """Ingest-side cell assignment must agree with the query router's
+    nprobe=1 choice for every vector (same cosine/6dp/label-asc
+    contract), run as one shuffle-free projection (no Exchange in the
+    plan), and an append WITHOUT an explicit cell column must land
+    rows in their routed cells."""
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        _collect_probe,
+        append_ivfpq_store,
+        ivf_assign_cells,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    cb = pq_train(emb, "vec_id", "embedding", num_subspaces=8, num_centroids=8)
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    newb = emb.filter(F.col("vec_id") % 3 == 0)
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    write_ivfpq_store(cat, base, "vec_id", "embedding", "label", cb,
+                      "ann.pq", dim=dim)
+    cent = cat.read("ann.pq__centroids")
+
+    assigned = ivf_assign_cells(cent, newb, "vec_id", "embedding")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one projection, no shuffle
+    want = dict(_collect_probe(cent, newb, "vec_id", "embedding", nprobe=1))
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert got == want
+
+    append_ivfpq_store(cat, newb, "ann.pq")  # no cell_col -> routed
+    stored = {r["vec_id"]: r["cell"] for r in cat.read("ann.pq").collect()
+              if r["vec_id"] % 3 == 0}
+    assert stored == want
