@@ -384,7 +384,8 @@ def append_ivfpq_store(
     batch: DataFrame,
     table: str,
     cell_col: str | None = None,
-) -> None:
+    batch_id: int | None = None,
+) -> bool:
     """Incremental IVFADC index maintenance: fold a batch of new
     vectors into the persisted store WITHOUT retraining — encode with
     the manifest's frozen codebook, assign coarse cells (nearest
@@ -399,7 +400,15 @@ def append_ivfpq_store(
     quantizer drift is handled by periodic re-train + full rewrite,
     not per batch. Consequence the tests pin: appending in any batch
     split yields byte-identical query results to a write-once store
-    over the union."""
+    over the union.
+
+    ``batch_id`` (streaming bridge): appends are additive, so an
+    at-least-once replay would double rows — pass the micro-batch id
+    and the append is skipped (returns False) when the manifest's
+    ``ann_last_batch_id`` marker says it was already applied; the
+    marker rides the SAME manifest commit as the dir merge, so there
+    is no window where data landed but the marker didn't. Returns
+    True when the batch was applied."""
     from end_to_end_etl_pipeline_spark.operators.pq import pq_encode
 
     manifest = catalog.latest_manifest(table)
@@ -407,9 +416,19 @@ def append_ivfpq_store(
         raise ValueError(
             f"table {table} is not an IVF store (write_ivfpq_store first)"
         )
+    if batch_id is not None:
+        last = manifest.get("ann_last_batch_id")
+        if last is not None and last >= batch_id:
+            return False
     cb = _codebook_from_manifest(manifest)
     id_col = manifest["ivf_id_col"]
     vec_col = manifest["ivf_vec_col"]
+    # the stored schema is the contract: a feed delivering a different
+    # vector precision (float vs double is the classic) must cast to
+    # it, or the parquet dirs stop schema-merging — and the batch's
+    # codes are then computed from exactly what the store will hold
+    stored_vec_type = catalog.read(table).schema[vec_col].dataType
+    batch = batch.withColumn(vec_col, F.col(vec_col).cast(stored_vec_type))
     if cell_col is None:
         cent = catalog.read(f"{table}__centroids")
         batch = ivf_assign_cells(cent, batch, id_col, vec_col, out_col="cell")
@@ -430,7 +449,11 @@ def append_ivfpq_store(
         manifest["n_buckets"],
         ["cell"],
         bucket_fn="identity",
+        extras_update=(
+            {"ann_last_batch_id": int(batch_id)} if batch_id is not None else None
+        ),
     )
+    return True
 
 
 def _codebook_from_manifest(manifest: dict):

@@ -442,6 +442,7 @@ class ManifestCatalog:
         n_buckets: int,
         bucket_keys: Sequence[str],
         bucket_fn: str = "hash_pmod",
+        extras_update: dict | None = None,
     ) -> None:
         """K2 for BUCKETED tables: write the batch partitioned by its
         bucket id and CAS-merge the new per-bucket subdirs into
@@ -453,7 +454,13 @@ class ManifestCatalog:
 
         ``bucket_expr`` is a Column producing the bucket id (callers
         own the contract — e.g. ``pmod(hash(cols), n)`` or an identity
-        cell id, mirroring ``bucket_fn``)."""
+        cell id, mirroring ``bucket_fn``).
+
+        ``extras_update`` merges extra keys into the committed
+        manifest ATOMICALLY with the dir merge — the hook streaming
+        bridges use to ride a replay marker (e.g. last applied batch
+        id) on the same commit as the data, so a crash between data
+        and marker cannot happen."""
         data_dir = self._new_data_dir(name)
         (
             df.withColumn(BUCKET_COL, bucket_expr.cast("int"))
@@ -478,7 +485,8 @@ class ManifestCatalog:
                         "n_buckets": n_buckets,
                         "bucket_keys": list(bucket_keys),
                         "bucket_fn": bucket_fn,
-                    },
+                    }
+                    | (extras_update or {}),
                     0,
                 )
                 if committed:
@@ -509,7 +517,9 @@ class ManifestCatalog:
             }
             if self._commit_if(
                 name,
-                extras | {"dirs": None, "bucket_dirs": bucket_dirs},
+                extras
+                | {"dirs": None, "bucket_dirs": bucket_dirs}
+                | (extras_update or {}),
                 manifest["version"],
             ):
                 return

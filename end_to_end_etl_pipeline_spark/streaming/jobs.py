@@ -616,3 +616,54 @@ def foreach_batch_scd2(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_ann_ingest(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    checkpoint_dir: str,
+    cell_col: str | None = None,
+    available_now: bool = True,
+):
+    """Continuous ANN-index maintenance: every micro-batch of new
+    embeddings is folded into the persisted IVFADC store
+    (``operators/ivf_store.append_ivfpq_store``) with the quantizer
+    FROZEN — batch rows are PQ-encoded with the manifest's stored
+    codebook and routed to cells by the in-plan
+    nearest-stored-centroid projection (or ``cell_col`` when the feed
+    carries its own assignment), then CAS-appended into the cell
+    bucket dirs. Queries against the store see each batch as soon as
+    its manifest commit lands; untouched cells never pay for appends.
+
+    At-least-once safety: appends are ADDITIVE (a replayed batch
+    would double rows), so the bridge passes the micro-batch id and
+    ``append_ivfpq_store`` skips batches at or below the manifest's
+    ``ann_last_batch_id`` marker — the marker rides the SAME manifest
+    commit as the data dirs, so there is no window where data landed
+    but the marker didn't (same contract as the agg/CMS ``_batch_id``
+    guards, enforced at the storage layer instead of a state column).
+
+    The store must exist (``write_ivfpq_store``) before the stream
+    starts — the codebook and centroids are model parameters the
+    stream consumes, not state it creates. Returns the started
+    ``StreamingQuery`` (caller awaits)."""
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        append_ivfpq_store,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ivfpq_store(
+            catalog, batch_df, table, cell_col=cell_col, batch_id=batch_id
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

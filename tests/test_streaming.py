@@ -567,3 +567,81 @@ def test_foreach_batch_scd2_equal_timestamp_tie_is_content_deterministic(
         assert len(got) == 1
         winners.append(got[0].tier)
     assert winners[0] == winners[1]
+
+
+def test_foreach_batch_ann_ingest_appends_and_replay_guard(spark, tmp_path):
+    """Two streamed micro-batches of embeddings must land in the
+    IVFADC store exactly like two direct appends (frozen quantizer),
+    and a replayed batch id must be skipped — the manifest's
+    ann_last_batch_id marker rides the same commit as the data dirs."""
+    import json as _json
+
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        append_ivfpq_store,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_ann_ingest,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 120)
+    )
+    dim = len(emb.first().embedding)
+    cb = pq_train(emb, "vec_id", "embedding", num_subspaces=8, num_centroids=8)
+    base = emb.filter(F.col("vec_id") < 60)
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    write_ivfpq_store(cat, base, "vec_id", "embedding", "label", cb,
+                      "ann.pq", dim=dim)
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    for fname, lo, hi in (("b1.json", 60, 90), ("b2.json", 90, 120)):
+        rows = [
+            {"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+            for r in emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).collect()
+        ]
+        with open(os.path.join(d, fname), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+
+    stream = read_stream_files(
+        spark, d, "vec_id bigint, embedding array<double>",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_ann_ingest(
+        stream, cat, "ann.pq", checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    got = {r.vec_id: (r.cell, tuple(r.pq_codes)) for r in cat.read("ann.pq").collect()}
+    assert set(got) == set(range(120))  # both batches landed, once each
+
+    # the streamed rows carry the routed (nearest-centroid) cells —
+    # identical to a direct append of the same rows
+    direct = ManifestCatalog(spark, f"file://{tmp_path}/direct")
+    write_ivfpq_store(direct, base, "vec_id", "embedding", "label", cb,
+                      "ann.pq", dim=dim)
+    direct.replace_atomic(cat.read("ann.pq__centroids"), "ann.pq__centroids")
+    append_ivfpq_store(
+        direct,
+        emb.filter(F.col("vec_id") >= 60).select("vec_id", "embedding"),
+        "ann.pq",
+    )
+    want = {r.vec_id: (r.cell, tuple(r.pq_codes)) for r in direct.read("ann.pq").collect()}
+    assert got == want
+
+    # at-least-once replay: batch id 1 (the last applied) is refused
+    m_before = cat.latest_manifest("ann.pq")
+    assert m_before["ann_last_batch_id"] == 1
+    applied = append_ivfpq_store(
+        cat,
+        emb.filter(F.col("vec_id") >= 90).select("vec_id", "embedding"),
+        "ann.pq", batch_id=1,
+    )
+    assert applied is False
+    assert cat.latest_manifest("ann.pq")["version"] == m_before["version"]
