@@ -111,9 +111,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_near_dup",
     # similarity / ANN family — r04 rotation: cosine_topk and
     # ann_recall_trained_cells (green r03) rotate out; pq_topk and
-    # cosine_topk_ivf (never driver-run) rotate in; ivfpq_topk stays
-    # as the IVFADC composite covering the IVF probe + PQ pipeline
-    "ivfpq_topk",
+    # cosine_topk_ivf (never driver-run) rotate in; ivfpq_topk (green
+    # r03) hands its IVFADC-composite slot to the NEW
+    # ann_store_incremental_topk, which exercises strictly more of the
+    # same pipeline (persisted store + frozen-quantizer append +
+    # routing + ADC + re-rank) under the identical value-hash oracle
+    "ann_store_incremental_topk",
     "pq_topk",
     "cosine_topk_ivf",
     "label_centroids",
@@ -153,10 +156,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_frame_samples",
     # incremental view maintenance
     "incremental_priority_revenue",
-    # sketches, profiling + late core shapes never driver-run in r02
+    # sketches, profiling + late core shapes never driver-run in r02;
+    # r04: orders_column_profile (green r03) hands its slot to the NEW
+    # winsorized_price_stats_sketch (the approx-percentile scale path,
+    # tolerance-gated) so both winsorization legs hold driver rows
     "daily_uniques_hll",
     "winsorized_price_stats",
-    "orders_column_profile",
+    "winsorized_price_stats_sketch",
     "daily_event_anomaly",
     "customer_record_linkage",
     "min_cost_supplier",
