@@ -299,6 +299,17 @@ def test_append_ivfpq_store_no_retrain_equals_write_once(spark, tmp_path):
     assert m["bucket_fn"] == "identity" and m["ivf_id_col"] == "vec_id"
     assert any(len(ds) == 2 for ds in m["bucket_dirs"].values())
 
+    # routine compaction after appends: multi-dir cells collapse to
+    # one dir each (small-files control for long-lived streamed
+    # indexes) and query results are untouched
+    cat.optimize("ann.pq")
+    m2 = cat.latest_manifest("ann.pq")
+    assert all(len(ds) == 1 for ds in m2["bucket_dirs"].values())
+    got2, _ = ivfpq_store_topk(
+        cat, "ann.pq", queries, "vec_id", "embedding", k=3, nprobe=2
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want.collect()))
+
 
 def test_ivf_assign_cells_matches_router_and_is_in_plan(spark, tmp_path):
     """Ingest-side cell assignment must agree with the query router's
