@@ -574,3 +574,73 @@ def dedup_lines_global(
     if drop_empty_docs:
         out = out.filter(F.col("n_lines_kept") > 0)
     return out
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_match_chars: int = 1,
+) -> DataFrame:
+    """WITHIN-document line-level exact dedup (the Gopher/RefinedWeb
+    `remove duplicated lines within document` repetition rule — the
+    local complement of :func:`dedup_lines_global`): a line survives
+    only at its FIRST occurrence inside its own document; later
+    repeats of the same normalized line (lower + trim) in that
+    document are removed. Lines whose normalized form is shorter than
+    ``min_match_chars`` are exempt (blank separators never match).
+
+    Returns (id, text, n_lines, n_lines_kept), same contract as the
+    global variant.
+
+    Plan shape — the reason this is a separate operator rather than a
+    keyed call of the global one: the decision needs NO cross-row
+    information, so the whole thing is ONE projection — zero
+    shuffles, zero aggregations, scan speed at any corpus size. The
+    first-occurrence scan is ``array_position`` over the line's
+    prefix (O(n_lines²) comparisons per document — documents have
+    hundreds of lines, so the quadratic is row-local and bounded;
+    corpora have billions of documents, which is the axis that must
+    not shuffle).
+
+    Implementation note: everything is computed inside ONE struct
+    expression and field-extracted, not as sibling select columns.
+    Sibling columns sharing nested-lambda subtrees (the filtered
+    array in both ``array_join`` and ``size``) trip a codegen
+    subexpression-elimination fault in Spark 4.1 — a lambda subtree
+    gets deduped across contexts and ``element_at`` indexes the
+    wrong (already-filtered) array. Three references to the SAME
+    whole struct dedup as identical wholes, which is safe."""
+    import re as _re
+
+    pat = _re.escape(sep)
+    lines = F.split(F.col(text_col), pat, -1)
+
+    def _inner(ls):
+        nm = F.transform(ls, lambda l: F.lower(F.trim(l)))
+
+        # keep(i): exempt (too short) OR no earlier occurrence
+        def cond(i):
+            return (F.length(F.element_at(nm, i)) < min_match_chars) | (
+                F.array_position(F.slice(nm, 1, i - 1), F.element_at(nm, i)) == 0
+            )
+
+        marked = F.transform(
+            F.sequence(F.lit(1), F.size(ls)),
+            lambda i: F.when(cond(i), F.element_at(ls, i)),
+        )
+        kept = F.filter(marked, lambda x: x.isNotNull())
+        return F.struct(
+            F.array_join(kept, sep).alias("text"),
+            F.size(ls).alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_lines_kept"),
+        )
+
+    p = F.element_at(F.transform(F.array(lines), _inner), 1)
+    return df.select(
+        F.col(id_col),
+        p["text"].alias("text"),
+        p["n_lines"].alias("n_lines"),
+        p["n_lines_kept"].alias("n_lines_kept"),
+    )

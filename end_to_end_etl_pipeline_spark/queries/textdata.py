@@ -1766,6 +1766,85 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(relined, "doc_id", "text", sep="\n")
 
 
+@register(
+    "within_doc_line_dedup",
+    oracle="""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+      FROM documents
+    ),
+    d2 AS (
+      SELECT doc_id,
+             CASE WHEN len(words) = 0 THEN [''] ELSE
+               [array_to_string(words[(i*5+1):(i*5+5)], ' ')
+                FOR i IN generate_series(0, CAST(ceil(len(words)/5.0) AS INT) - 1)]
+             END AS lines
+      FROM wl
+    ),
+    planted AS (
+      SELECT doc_id, list_append(lines, lines[1]) AS lines FROM d2
+    ),
+    ln AS (
+      SELECT doc_id, n_lines, CAST(i AS INT) AS pos,
+             lines[CAST(i AS INT) + 1] AS line
+      FROM (SELECT doc_id, lines, len(lines) AS n_lines,
+                   unnest(generate_series(0, len(lines) - 1)) AS i
+            FROM planted)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line, n_lines,
+             row_number() OVER (PARTITION BY doc_id, lower(trim(line))
+                                ORDER BY pos) AS rn,
+             length(lower(trim(line))) >= 1 AS eligible
+      FROM ln
+    ),
+    kept AS (
+      SELECT doc_id, pos, line, n_lines FROM ranked
+      WHERE rn = 1 OR NOT eligible
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text,
+           CAST(any_value(n_lines) AS INT) AS n_lines,
+           count(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+    doc="WITHIN-document line dedup (the Gopher/RefinedWeb "
+    "remove-duplicated-lines-within-document repetition rule — the "
+    "local complement of line_dedup_corpus): every doc is re-lined "
+    "into 5-word lines with its first line re-planted at the end "
+    "(guaranteed in-document repeat), then each line survives only "
+    "at its first occurrence INSIDE its own document. The decision "
+    "needs no cross-row information, so the whole operator is ONE "
+    "projection — zero shuffles, zero aggregations, scan speed at "
+    "any corpus size (the global variant pays two shuffles because "
+    "its duplicates must meet; the within-doc rule's never leave "
+    "their row).",
+    tags=("north-star", "dedup", "text"),
+)
+def within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+        dedup_lines_within_doc,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    n_lines = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+    lines = F.when(
+        F.size(words) == 0, F.array(F.lit(""))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+        )
+    )
+    planted = F.concat(lines, F.slice(lines, 1, 1))
+    relined = docs.select(
+        "doc_id", F.array_join(planted, "\n").alias("text")
+    )
+    return dedup_lines_within_doc(relined, "doc_id", "text", sep="\n")
+
+
 def _cms_bucket_sql(row_expr: str, key_expr: str, width: int) -> str:
     """DuckDB bucket expression matching operators/sketches._bucket:
     md5(row:key) first-8-hex-chars as int, mod width."""

@@ -674,3 +674,29 @@ def test_line_dedup_invariants_fuzzed(spark, corpus):
                 assert key in [norm(o) for o in out_lines]
     # (1) global uniqueness of eligible lines
     assert len(all_eligible_out) == len(set(all_eligible_out))
+
+
+def test_dedup_lines_within_doc_zero_shuffle_and_semantics(spark):
+    """Within-doc line dedup: first occurrence survives, later repeats
+    of the same normalized line drop, blank lines are exempt, empty
+    docs pass through — all in ONE projection (no Exchange: the
+    decision never needs cross-row information)."""
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\nc\nA B \n\nc\nx"),  # 'A B ' normalizes to 'a b'
+            (2, ""),
+            (3, "q\nq\nq"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup_lines_within_doc(df, "doc_id", "text")
+    got = {r.doc_id: (r.text, r.n_lines, r.n_lines_kept) for r in out.collect()}
+    assert got[1] == ("a b\nc\n\nx", 6, 4)  # both repeats dropped, blank kept
+    assert got[2] == ("", 1, 1)  # split('') == [''] — one exempt empty line
+    assert got[3] == ("q", 3, 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
