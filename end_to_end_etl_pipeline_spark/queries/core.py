@@ -2244,7 +2244,17 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    # the selective part predicate lands BELOW the fact aggregation
+    # (a broadcast join Catalyst cannot derive on its own — the join
+    # is above the agg in the naive plan): the (part, supplier) agg
+    # then shuffles ~5% of lineitem instead of all of it, and the
+    # same ratio holds at any SF because p_type/p_size selectivity is
+    # data-, not scale-, dependent
+    eligible_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    ps = eligible_li.groupBy("p_partkey", "p_name", "l_suppkey").agg(
         # decimal-routed: price/qty lands on half-cents (qty=2), where
         # double round diverges between engines (see SKILL.md gotcha)
         F.round(
@@ -2264,13 +2274,9 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    part = load(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
-    ).select("p_partkey", "p_name")
-    eligible = (
-        ps.join(supp, ps.l_suppkey == supp.s_suppkey)
-        .join(part, ps.l_partkey == part.p_partkey)
-    )
+    # supplier side scales with SF — no broadcast hint; AQE promotes
+    # it to broadcast whenever the EUROPE slice is actually small
+    eligible = ps.join(supp, ps.l_suppkey == supp.s_suppkey)
     w = Window.partitionBy("p_partkey")
     return (
         eligible.withColumn("mc", F.min("cost").over(w))
