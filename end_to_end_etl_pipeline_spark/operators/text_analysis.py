@@ -344,3 +344,53 @@ def hashed_linear_score(
         .alias("margin"),
         (F.sum("weight") >= 0).alias("keep"),
     )
+
+
+#: script name -> (Java regex char class, RE2/DuckDB char class).
+#: Same Unicode script property, two spellings: Java wants
+#: \p{IsLatin}, RE2 wants \p{Latin}. Order is the deterministic
+#: dominant-script tie-break (first wins on equal counts).
+SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+)
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode-script composition per document — the writing-system
+    half of language identification (the n-gram ``lang_id`` separates
+    languages WITHIN a script; this separates scripts, which is the
+    first routing decision a multilingual corpus pipeline makes:
+    which tokenizer, which lang-id model, which quality rules).
+
+    Appends one count column per script in :data:`SCRIPT_CLASSES`
+    (codepoints of that script), ``n_chars`` (total codepoints),
+    plus ``dominant_script`` — the script with the most codepoints
+    ('none' when no scripted character occurs), ties to the
+    SCRIPT_CLASSES order. Pure projection: ``regexp_count`` per class
+    runs JVM-side in one pass over the row — zero shuffles, and
+    nothing grows with corpus size. The class table carries both the
+    Java spelling (used here) and the RE2 spelling so DuckDB oracles
+    replay the same property."""
+    out = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(java_re)).alias(f"n_{name}")
+            for name, java_re, _ in SCRIPT_CLASSES
+        ],
+    )
+    # argmax fold; strict '>' means the earlier SCRIPT_CLASSES entry
+    # keeps the title on equal counts (deterministic tie-break)
+    dom_expr = F.lit("none")
+    best_expr = F.lit(0)
+    for name, _, _ in SCRIPT_CLASSES:
+        cnt = F.col(f"n_{name}")
+        dom_expr = F.when(cnt > best_expr, F.lit(name)).otherwise(dom_expr)
+        best_expr = F.when(cnt > best_expr, cnt).otherwise(best_expr)
+    return out.withColumn("dominant_script", dom_expr)

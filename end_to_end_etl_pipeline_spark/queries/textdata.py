@@ -2694,3 +2694,98 @@ def keyword_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 3)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def _script_profile_oracle() -> str:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        SCRIPT_CLASSES,
+    )
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{re2}')) AS INT) AS n_{name}"
+        for name, _java, re2 in SCRIPT_CLASSES
+    )
+    names = [name for name, _j, _r in SCRIPT_CLASSES]
+    max_c = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    # first CASE branch in SCRIPT_CLASSES order == the engine fold's
+    # earlier-entry-wins tie-break
+    dom = "CASE WHEN " + max_c + " = 0 THEN 'none' " + " ".join(
+        f"WHEN n_{n} = {max_c} THEN '{n}'" for n in names
+    ) + " END"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000,
+             'Привет мир это тест ' || text
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 4000000, '你好世界 这是 测试 文本 一二三'
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 5000000,
+             'مرحبا بالعالم ' || substr(text, 1, 20)
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    counted AS (
+      SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           {counts}
+      FROM corpus
+    )
+    SELECT *, {dom} AS dominant_script FROM counted
+    """
+
+
+@register(
+    "doc_script_profile",
+    oracle=_script_profile_oracle(),
+    doc="Unicode-script composition per document (operators/"
+    "text_analysis.script_profile) - the writing-system half of "
+    "language ID and the first routing decision of a multilingual "
+    "corpus pipeline (which tokenizer, which lang-id model, which "
+    "quality rules). Per-script codepoint counts via one "
+    "regexp_count pass per class (JVM-side, zero shuffles, nothing "
+    "grows with corpus size) plus a deterministic dominant-script "
+    "argmax (earlier class wins ties). The ASCII synthetic corpus is "
+    "planted with Cyrillic-prefixed, pure-Han, and Arabic-mixed "
+    "variants so every class provably fires; the class table carries "
+    "both the Java and RE2 spellings of the same Unicode script "
+    "property, so the DuckDB oracle replays identical counts.",
+    tags=("north-star", "text"),
+)
+def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        script_profile,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.lit("Привет мир это тест "), F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.lit("你好世界 这是 测试 文本 一二三").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.concat(
+                    F.lit("مرحبا بالعالم "), F.expr("substring(text, 1, 20)")
+                ).alias("text"),
+            )
+        )
+    )
+    out = script_profile(_spread(planted), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        *[F.col(c).cast("int").alias(c) for c in out.columns
+          if c.startswith("n_") and c != "n_chars"],
+        "dominant_script",
+    )

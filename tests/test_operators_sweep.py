@@ -700,3 +700,31 @@ def test_dedup_lines_within_doc_zero_shuffle_and_semantics(spark):
     assert got[3] == ("q", 3, 1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_script_profile_counts_and_dominant(spark):
+    """Per-script codepoint counts and the deterministic dominant
+    pick (ties to the earlier SCRIPT_CLASSES entry; 'none' when no
+    scripted char occurs), in one shuffle-free projection."""
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        script_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello мир"),       # 5 latin, 3 cyrillic
+            (2, "你好"),            # 2 han
+            (3, "123 !?"),          # digits/punct only -> none
+            (4, "abcабв"),          # 3 latin, 3 cyrillic: tie -> latin
+        ],
+        "doc_id bigint, text string",
+    )
+    out = script_profile(df, "doc_id", "text")
+    got = {r.doc_id: r for r in out.collect()}
+    assert (got[1].n_latin, got[1].n_cyrillic) == (5, 3)
+    assert got[1].dominant_script == "latin"
+    assert got[2].n_han == 2 and got[2].dominant_script == "han"
+    assert got[3].dominant_script == "none"
+    assert got[4].dominant_script == "latin"  # earlier class wins tie
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
