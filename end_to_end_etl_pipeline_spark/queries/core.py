@@ -2248,12 +2248,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     ).select("p_partkey", "p_name")
     # the selective part predicate lands BELOW the fact aggregation
-    # (a broadcast join Catalyst cannot derive on its own — the join
+    # (a join reorder Catalyst cannot derive on its own — the join
     # is above the agg in the naive plan): the (part, supplier) agg
     # then shuffles ~5% of lineitem instead of all of it, and the
     # same ratio holds at any SF because p_type/p_size selectivity is
-    # data-, not scale-, dependent
-    eligible_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # data-, not scale-, dependent. No broadcast hint — the part
+    # slice scales with SF; the planner broadcasts while it fits
+    eligible_li = li.join(part, li.l_partkey == part.p_partkey)
     ps = eligible_li.groupBy("p_partkey", "p_name", "l_suppkey").agg(
         # decimal-routed: price/qty lands on half-cents (qty=2), where
         # double round diverges between engines (see SKILL.md gotcha)
@@ -2371,18 +2372,25 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
     )
+    parts = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    # the selective part-name semi-join lands BELOW the per-(part,
+    # supplier) aggregation (the agg is keyed by l_partkey, so
+    # restricting partkeys first yields the identical groups): the
+    # agg shuffles only the qualifying parts' lineitems, a
+    # data-dependent ratio that holds at any SF. No broadcast hint —
+    # the part slice scales with SF; the planner broadcasts it while
+    # it fits and shuffle-joins beyond that
+    li = li.join(parts, li.l_partkey == parts.p_partkey, "left_semi")
     pq = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("total_qty"),
         F.sum(
             F.when(F.year("l_shipdate") == 1997, F.col("l_quantity")).otherwise(0.0)
         ).alias("yr_qty"),
     )
-    parts = load(spark, sf_dir, "part").filter(
-        F.col("p_name").like("small%")
-    ).select("p_partkey")
     qual = (
         pq.filter((F.col("yr_qty") > 0) & (F.col("total_qty") > 2 * F.col("yr_qty")))
-        .join(parts, pq.l_partkey == parts.p_partkey, "left_semi")
         .select("l_suppkey")
     )
     nation = load(spark, sf_dir, "nation")
