@@ -1190,15 +1190,26 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    # the correlated average runs over the brand-RESTRICTED relation,
+    # not all of lineitem: p_brand is a part attribute and the
+    # subquery correlates on l_partkey, so every surviving part's
+    # average is computed from exactly the same rows — but the
+    # decorrelated aggregate Catalyst builds now consumes ~1/25 of
+    # lineitem instead of all of it (brand selectivity, holds at any
+    # SF). Same filter-below-aggregation move as min_cost_supplier.
     return spark.sql(
         """
+        WITH brand_li AS (
+          SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+          FROM v_lineitem l
+          JOIN v_part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#4'
+        )
         SELECT l.l_partkey,
                round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
-        FROM v_lineitem l
-        JOIN v_part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand = 'Brand#4'
-          AND l.l_quantity < (
-            SELECT 0.2 * avg(l2.l_quantity) FROM v_lineitem l2
+        FROM brand_li l
+        WHERE l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM brand_li l2
             WHERE l2.l_partkey = l.l_partkey
           )
         GROUP BY 1
