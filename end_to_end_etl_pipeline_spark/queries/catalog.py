@@ -90,6 +90,10 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # in r01/r02 — rotate behind them.
 # ---------------------------------------------------------------------------
 
+# r05 rotation queue (never driver-run as of r04): within_doc_line_dedup,
+# doc_script_profile, ann_recall_at_k, plus whatever r04 adds behind the
+# window. Rotate them over same-family rows that went green in r03/r04
+# (e.g. ivfpq_topk, orders_column_profile, lang_id, dedup_exact_text).
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + medallion e2e (scan→DQ→SCD2→gold KPIs in one row)
     "customer_master",
