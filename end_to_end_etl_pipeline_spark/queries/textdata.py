@@ -2789,3 +2789,135 @@ def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           if c.startswith("n_") and c != "n_chars"],
         "dominant_script",
     )
+
+
+@register(
+    "bm25_doc_search",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 6000000,
+             'zqtopic' || CAST(doc_id % 5 AS VARCHAR) || ' zqterm'
+               || CAST(doc_id % 5 AS VARCHAR) || ' ' || text
+      FROM documents WHERE doc_id % 37 < 5
+    ),
+    d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+      FROM corpus
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl FROM d),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    qterms AS (
+      SELECT i AS query_id, 'zqtopic' || CAST(i AS VARCHAR) AS word
+      FROM generate_series(0, 4) t(i)
+      UNION ALL
+      SELECT i, 'zqterm' || CAST(i AS VARCHAR) FROM generate_series(0, 4) t(i)
+      UNION ALL
+      SELECT i, 'batch' FROM generate_series(0, 4) t(i)
+      UNION ALL
+      SELECT i, 'scan' FROM generate_series(0, 4) t(i)
+    ),
+    uniq AS (SELECT DISTINCT word FROM qterms),
+    tf AS (
+      SELECT t.doc_id, t.word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(words) AS word FROM d) t
+      JOIN uniq USING (word)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    eligible AS (
+      SELECT word, df FROM df, stats WHERE df <= 0.5 * n
+    ),
+    part AS (
+      SELECT qt.query_id, tf.doc_id,
+             ln((s.n - e.df + 0.5) / (e.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS w
+      FROM qterms qt
+      JOIN eligible e USING (word)
+      JOIN tf ON tf.word = qt.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+    FROM part GROUP BY 1, 2
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(sum(w), 6) DESC, doc_id) <= 10
+    """,
+    doc="BM25 full-text retrieval over an inverted index - the "
+    "lexical half of every retrieval stack (RAG, eval-set mining, "
+    "contamination checks). The synthetic corpus's 31-word "
+    "vocabulary is near-uniform (every word in ~80% of docs), so "
+    "5 topic groups are planted (rare zqtopic/zqterm tags on every "
+    "37th doc) and each query mixes two rare tags with two "
+    "stopword-like terms - the df > N/2 cap provably drops the "
+    "common terms while the rare ones rank the planted docs. "
+    "Lucene-form BM25 (k1=1.2, b=0.75, idf=ln((N-df+.5)/(df+.5)+1)). "
+    "The scale shape: postings are built ONLY for query terms "
+    "(semi-join before the tf aggregation - the index never "
+    "materializes for the full vocabulary), document length rides "
+    "the tokenization (no second doc-keyed join), and per-query "
+    "top-10 goes through WindowGroupLimit partial top-k. Scores "
+    "round to 6dp before ranking, ties to lowest doc_id.",
+    tags=("north-star", "text", "search"),
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 37 < 5).select(
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            F.concat(
+                F.lit("zqtopic"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(" zqterm"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(" "), F.col("text"),
+            ).alias("text"),
+        )
+    )
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = _spread(planted).select("doc_id", words.alias("words"))
+    dl = d.select("doc_id", F.size("words").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    qterms = spark.createDataFrame(
+        [
+            (i, w)
+            for i in range(5)
+            for w in (f"zqtopic{i}", f"zqterm{i}", "batch", "scan")
+        ],
+        "query_id bigint, word string",
+    )
+    uniq = qterms.select("word").distinct()
+    toks = d.select(
+        "doc_id", F.size("words").alias("dl"), F.explode("words").alias("word")
+    )
+    # postings for query terms ONLY; doc length rides the agg
+    tf = (
+        toks.join(F.broadcast(uniq), "word", "left_semi")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= 0.5 * F.col("n"))
+        .join(F.broadcast(qterms), "word")
+        .withColumn(
+            "w",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * F.col("tf") * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("w"), 6).alias("bm25")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "doc_id", "bm25")
+    )
