@@ -156,16 +156,23 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # pre-aggregate revenue per order BEFORE the orders join: lineitem
+    # averages ~4 rows per order, so the join's big side shrinks 4x,
+    # and the join on the same key reuses the aggregation's hash
+    # partitioning (exchange reuse — no extra shuffle). Sum of
+    # per-order sums == the global sum; addition order was already
+    # nondeterministic under parallel aggregation
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(F.sum("__rev"), 2).alias("revenue"),
         F.countDistinct("c_custkey").alias("n_customers"),
     )
 
