@@ -23,7 +23,7 @@ from end_to_end_etl_pipeline_spark.operators.text_dedup import (
     simhash_near_dup_pairs,
     word_shingles,
 )
-from end_to_end_etl_pipeline_spark.queries.catalog import load, register
+from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY, load, register
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -2921,3 +2921,81 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "doc_id", "bm25")
     )
+
+
+def _bm25_oracle_sql() -> str:
+    """The bm25_doc_search oracle, shared verbatim by the store-backed
+    variant (same corpus, same queries, same math — the store must be
+    invisible in the results)."""
+    return REGISTRY["bm25_doc_search"].oracle
+
+
+@register(
+    "bm25_store_search",
+    oracle=None,  # set right after registration from the in-plan twin
+    doc="Incremental inverted-index maintenance (operators/"
+    "text_index.py): the BM25 index is BUILT over half the planted "
+    "corpus and the other half is folded in with append_text_index — "
+    "new postings CAS-append into their terms' hash buckets "
+    "(untouched buckets keep their dir lists verbatim) and the "
+    "one-row (n_docs, sum_dl) stats combine exactly. Search reads "
+    "ONLY the query terms' bucket dirs (len(terms)/n_buckets of the "
+    "bytes at any corpus size), derives df from the postings it "
+    "already read (no vocabulary-sized side table), and replays the "
+    "bm25_doc_search math bit-for-bit — the same oracle gates both, "
+    "proving the incremental store is invisible in the results.",
+    tags=("north-star", "text", "search", "incremental"),
+)
+def bm25_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.operators.text_index import (
+        append_text_index,
+        text_index_search,
+        write_text_index,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_text_index"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 37 < 5).select(
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            F.concat(
+                F.lit("zqtopic"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(" zqterm"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(" "), F.col("text"),
+            ).alias("text"),
+        )
+    )
+    cat = ManifestCatalog(spark, f"file://{root}")
+    write_text_index(
+        cat, planted.filter(F.col("doc_id") % 2 == 0),
+        "doc_id", "text", "idx.bm25", n_buckets=32,
+    )
+    append_text_index(
+        cat, planted.filter(F.col("doc_id") % 2 == 1),
+        "doc_id", "text", "idx.bm25",
+    )
+    qterms = spark.createDataFrame(
+        [
+            (i, w)
+            for i in range(5)
+            for w in (f"zqtopic{i}", f"zqterm{i}", "batch", "scan")
+        ],
+        "query_id bigint, word string",
+    )
+    res, _buckets = text_index_search(cat, "idx.bm25", qterms, k=10)
+    return res.localCheckpoint(eager=True)
+
+
+# the store-backed search must be indistinguishable from the in-plan
+# twin: gate both with the identical oracle
+REGISTRY["bm25_store_search"].oracle = _bm25_oracle_sql()

@@ -348,3 +348,101 @@ def test_ivf_assign_cells_matches_router_and_is_in_plan(spark, tmp_path):
     stored = {r["vec_id"]: r["cell"] for r in cat.read("ann.pq").collect()
               if r["vec_id"] % 3 == 0}
     assert stored == want
+
+
+def test_text_index_store_search_append_and_prune(spark, tmp_path):
+    """Persisted inverted index: (1) store-backed BM25 equals the same
+    math computed in-plan over the raw corpus; (2) building on half
+    the docs and appending the rest equals a write-once index (stats
+    combine exactly); (3) a query physically reads only its terms'
+    buckets; (4) a replayed append batch id is refused."""
+    from end_to_end_etl_pipeline_spark.operators.text_index import (
+        append_text_index,
+        text_index_search,
+        write_text_index,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    queries = spark.createDataFrame(
+        [(0, "dup"), (0, "batch"), (1, "dup"), (1, "scan")],
+        "query_id bigint, word string",
+    )
+
+    once = ManifestCatalog(spark, f"file://{tmp_path}/once")
+    write_text_index(once, docs, "doc_id", "text", "idx.t", n_buckets=16)
+    got, read_buckets = text_index_search(once, "idx.t", queries, k=5)
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows  # 'dup' is rare in the corpus -> survives the df cap
+    assert 0 < len(read_buckets) <= 3 < 16  # <=1 bucket per distinct term
+
+    # in-plan reference: identical BM25 math over the raw corpus
+    from pyspark.sql import Window
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = docs.select("doc_id", words.alias("words"))
+    toks = d.select(
+        "doc_id", F.size("words").alias("dl"), F.explode("words").alias("word")
+    )
+    tf = toks.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("words")).alias("sdl"),
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(queries, "word")
+        .join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= 0.5 * F.col("n"))
+        .withColumn(
+            "w",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * F.col("tf") * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / (F.col("sdl") / F.col("n")))),
+        )
+    )
+    ref = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("bm25").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= 5)
+        .select("query_id", "doc_id", "bm25")
+    )
+    assert got_rows == sorted(map(tuple, ref.collect()))
+
+    # incremental: half + append == write-once
+    inc = ManifestCatalog(spark, f"file://{tmp_path}/inc")
+    write_text_index(
+        inc, docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text",
+        "idx.t", n_buckets=16,
+    )
+    applied = append_text_index(
+        inc, docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        "idx.t", batch_id=1,
+    )
+    assert applied is True
+    assert sorted(map(tuple, inc.read("idx.t__stats").collect())) == sorted(
+        map(tuple, once.read("idx.t__stats").collect())
+    )
+    got2, _ = text_index_search(inc, "idx.t", queries, k=5)
+    assert sorted(map(tuple, got2.collect())) == got_rows
+
+    # replay: same batch id refused, stats untouched
+    before = inc.read("idx.t__stats").collect()
+    assert append_text_index(
+        inc, docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        "idx.t", batch_id=1,
+    ) is False
+    assert inc.read("idx.t__stats").collect() == before
