@@ -667,3 +667,46 @@ def foreach_batch_ann_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_text_index_ingest(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Continuous lexical-index maintenance: every micro-batch of
+    documents folds into the persisted inverted index
+    (``operators/text_index.append_text_index``) — new postings
+    CAS-append into their terms' hash buckets and the one-row corpus
+    stats combine exactly, so BM25 queries see each batch as soon as
+    its manifest commit lands. Postings appends are ADDITIVE, so the
+    bridge passes the micro-batch id and the append is skipped when
+    the manifest's ``text_last_batch_id`` marker says it was already
+    applied (the marker rides the SAME commit as the posting dirs —
+    no data-without-marker window; same contract as the ANN bridge).
+
+    The index must exist (``write_text_index``) before the stream
+    starts. Returns the started ``StreamingQuery`` (caller awaits)."""
+    from end_to_end_etl_pipeline_spark.operators.text_index import (
+        append_text_index,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_text_index(
+            catalog, batch_df, id_col, text_col, table, batch_id=batch_id
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

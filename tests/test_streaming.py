@@ -645,3 +645,72 @@ def test_foreach_batch_ann_ingest_appends_and_replay_guard(spark, tmp_path):
     )
     assert applied is False
     assert cat.latest_manifest("ann.pq")["version"] == m_before["version"]
+
+
+def test_foreach_batch_text_index_ingest_appends_and_replay_guard(spark, tmp_path):
+    """Two streamed document micro-batches must fold into the inverted
+    index exactly like direct appends (stats combine, postings land in
+    term buckets), and a replayed batch id must be refused."""
+    import json as _json
+
+    from end_to_end_etl_pipeline_spark.operators.text_index import (
+        append_text_index,
+        text_index_search,
+        write_text_index,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_text_index_ingest,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 90)
+    )
+    base = docs.filter(F.col("doc_id") < 30)
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    write_text_index(cat, base, "doc_id", "text", "idx.t", n_buckets=8)
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    for fname, lo, hi in (("b1.json", 30, 60), ("b2.json", 60, 90)):
+        rows = [
+            {"doc_id": r.doc_id, "text": r.text}
+            for r in docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).collect()
+        ]
+        with open(os.path.join(d, fname), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+
+    stream = read_stream_files(
+        spark, d, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    q = foreach_batch_text_index_ingest(
+        stream, cat, "idx.t", checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    # streamed result == one-shot index over all 90 docs
+    once = ManifestCatalog(spark, f"file://{tmp_path}/once")
+    write_text_index(once, docs, "doc_id", "text", "idx.t", n_buckets=8)
+    assert sorted(map(tuple, cat.read("idx.t__stats").collect())) == sorted(
+        map(tuple, once.read("idx.t__stats").collect())
+    )
+    queries = spark.createDataFrame(
+        [(0, "dup"), (0, "batch")], "query_id bigint, word string"
+    )
+    got, _ = text_index_search(cat, "idx.t", queries, k=5)
+    want, _ = text_index_search(once, "idx.t", queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # replay guard: last applied batch id (1) refused, stats untouched
+    m = cat.latest_manifest("idx.t")
+    assert m["text_last_batch_id"] == 1
+    before = cat.read("idx.t__stats").collect()
+    assert append_text_index(
+        cat, docs.filter(F.col("doc_id") >= 60), "doc_id", "text",
+        "idx.t", batch_id=1,
+    ) is False
+    assert cat.read("idx.t__stats").collect() == before
