@@ -446,3 +446,12 @@ def test_text_index_store_search_append_and_prune(spark, tmp_path):
         "idx.t", batch_id=1,
     ) is False
     assert inc.read("idx.t__stats").collect() == before
+
+    # routine compaction after appends: multi-dir buckets collapse,
+    # search results untouched (hash_pmod layout is recomputable from
+    # the recorded bucket keys)
+    inc.optimize("idx.t")
+    m = inc.latest_manifest("idx.t")
+    assert all(len(ds) == 1 for ds in m["bucket_dirs"].values())
+    got3, _ = text_index_search(inc, "idx.t", queries, k=5)
+    assert sorted(map(tuple, got3.collect())) == got_rows
