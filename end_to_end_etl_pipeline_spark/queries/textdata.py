@@ -2897,9 +2897,13 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
-    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over the postings, NOT a broadcast-joined
+    # aggregate: a broadcast side materializes through its own job,
+    # which would re-run the whole corpus tokenization — the window
+    # reshuffles only the query terms' postings (tiny), and skew per
+    # word is bounded by N
     scored = (
-        tf.join(F.broadcast(df_t), "word")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(stats))
         .filter(F.col("df") <= 0.5 * F.col("n"))
         .join(F.broadcast(qterms), "word")
