@@ -728,3 +728,52 @@ def test_script_profile_counts_and_dominant(spark):
     assert got[4].dominant_script == "latin"  # earlier class wins tie
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(corpus=_CORPUS)
+def test_within_doc_line_dedup_invariants_fuzzed(spark, corpus):
+    """Over random corpora: (1) within one output doc every eligible
+    normalized line appears at most once; (2) the output lines are a
+    subsequence of the input lines with first occurrences preserved;
+    (3) the operator is idempotent (a deduped doc passes through
+    unchanged); (4) docs never influence each other (unlike the
+    global variant, a line may survive in MANY docs)."""
+    from end_to_end_etl_pipeline_spark.operators.text_dedup import (
+        dedup_lines_within_doc,
+    )
+
+    rows = [
+        (doc_id, "\n".join(_LINE_WORDS[i] for i in lines))
+        for doc_id, lines in sorted(corpus.items())
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup_lines_within_doc(df, "doc_id", "text")
+    got = {r.doc_id: r for r in out.collect()}
+    norm = lambda l: l.strip().lower()
+    for doc_id, text in rows:
+        in_lines = text.split("\n")
+        out_lines = got[doc_id].text.split("\n") if got[doc_id].text != "" else [""]
+        # expected: first occurrence of each eligible norm; exempt pass
+        expect, seen = [], set()
+        for l in in_lines:
+            n = norm(l)
+            if len(n) < 1:
+                expect.append(l)
+            elif n not in seen:
+                seen.add(n)
+                expect.append(l)
+        assert out_lines == expect
+        assert got[doc_id].n_lines == len(in_lines)
+        assert got[doc_id].n_lines_kept == len(expect)
+    # idempotence: running the operator on its own output is a no-op
+    again = dedup_lines_within_doc(
+        out.select("doc_id", "text"), "doc_id", "text"
+    )
+    assert sorted((r.doc_id, r.text) for r in again.collect()) == sorted(
+        (r.doc_id, r.text) for r in out.collect()
+    )
