@@ -3013,3 +3013,74 @@ def order_price_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "daily_uniques_bitmap",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    daily AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau_7d
+      FROM daily d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau_7d AS BIGINT) AS wau_7d
+    FROM daily d JOIN wau w USING (day)
+    """,
+    doc="EXACT mergeable distinct counting via bitmap aggregates - "
+    "the precise counterpart of daily_uniques_hll for id spaces "
+    "dense enough to bitmap: users land in 32768-bit buckets "
+    "(bitmap_bucket_number / bitmap_bit_position, ids shifted +1 "
+    "because positions are 1-based), each (day, bucket) holds one "
+    "bitmap built by a map-side-partial bitmap_construct_agg, DAU = "
+    "sum of per-bucket popcounts, and the trailing-7-day WAU merges "
+    "bucket bitmaps with bitmap_or_agg over a RANGE window on a "
+    "day-x-bucket spine (the spine closes bucket gap days - a bucket "
+    "active on day-3 but silent today must still contribute to "
+    "today's window). Nothing here is approximate, yet everything "
+    "merges associatively: per-day partials roll into any window "
+    "without re-touching raw events, and state per (day, bucket) is "
+    "4 KB regardless of event volume - count(DISTINCT) semantics at "
+    "sketch-rollup cost, full value-hash oracle.",
+    tags=("events", "profiling", "north-star"),
+)
+def daily_uniques_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        # bitmap positions are 1-based; synthetic ids start at 0
+        (F.col("user_id") + 1).alias("uid"),
+    )
+    bkt = ev.groupBy(
+        "day", F.bitmap_bucket_number("uid").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("uid")).alias("bm"))
+    daily = bkt.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("dau")
+    )
+    # dense day x bucket spine so RANGE windows see every bucket on
+    # every day (a bucket with no events today still carries its
+    # trailing-window users)
+    spine = ev.select("day").distinct().crossJoin(
+        bkt.select("bucket").distinct()
+    )
+    dense = spine.join(bkt, ["day", "bucket"], "left").withColumn(
+        "d", F.datediff("day", F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("d")
+        .rangeBetween(-6, 0)
+    )
+    wau = (
+        dense.withColumn("wbm", F.bitmap_or_agg("bm").over(w))
+        .groupBy("day")
+        .agg(
+            F.sum(F.coalesce(F.bitmap_count("wbm"), F.lit(0)))
+            .cast("bigint")
+            .alias("wau_7d")
+        )
+    )
+    return daily.join(wau, "day")
