@@ -57,16 +57,20 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` (direction="backward"), per ``on`` key.
+    ``right_time <= left_time`` (direction="backward"), or the
+    EARLIEST right row with ``right_time >= left_time``
+    (direction="forward" — the next-quote/next-observation lookup,
+    e.g. order → first subsequent fill), per ``on`` key.
 
     Implemented union-sort style: tag sides, union, single window
     ordered by time, ``last(value, ignorenulls)`` carries the most
-    recent right value forward. One shuffle on the key — no range
-    explosion, no cross join; survives 100× scale-up because state per
-    key is a single running value.
+    recent right value forward (backward) or ``first(...)`` reaches
+    for the next one (forward). One shuffle on the key — no range
+    explosion, no cross join; survives 100× scale-up because state
+    per key is a single running value.
     """
-    if direction != "backward":
-        raise ValueError("only backward as-of supported")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
     clash = [c for c in right_cols if c in left.columns]
     if clash:
@@ -91,16 +95,28 @@ def asof_join(
     for c in missing:
         r_proj = r_proj.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
     unioned = r_proj.select(*l_tag.columns).unionByName(l_tag)
-    # right rows sort before left rows at equal timestamps → a right row
-    # stamped at exactly left_time is visible to that left row
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal timestamps → a
+        # right row stamped at exactly left_time is visible to it
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # forward: left rows sort before right rows at equal
+        # timestamps so an exactly-stamped right row is still ahead
+        # of (visible to) the left row in the following frame
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = unioned
     for c in right_cols:
-        carried = carried.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+        carried = carried.withColumn(f"__r_{c}", pick(f"__r_{c}"))
     out = carried.filter(F.col("__side") == 1).drop("__t", "__side")
     for c in right_cols:
         out = out.withColumnRenamed(f"__r_{c}", c)

@@ -3084,3 +3084,45 @@ def daily_uniques_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily.join(wau, "day")
+
+
+@register(
+    "purchase_next_view_asof",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS view_event_id, ts AS view_ts
+          FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.event_id, p.ts, v.view_event_id, v.view_ts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts >= p.ts
+    """,
+    doc="FORWARD as-of join (purchase -> earliest subsequent view per "
+    "user - the next-observation lookup: order -> first fill, signal "
+    "-> next quote): same union-sort + single-window machinery as the "
+    "backward variant (operators/joins.py asof_join direction="
+    "'forward', first(ignorenulls) over the following frame), one "
+    "shuffle on the key, no range explosion. Oracle via DuckDB's "
+    "ASOF JOIN with the inequality reversed.",
+    tags=("parity", "joins"),
+)
+def purchase_next_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.joins import asof_join
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("__vts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="__vts",
+        right_cols=["view_event_id", "view_ts"],
+        direction="forward",
+    )

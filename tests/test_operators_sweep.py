@@ -777,3 +777,24 @@ def test_within_doc_line_dedup_invariants_fuzzed(spark, corpus):
     assert sorted((r.doc_id, r.text) for r in again.collect()) == sorted(
         (r.doc_id, r.text) for r in out.collect()
     )
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: each left row picks the EARLIEST right row at or
+    after its timestamp (next-fill lookup); rows with no later right
+    row stay unmatched; an exactly-stamped right row is visible."""
+    left = spark.createDataFrame(
+        [("u1", "2026-01-05"), ("u1", "2026-01-10"), ("u2", "2026-01-07")],
+        "k string, t string",
+    )
+    right = spark.createDataFrame(
+        [("u1", "2026-01-06", 1.0), ("u1", "2026-01-10", 2.0),
+         ("u2", "2026-01-05", 9.0)],  # before left: unmatched forward
+        "k string, rt string, v double",
+    )
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                    right_cols=["v"], direction="forward")
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got[("u1", "2026-01-05")] == 1.0  # next right row after 01-05
+    assert got[("u1", "2026-01-10")] == 2.0  # equal timestamp visible
+    assert got[("u2", "2026-01-07")] is None  # nothing at/after 01-07
