@@ -55,12 +55,20 @@ def asof_join(
     right_time: str,
     right_cols: Sequence[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` (direction="backward"), or the
     EARLIEST right row with ``right_time >= left_time``
     (direction="forward" — the next-quote/next-observation lookup,
     e.g. order → first subsequent fill), per ``on`` key.
+
+    ``tolerance_seconds`` bounds the match gap (pandas
+    ``merge_asof(tolerance=...)`` semantics): a carried match whose
+    timestamp is further than the tolerance from the left row's is
+    nulled out — a quote from last week should not fill today's
+    order. Row-local post-filter on the carried match time; the plan
+    shape (one key shuffle, one window) is unchanged.
 
     Implemented union-sort style: tag sides, union, single window
     ordered by time, ``last(value, ignorenulls)`` carries the most
@@ -115,8 +123,28 @@ def asof_join(
         )
         pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = unioned
+    if tolerance_seconds is not None:
+        # carry the matched right row's timestamp so the gap is
+        # checkable per row (right rows see their own __t; left rows
+        # inherit the nearest one through the same window pick)
+        carried = carried.withColumn(
+            "__rt", F.when(F.col("__side") == 0, F.col("__t"))
+        )
+        carried = carried.withColumn("__rt", pick("__rt"))
     for c in right_cols:
         carried = carried.withColumn(f"__r_{c}", pick(f"__r_{c}"))
+    if tolerance_seconds is not None:
+        gap_ok = (
+            F.abs(
+                F.col("__t").cast("double") - F.col("__rt").cast("double")
+            )
+            <= F.lit(float(tolerance_seconds))
+        )
+        for c in right_cols:
+            carried = carried.withColumn(
+                f"__r_{c}", F.when(gap_ok, F.col(f"__r_{c}"))
+            )
+        carried = carried.drop("__rt")
     out = carried.filter(F.col("__side") == 1).drop("__t", "__side")
     for c in right_cols:
         out = out.withColumnRenamed(f"__r_{c}", c)

@@ -798,3 +798,33 @@ def test_asof_join_forward_direction(spark):
     assert got[("u1", "2026-01-05")] == 1.0  # next right row after 01-05
     assert got[("u1", "2026-01-10")] == 2.0  # equal timestamp visible
     assert got[("u2", "2026-01-07")] is None  # nothing at/after 01-07
+
+
+def test_asof_join_tolerance_bounds_the_gap(spark):
+    """merge_asof-style tolerance: matches further than the bound are
+    nulled (a week-old quote must not fill today's order), close ones
+    survive, both directions."""
+    left = spark.createDataFrame(
+        [("u1", "2026-01-10 00:00:00"), ("u1", "2026-01-20 00:00:00")],
+        "k string, t string",
+    )
+    right = spark.createDataFrame(
+        [("u1", "2026-01-09 00:00:00", 1.0)],  # 1 day before first left
+        "k string, rt string, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        right_cols=["v"], tolerance_seconds=2 * 86400.0,
+    )
+    got = {r.t: r.v for r in out.collect()}
+    assert got["2026-01-10 00:00:00"] == 1.0   # 1 day gap: within 2d
+    assert got["2026-01-20 00:00:00"] is None  # 11 day gap: nulled
+
+    fwd = asof_join(
+        left, right.withColumn("rt", F.lit("2026-01-21 00:00:00")),
+        on=["k"], left_time="t", right_time="rt",
+        right_cols=["v"], direction="forward", tolerance_seconds=2 * 86400.0,
+    )
+    got_f = {r.t: r.v for r in fwd.collect()}
+    assert got_f["2026-01-20 00:00:00"] == 1.0  # next day: within 2d
+    assert got_f["2026-01-10 00:00:00"] is None  # 11 days ahead: nulled
