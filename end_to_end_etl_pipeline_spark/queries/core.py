@@ -3126,3 +3126,61 @@ def purchase_next_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["view_event_id", "view_ts"],
         direction="forward",
     )
+
+
+@register(
+    "event_type_value_trend",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (epoch(ts) - epoch(TIMESTAMP '2026-01-01')) / 86400.0 AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n, avg(x) AS xb, avg(y) AS yb
+      FROM e GROUP BY 1
+    ),
+    s AS (
+      SELECT e.event_type,
+             sum((x - xb) * (x - xb)) AS sxx,
+             sum((x - xb) * (y - yb)) AS sxy
+      FROM e JOIN m USING (event_type) GROUP BY 1
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           round(s.sxy / s.sxx, 6) AS slope,
+           round(m.yb - (s.sxy / s.sxx) * m.xb, 6) AS intercept
+    FROM m JOIN s USING (event_type)
+    """,
+    doc="Per-group model fitting through Arrow grouped-map "
+    "(operators/grouped_models.grouped_linefit, applyInPandas) - the "
+    "escape hatch for group-local logic that genuinely needs a "
+    "Python library, exercised with a closed-form OLS trend of event "
+    "value over days-since-2026 per event type precisely SO a SQL "
+    "oracle can replay the Python path (centered two-pass sums, "
+    "sorted accumulation, 6dp) and prove the plumbing exact. One "
+    "shuffle on the group key; each group fits in one pandas frame; "
+    "only (n, slope, intercept) leave the worker. Anything "
+    "expressible as a built-in aggregate should be (see "
+    "price_quantity_regression's regr_* family) - this is the "
+    "pattern for when it is not.",
+    tags=("events", "profiling", "north-star"),
+)
+def event_type_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.grouped_models import (
+        grouped_linefit,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            # NTZ can't cast straight to double; hop through the
+            # session-TZ timestamp (pinned UTC — matches the oracle's
+            # naive-as-UTC epoch())
+            (F.col("ts").cast("timestamp").cast("double")
+             - F.lit("2026-01-01 00:00:00").cast("timestamp").cast("double"))
+            / 86400.0
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return grouped_linefit(ev, ["event_type"], "x", "y")
