@@ -3003,3 +3003,146 @@ def bm25_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the store-backed search must be indistinguishable from the in-plan
 # twin: gate both with the identical oracle
 REGISTRY["bm25_store_search"].oracle = _bm25_oracle_sql()
+
+
+@register(
+    "doc_shared_span_extent",
+    oracle=f"""
+    WITH {_SQL_CORPUS},
+    kg AS (
+      SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 8)) AS h,
+             greatest(length(text) - 7, 0) AS nk
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i
+            FROM corpus)
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             pos, nk
+      FROM kg
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= nk - 3),
+    keptf AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 16),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM fps a
+      JOIN keptf k ON k.fp = a.fp
+      JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    rare AS (SELECT h FROM kg GROUP BY h HAVING count(*) <= 16),
+    hits AS (
+      SELECT c.doc_a, c.doc_b, ka.pos AS pos_a, kb.pos AS pos_b
+      FROM cand c
+      JOIN kg ka ON ka.doc_id = c.doc_a
+      JOIN rare r ON r.h = ka.h
+      JOIN kg kb ON kb.doc_id = c.doc_b AND kb.h = ka.h
+    ),
+    runs AS (
+      SELECT doc_a, doc_b,
+             pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                        ORDER BY pos_a) AS island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, count(*) AS run_len
+      FROM runs GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT c.doc_a, c.doc_b, CAST(c.n_shared AS BIGINT) AS n_shared,
+           CAST(coalesce(max(i.run_len), 0) AS BIGINT) AS max_run_kgrams,
+           CAST(coalesce(max(i.run_len), 0) + 7 AS BIGINT) AS span_chars
+    FROM cand c LEFT JOIN islands i USING (doc_a, doc_b)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Shared-span EXTENT per near-dup pair - the contamination-"
+    "severity measure span DETECTION (doc_span_overlap) cannot give: "
+    "for each winnowing-candidate pair, the longest CONTIGUOUS run "
+    "of matching char-8-grams, via the islands-and-gaps trick on "
+    "k-gram position diagonals (pos_a - pos_b constant along a "
+    "shared substring; consecutive pos_a within a diagonal group by "
+    "pos_a - row_number). The quadratic is bounded three ways: "
+    "positions join only for CANDIDATE pairs' docs (driven by the "
+    "df-capped fingerprint pairs), gram df <= 16 caps hot grams, and "
+    "runs aggregate per (pair, diagonal) - never all-pairs, never "
+    "all-positions. The planted perturbed variants share their "
+    "entire suffix, so max runs are provably long; all-integer "
+    "output, exact value-hash oracle.",
+    tags=("north-star", "dedup", "text"),
+)
+def doc_shared_span_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    corpus = _variant_corpus(load(spark, sf_dir, "documents")).persist()
+    fps = winnow_fingerprints(corpus, "doc_id", "text", kgram=8, window=4)
+    keptf = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 16)
+        .select("fp")
+    )
+    capped = fps.join(keptf, "fp", "left_semi")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .persist()
+    )
+    cand.count()  # materialize before corpus unpersist at return
+
+    n = F.col("__n")
+    kg = corpus.select(
+        "doc_id",
+        F.greatest(F.length("text") - 7, F.lit(0)).alias("__n"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 7, 1)), "
+                "i -> md5(substring(text, i, 8)))"
+            )
+        ).alias("__p0", "h"),
+    ).filter(F.col("__p0") < n).select(
+        "doc_id", (F.col("__p0") + 1).alias("pos"), "h"
+    )
+    rare = (
+        kg.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 16)
+        .select("h")
+    )
+    kgf = kg.join(rare, "h", "left_semi")
+    ka = kgf.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
+    kb = kgf.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
+    hits = (
+        ka.join(F.broadcast(cand.select("doc_a", "doc_b")), "doc_a")
+        .join(kb, ["h", "doc_b"])
+    )
+    wrun = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    islands = (
+        hits.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        .withColumn("island", F.col("pos_a") - F.row_number().over(wrun))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("run_len").alias("mr"))
+    )
+    out = cand.join(islands, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.coalesce(F.col("mr"), F.lit(0)).cast("bigint").alias("max_run_kgrams"),
+        (F.coalesce(F.col("mr"), F.lit(0)) + 7).cast("bigint").alias("span_chars"),
+    )
+    out = out.localCheckpoint(eager=True)
+    corpus.unpersist()
+    cand.unpersist()
+    return out
