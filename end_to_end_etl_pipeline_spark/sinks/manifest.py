@@ -254,6 +254,98 @@ class ManifestCatalog:
         row = self.spark.read.parquet(data_dir).agg(*aggs).first()
         return {c: [row[f"__min_{c}"], row[f"__max_{c}"]] for c in stats_cols}
 
+    #: per-dir bloom parameters — fixed so every dir's bitmap and the
+    #: probe compute identical positions (same md5 derivation as
+    #: operators/sketches, replayed driver-side for probing)
+    BLOOM_BITS = 4096
+    BLOOM_HASHES = 3
+
+    def _dir_blooms(self, data_dir: str, bloom_cols: Sequence[str]) -> dict:
+        """Per-data-dir Bloom bitmaps for point-lookup data skipping —
+        the membership half of Iceberg/Delta file pruning. min/max
+        stats can't prune equality probes on hash-like high-
+        cardinality keys (every dir's range spans everything); a
+        128-long bloom per dir answers 'could this key be here?' with
+        no false negatives. One narrow scan of the just-written dir
+        via the shared ``operators/sketches`` builder; stored as
+        {col: {word: bits}} JSON (sparse — absent words are 0)."""
+        from end_to_end_etl_pipeline_spark.operators.sketches import bloom_build
+
+        df = self.spark.read.parquet(data_dir)
+        out: dict = {}
+        for c in bloom_cols:
+            rows = bloom_build(
+                df.select(c).where(F.col(c).isNotNull()),
+                c,
+                num_bits=self.BLOOM_BITS,
+                num_hashes=self.BLOOM_HASHES,
+            ).collect()
+            out[c] = {str(r["word"]): int(r["bits"]) for r in rows}
+        return out
+
+    @classmethod
+    def _bloom_positions(cls, value) -> list[tuple[int, int]]:
+        """Driver-side replay of ``operators/sketches._bloom_pos`` for
+        one probe value: [(word, bit)] per hash row. Must match the
+        JVM build bit-for-bit — md5 of '<row>:<str(value)>', first 8
+        hex chars as int, mod num_bits."""
+        import hashlib
+
+        out = []
+        for h in range(cls.BLOOM_HASHES):
+            pos = (
+                int(
+                    hashlib.md5(f"{h}:{value}".encode()).hexdigest()[:8], 16
+                )
+                % cls.BLOOM_BITS
+            )
+            out.append((pos // 32, pos % 32))
+        return out
+
+    def bloom_pruned_dirs(
+        self, name: str, col: str, value, version: int | None = None
+    ) -> list[str]:
+        """Data dirs whose bloom for ``col`` MIGHT contain ``value``.
+        Dirs without a bloom are kept — skipping is an IO optimization
+        and must never change results. NULL probes keep every dir
+        (equality on NULL matches nothing anyway)."""
+        manifest = (
+            self.manifest_at(name, version)
+            if version is not None
+            else self.latest_manifest(name)
+        )
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} has no committed manifest")
+        blooms = manifest.get("blooms") or {}
+        if value is None:
+            return self._dirs(manifest)
+        probe = self._bloom_positions(value)
+        kept = []
+        for d in self._dirs(manifest):
+            bm = (blooms.get(d) or {}).get(col)
+            if bm is None:
+                kept.append(d)
+                continue
+            if all((int(bm.get(str(w), 0)) >> b) & 1 for w, b in probe):
+                kept.append(d)
+        return kept
+
+    def read_point(self, name: str, col: str, value) -> DataFrame:
+        """Equality-probe read with bloom-level data skipping: scan
+        only dirs whose bloom might contain the key, then apply the
+        row filter (blooms prove possible membership, not membership).
+        The point-lookup complement of :meth:`read_range` — at scale,
+        the difference between reading the one append that holds an
+        id and listing a year of appends whose min/max all straddle
+        it."""
+        dirs = self.bloom_pruned_dirs(name, col, value)
+        if not dirs:
+            return self.read(name).filter(F.lit(False))
+        reader = self.spark.read
+        if len(dirs) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs).filter(F.col(col) == F.lit(value))
+
     def pruned_dirs(
         self, name: str, col: str, lo, hi, version: int | None = None
     ) -> list[str]:
@@ -367,7 +459,7 @@ class ManifestCatalog:
 
     def replace_atomic(
         self, df: DataFrame, name: str, partition_by=None, stats_cols=None,
-        allow_unbucket: bool = False,
+        allow_unbucket: bool = False, bloom_cols=None,
     ) -> None:
         """K1 — full refresh as one manifest commit (readers see old or
         new, never between; crash leaves old manifest current).
@@ -393,20 +485,23 @@ class ManifestCatalog:
         manifest = {"dirs": [data_dir], "bucket_dirs": None, "n_buckets": None}
         if stats_cols:
             manifest["stats"] = {data_dir: self._dir_stats(data_dir, stats_cols)}
+        if bloom_cols:
+            manifest["blooms"] = {data_dir: self._dir_blooms(data_dir, bloom_cols)}
         self._commit(name, manifest)
 
     # reference-surface aliases (K1/K2)
     overwrite = replace_atomic
 
-    def append(self, df: DataFrame, name: str, stats_cols=None) -> None:
+    def append(self, df: DataFrame, name: str, stats_cols=None, bloom_cols=None) -> None:
         """K2 — append = new data dir + manifest listing old dirs + new.
         Bucketed tables reject plain appends (they would break the
         bucket→dir mapping): route changes through ``BucketedSCD2``.
-        Existing dirs' stats carry forward untouched — immutable dirs
-        mean stats never go stale."""
+        Existing dirs' stats and blooms carry forward untouched —
+        immutable dirs mean they never go stale."""
         data_dir = self._new_data_dir(name)
         df.write.mode("overwrite").parquet(data_dir)
         new_stats = self._dir_stats(data_dir, stats_cols) if stats_cols else None
+        new_blooms = self._dir_blooms(data_dir, bloom_cols) if bloom_cols else None
         # CAS loop: the manifest content derives from the latest
         # version, so rebase + retry on a concurrent commit instead of
         # silently dropping its dirs (lost update)
@@ -421,6 +516,9 @@ class ManifestCatalog:
             stats = dict((manifest or {}).get("stats") or {})
             if new_stats is not None:
                 stats[data_dir] = new_stats
+            blooms = dict((manifest or {}).get("blooms") or {})
+            if new_blooms is not None:
+                blooms[data_dir] = new_blooms
             base = manifest["version"] if manifest else 0
             if self._commit_if(
                 name,
@@ -429,6 +527,7 @@ class ManifestCatalog:
                     "bucket_dirs": None,
                     "n_buckets": None,
                     "stats": stats or None,
+                    "blooms": blooms or None,
                 },
                 base,
             ):
@@ -513,7 +612,7 @@ class ManifestCatalog:
             extras = {
                 k: v
                 for k, v in manifest.items()
-                if k not in ("version", "dirs", "bucket_dirs", "stats")
+                if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
             }
             if self._commit_if(
                 name,
@@ -596,7 +695,7 @@ class ManifestCatalog:
                 extras = {
                     k: v
                     for k, v in manifest.items()
-                    if k not in ("version", "dirs", "bucket_dirs", "stats")
+                    if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
                 }
                 new = extras | {
                     "dirs": None, "bucket_dirs": bucket_dirs,
@@ -608,7 +707,7 @@ class ManifestCatalog:
                 extras = {
                     k: v
                     for k, v in manifest.items()
-                    if k not in ("version", "dirs", "bucket_dirs", "stats")
+                    if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
                 }
                 new = extras | {
                     "dirs": [data_dir], "bucket_dirs": None, "n_buckets": None,

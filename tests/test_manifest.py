@@ -618,3 +618,42 @@ def test_metastore_alter_table_add_columns_ddl(spark):
         assert rows[1].is_current is None and rows[2].is_current is True
     finally:
         cat.drop(name)
+
+
+def test_bloom_point_lookup_prunes_dirs_never_false_negative(spark, cat):
+    """Per-dir bloom data skipping: three appends with disjoint
+    hash-like ids; a point read touches only the dir(s) whose bloom
+    might hold the key, present keys are ALWAYS found (no false
+    negatives), dirs without blooms are kept, and NULL probes keep
+    every dir."""
+    ids = [[f"id_{i:04d}" for i in range(lo, lo + 40)] for lo in (0, 1000, 2000)]
+    for batch in ids:
+        cat.append(
+            spark.createDataFrame([(k, len(k)) for k in batch], "key string, v int"),
+            "bl.t", bloom_cols=["key"],
+        )
+    m = cat.latest_manifest("bl.t")
+    assert len(m["dirs"]) == 3 and set(m["blooms"]) == set(m["dirs"])
+
+    # every present key found, and pruning actually happens
+    pruned_counts = []
+    for batch in ids:
+        for k in (batch[0], batch[-1]):
+            dirs = cat.bloom_pruned_dirs("bl.t", "key", k)
+            pruned_counts.append(len(dirs))
+            got = cat.read_point("bl.t", "key", k).collect()
+            assert [r.key for r in got] == [k]
+    assert min(pruned_counts) == 1  # disjoint batches: typically one dir
+    assert all(c <= 3 for c in pruned_counts)
+
+    # an absent key usually prunes everything (false positives allowed)
+    assert cat.read_point("bl.t", "key", "zz_not_there").count() == 0
+
+    # NULL probe keeps all dirs; a bloom-less dir is never skipped
+    assert len(cat.bloom_pruned_dirs("bl.t", "key", None)) == 3
+    cat.append(
+        spark.createDataFrame([("late_key", 1)], "key string, v int"), "bl.t"
+    )  # no bloom_cols: this dir must always be read
+    assert "late_key" in [
+        r.key for r in cat.read_point("bl.t", "key", "late_key").collect()
+    ]
