@@ -3184,3 +3184,78 @@ def event_type_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"),
     )
     return grouped_linefit(ev, ["event_type"], "x", "y")
+
+
+@register(
+    "purchase_touch_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    touches AS (
+      SELECT p.event_id AS purchase_event_id, p.user_id,
+             v.event_id AS touch_event_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts, v.event_id) AS touch_rank,
+             count(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.ts >= p.ts - INTERVAL 30 MINUTE
+       AND v.ts <= p.ts
+    )
+    SELECT purchase_event_id, user_id, touch_event_id, touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           round(1.0 / n_touches, 6) AS credit_linear,
+           CASE WHEN touch_rank = 1 THEN 1.0 ELSE 0.0 END AS credit_first,
+           CASE WHEN touch_rank = n_touches THEN 1.0 ELSE 0.0 END AS credit_last
+    FROM touches
+    """,
+    doc="Multi-touch attribution over the bucketed time-range join "
+    "(the analytics layer above purchase_view_window): every view in "
+    "the 30 minutes before a purchase becomes a touch row carrying "
+    "the three standard credit models - linear (1/n), first-touch, "
+    "last-touch - assigned by one window over the joined touches "
+    "(rank by touch time, ties to event id). The join itself stays "
+    "the range_join shape: right side replicated to <= 2 time "
+    "buckets, equi-join on (user, bucket) with the range residual - "
+    "no per-key cross join at any scale; the attribution windows "
+    "partition on purchase id, whose size the 30-minute band bounds.",
+    tags=("events", "joins", "north-star"),
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("__pts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("touch_event_id"),
+        "user_id",
+        F.col("ts").alias("__vts"),
+    )
+    touches = range_join(
+        purchases, views, ["user_id"], "__pts", "__vts",
+        before_seconds=1800, after_seconds=0, how="inner",
+    )
+    wrk = Window.partitionBy("purchase_event_id").orderBy(
+        F.col("__vts").asc(), F.col("touch_event_id").asc()
+    )
+    wn = Window.partitionBy("purchase_event_id")
+    out = (
+        touches.withColumn("touch_rank", F.row_number().over(wrk))
+        .withColumn("n_touches", F.count(F.lit(1)).over(wn).cast("bigint"))
+    )
+    return out.select(
+        "purchase_event_id",
+        "user_id",
+        "touch_event_id",
+        "touch_rank",
+        "n_touches",
+        F.round(F.lit(1.0) / F.col("n_touches"), 6).alias("credit_linear"),
+        F.when(F.col("touch_rank") == 1, 1.0).otherwise(0.0).alias("credit_first"),
+        F.when(F.col("touch_rank") == F.col("n_touches"), 1.0)
+        .otherwise(0.0)
+        .alias("credit_last"),
+    )
