@@ -3259,3 +3259,56 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("credit_last"),
     )
+
+
+@register(
+    "frequent_part_pairs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders FROM pairs
+    WHERE n_orders >= 2
+    QUALIFY row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) <= 50
+    """,
+    doc="Market-basket co-occurrence (frequent itemset pairs, the "
+    "support-counting core of Apriori): part pairs appearing together "
+    "in >= 2 orders, top-50 by support. The pair generation is a "
+    "SELF-join on the order key over the DISTINCT (order, part) "
+    "relation - its output is sum over orders of C(parts_in_order, 2)"
+    ", bounded by basket width (TPC-H ~4 lines/order -> ~6 pairs), "
+    "NOT by catalog size; the basket width is the quantity to guard "
+    "at 100 TB (cap or sample oversized baskets before pairing). "
+    "Support counting is one map-side-partial agg on the pair key.",
+    tags=("parity", "joins", "core"),
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 50)
+        .select("part_a", "part_b", "n_orders")
+    )
