@@ -710,3 +710,85 @@ def foreach_batch_text_index_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_bitmap_uniques(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    key_col: str,
+    ts_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming EXACT distinct counting: keep per-(day, bucket)
+    bitmaps of seen keys current over an unbounded event stream — the
+    exact counterpart of the count-min/HLL bridges for id spaces
+    dense enough to bitmap. Each micro-batch builds its own bitmaps
+    (one map-side-partial ``bitmap_construct_agg``) and ORs them into
+    the persisted state; exact DAU at any time is
+    ``groupBy(day).sum(bitmap_count(bm))`` over
+    ``catalog.read(table).drop('_batch_id')``. State is 4 KB per
+    (day, bucket) FOREVER, regardless of how many times a user
+    recurs — the property exact ``dropDuplicates`` streaming state
+    (one row per distinct key) cannot offer.
+
+    Bitmap ORs ARE idempotent, but a replayed batch may interleave
+    with later state only under exactly-once assumptions the
+    foreachBatch sink doesn't give; the ``_batch_id`` guard (same as
+    the agg/CMS bridges) keeps replays out regardless. Keys shift +1
+    before bucketing (bitmap positions are 1-based; ids may be 0).
+
+    Returns the started ``StreamingQuery`` (caller awaits)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_bitmap_batch(catalog, table, key_col, ts_col, batch_df, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_bitmap_batch(
+    catalog,
+    table: str,
+    key_col: str,
+    ts_col: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> bool:
+    """One micro-batch of :func:`foreach_batch_bitmap_uniques`,
+    exposed for direct replay testing. Returns False when the batch
+    was skipped (empty, or already applied under at-least-once
+    replay)."""
+    if batch_df.isEmpty():
+        return False
+    ev = batch_df.select(
+        F.to_date(ts_col).alias("day"),
+        (F.col(key_col) + 1).alias("__uid"),
+    )
+    delta = ev.groupBy(
+        "day", F.bitmap_bucket_number("__uid").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("__uid")).alias("bm"))
+    if catalog.exists(table):
+        stored = catalog.read(table)
+        first = stored.select("_batch_id").first()
+        if first is not None and first["_batch_id"] >= batch_id:
+            return False
+        merged = (
+            stored.drop("_batch_id")
+            .unionByName(delta)
+            .groupBy("day", "bucket")
+            .agg(F.bitmap_or_agg("bm").alias("bm"))
+        )
+    else:
+        merged = delta
+    catalog.replace_atomic(
+        merged.withColumn("_batch_id", F.lit(batch_id).cast("long")), table
+    )
+    return True

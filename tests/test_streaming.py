@@ -714,3 +714,48 @@ def test_foreach_batch_text_index_ingest_appends_and_replay_guard(spark, tmp_pat
         "idx.t", batch_id=1,
     ) is False
     assert cat.read("idx.t__stats").collect() == before
+
+
+def test_foreach_batch_bitmap_uniques_exact_and_replay(spark, tmp_path):
+    """Streamed per-day bitmap state must count EXACTLY the distinct
+    users per day across micro-batches (recurring users never double-
+    count), and a replayed batch id must be skipped."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        apply_bitmap_batch,
+        foreach_batch_bitmap_uniques,
+    )
+
+    d = str(tmp_path / "bm_in")
+    _write_batch(d, "b1.json", [
+        {"event_id": 1, "ts": "2026-01-01T01:00:00Z", "user_id": 0, "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": "2026-01-01T02:00:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 3, "ts": "2026-01-01T03:00:00Z", "user_id": 0, "event_type": "view", "value": 1.0},
+    ])
+    _write_batch(d, "b2.json", [
+        {"event_id": 4, "ts": "2026-01-01T04:00:00Z", "user_id": 0, "event_type": "view", "value": 1.0},
+        {"event_id": 5, "ts": "2026-01-01T05:00:00Z", "user_id": 2, "event_type": "view", "value": 1.0},
+        {"event_id": 6, "ts": "2026-01-02T01:00:00Z", "user_id": 7, "event_type": "view", "value": 1.0},
+    ])
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    stream = read_stream_files(spark, d, SCHEMA, max_files_per_trigger=1)
+    q = foreach_batch_bitmap_uniques(
+        stream, cat, "g.bm", "user_id", "ts",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    dau = {
+        str(r.day): r.dau
+        for r in cat.read("g.bm").drop("_batch_id")
+        .groupBy("day").agg(F.sum(F.bitmap_count("bm")).alias("dau"))
+        .collect()
+    }
+    # day 1: users {0,1,2} despite 0 appearing 3x across batches
+    assert dau == {"2026-01-01": 3, "2026-01-02": 1}
+
+    # replay of batch 1 (already applied): refused, state unchanged
+    before = sorted(map(tuple, cat.read("g.bm").collect()))
+    b2 = spark.read.schema(SCHEMA).json(os.path.join(d, "b2.json"))
+    assert apply_bitmap_batch(cat, "g.bm", "user_id", "ts", b2, 1) is False
+    assert sorted(map(tuple, cat.read("g.bm").collect())) == before
