@@ -633,6 +633,7 @@ class ManifestCatalog:
         cluster_by: Sequence[str] | None = None,
         target_partitions: int | None = None,
         stats_cols: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
     ) -> None:
         """K8 — compaction (+ optional clustering): rewrite the
         current table state into one fresh data dir, sorted within
@@ -714,6 +715,10 @@ class ManifestCatalog:
                 }
                 if stats_cols:
                     new["stats"] = {data_dir: self._dir_stats(data_dir, stats_cols)}
+                if bloom_cols:
+                    new["blooms"] = {
+                        data_dir: self._dir_blooms(data_dir, bloom_cols)
+                    }
             if self._commit_if(name, new, base):
                 return
 

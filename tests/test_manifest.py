@@ -657,3 +657,21 @@ def test_bloom_point_lookup_prunes_dirs_never_false_negative(spark, cat):
     assert "late_key" in [
         r.key for r in cat.read_point("bl.t", "key", "late_key").collect()
     ]
+
+
+def test_bloom_survives_optimize_recompute(spark, cat):
+    """Compaction drops dir-keyed blooms (dead dirs); passing
+    bloom_cols recomputes them for the compacted dir and point
+    lookups keep pruning correctly."""
+    for lo in (0, 500):
+        cat.append(
+            spark.createDataFrame(
+                [(f"k{i}", i) for i in range(lo, lo + 30)], "key string, v int"
+            ),
+            "blo.t", bloom_cols=["key"],
+        )
+    cat.optimize("blo.t", bloom_cols=["key"])
+    m = cat.latest_manifest("blo.t")
+    assert len(m["dirs"]) == 1 and set(m["blooms"]) == set(m["dirs"])
+    assert [r.key for r in cat.read_point("blo.t", "key", "k510").collect()] == ["k510"]
+    assert cat.read_point("blo.t", "key", "nope").count() == 0
