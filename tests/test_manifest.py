@@ -675,3 +675,50 @@ def test_bloom_survives_optimize_recompute(spark, cat):
     assert len(m["dirs"]) == 1 and set(m["blooms"]) == set(m["dirs"])
     assert [r.key for r in cat.read_point("blo.t", "key", "k510").collect()] == ["k510"]
     assert cat.read_point("blo.t", "key", "nope").count() == 0
+
+
+def test_append_bucketed_cas_rebase_keeps_concurrent_commit(spark, cat):
+    """Two interleaved bucketed appends: the loser's CAS fails, it
+    rebases onto the winner's manifest, and the final state carries
+    BOTH batches' dirs plus the winner's extras marker — the
+    lost-update discipline the streaming index bridges depend on."""
+    from pyspark.sql import functions as F
+
+    def bdf(rows):
+        return spark.createDataFrame(rows, "cell int, v string")
+
+    cat.append_bucketed(
+        bdf([(0, "a"), (1, "b")]), "cas.t", F.col("cell"), 4, ["cell"],
+        bucket_fn="identity",
+    )
+    orig = cat._commit_if
+    fired = {"done": False}
+
+    def racy(name, manifest, expected_base):
+        if not fired["done"]:
+            fired["done"] = True
+            cat._commit_if = orig
+            # concurrent writer lands AFTER this append pinned its base
+            cat.append_bucketed(
+                bdf([(2, "c")]), "cas.t", F.col("cell"), 4, ["cell"],
+                bucket_fn="identity",
+                extras_update={"ann_last_batch_id": 7},
+            )
+            cat._commit_if = racy
+            assert orig(name, manifest, expected_base) is None  # stale CAS
+            return None
+        return orig(name, manifest, expected_base)
+
+    cat._commit_if = racy
+    try:
+        cat.append_bucketed(
+            bdf([(3, "d")]), "cas.t", F.col("cell"), 4, ["cell"],
+            bucket_fn="identity",
+        )
+    finally:
+        cat._commit_if = orig
+    m = cat.latest_manifest("cas.t")
+    assert sorted(int(b) for b in m["bucket_dirs"]) == [0, 1, 2, 3]
+    assert m["ann_last_batch_id"] == 7  # winner's marker survived the rebase
+    got = sorted(r.v for r in cat.read("cas.t").collect())
+    assert got == ["a", "b", "c", "d"]
