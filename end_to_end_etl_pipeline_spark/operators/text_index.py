@@ -65,23 +65,30 @@ def write_text_index(
     table: str,
     n_buckets: int = 64,
 ) -> None:
-    """Build the index: postings bucketed by term hash + the one-row
-    stats table. One explode + one (doc, word) agg + one partitioned
-    write — nothing vocabulary-sized crosses the driver."""
+    """Build the index: postings bucketed by term hash, with the
+    corpus stats (n_docs, sum_dl) riding the SAME manifest commit as
+    extras — two longs, model-parameter scale. One explode + one
+    (doc, word) agg + one partitioned write; nothing vocabulary-sized
+    crosses the driver. Keeping stats in the manifest (not a side
+    table) means there is no crash window where postings landed but
+    stats didn't."""
     post = _postings(docs, id_col, text_col)
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    st = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("sum_dl"),
+    ).first()
     catalog.append_bucketed(
         post,
         table,
         F.pmod(F.hash(F.col("word")), F.lit(n_buckets)),
         n_buckets,
         ["word"],
+        extras_update={
+            "ti_n_docs": int(st["n_docs"]),
+            "ti_sum_dl": int(st["sum_dl"] or 0),
+        },
     )
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(words)).cast("long").alias("sum_dl"),
-    )
-    catalog.replace_atomic(stats, f"{table}__stats")
 
 
 def append_text_index(
@@ -95,11 +102,17 @@ def append_text_index(
     """Fold new documents in: the batch's postings CAS-append into
     their words' buckets (untouched buckets keep their dir lists
     verbatim — a query for other terms never pays for this append),
-    then the one-row stats combine exactly (counts and token sums
-    add). ``batch_id`` guards at-least-once streaming replay via the
-    ``text_last_batch_id`` marker riding the same manifest commit as
-    the posting dirs; returns False when the batch was already
-    applied."""
+    and the corpus stats combine exactly in the SAME manifest commit
+    (counts and token sums add as extras). Because data, stats, and
+    the ``text_last_batch_id`` replay marker all ride one atomic
+    commit, there is no crash window where one landed without the
+    others — a replay after any crash resumes from a consistent
+    state. Returns False when the batch was already applied.
+
+    Stats accumulation assumes one writer per index (the streaming
+    bridge's model); concurrent appends still CAS-merge their
+    posting dirs safely, but racing counter updates could lose an
+    increment — serialize appends per index."""
     manifest = catalog.latest_manifest(table)
     if manifest is None:
         raise ValueError(f"table {table} is not a text index (write first)")
@@ -109,30 +122,25 @@ def append_text_index(
             return False
     n_buckets = manifest["n_buckets"]
     post = _postings(batch, id_col, text_col)
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    st = batch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("sum_dl"),
+    ).first()
+    extras = {
+        "ti_n_docs": int(manifest.get("ti_n_docs", 0)) + int(st["n_docs"]),
+        "ti_sum_dl": int(manifest.get("ti_sum_dl", 0)) + int(st["sum_dl"] or 0),
+    }
+    if batch_id is not None:
+        extras["text_last_batch_id"] = int(batch_id)
     catalog.append_bucketed(
         post,
         table,
         F.pmod(F.hash(F.col("word")), F.lit(n_buckets)),
         n_buckets,
         ["word"],
-        extras_update=(
-            {"text_last_batch_id": int(batch_id)} if batch_id is not None else None
-        ),
+        extras_update=extras,
     )
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
-    delta = batch.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(words)).cast("long").alias("sum_dl"),
-    )
-    old = catalog.read(f"{table}__stats")
-    combined = (
-        old.unionByName(delta)
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("sum_dl").cast("long").alias("sum_dl"),
-        )
-    )
-    catalog.replace_atomic(combined, f"{table}__stats")
     return True
 
 
@@ -173,12 +181,15 @@ def text_index_search(
     post = catalog.read(table, buckets=buckets).join(
         F.broadcast(uniq), "word", "left_semi"
     )
-    stats = catalog.read(f"{table}__stats")
+    # corpus stats live in the manifest (committed atomically with
+    # the posting dirs) — two literals, no side-table read
+    n_docs = int(manifest["ti_n_docs"])
+    sum_dl = int(manifest["ti_sum_dl"])
     df_t = post.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         post.join(F.broadcast(df_t), "word")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn("avgdl", F.lit(sum_dl / n_docs if n_docs else 0.0))
         .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
         .join(F.broadcast(qterms), "word")
         .withColumn(

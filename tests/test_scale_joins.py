@@ -433,19 +433,18 @@ def test_text_index_store_search_append_and_prune(spark, tmp_path):
         "idx.t", batch_id=1,
     )
     assert applied is True
-    assert sorted(map(tuple, inc.read("idx.t__stats").collect())) == sorted(
-        map(tuple, once.read("idx.t__stats").collect())
-    )
+    mi, mo = inc.latest_manifest("idx.t"), once.latest_manifest("idx.t")
+    assert (mi["ti_n_docs"], mi["ti_sum_dl"]) == (mo["ti_n_docs"], mo["ti_sum_dl"])
     got2, _ = text_index_search(inc, "idx.t", queries, k=5)
     assert sorted(map(tuple, got2.collect())) == got_rows
 
-    # replay: same batch id refused, stats untouched
-    before = inc.read("idx.t__stats").collect()
+    # replay: same batch id refused, manifest (stats + dirs) untouched
+    before = inc.latest_manifest("idx.t")
     assert append_text_index(
         inc, docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
         "idx.t", batch_id=1,
     ) is False
-    assert inc.read("idx.t__stats").collect() == before
+    assert inc.latest_manifest("idx.t") == before
 
     # routine compaction after appends: multi-dir buckets collapse,
     # search results untouched (hash_pmod layout is recomputable from

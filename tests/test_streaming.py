@@ -695,9 +695,8 @@ def test_foreach_batch_text_index_ingest_appends_and_replay_guard(spark, tmp_pat
     # streamed result == one-shot index over all 90 docs
     once = ManifestCatalog(spark, f"file://{tmp_path}/once")
     write_text_index(once, docs, "doc_id", "text", "idx.t", n_buckets=8)
-    assert sorted(map(tuple, cat.read("idx.t__stats").collect())) == sorted(
-        map(tuple, once.read("idx.t__stats").collect())
-    )
+    mc, mo = cat.latest_manifest("idx.t"), once.latest_manifest("idx.t")
+    assert (mc["ti_n_docs"], mc["ti_sum_dl"]) == (mo["ti_n_docs"], mo["ti_sum_dl"])
     queries = spark.createDataFrame(
         [(0, "dup"), (0, "batch")], "query_id bigint, word string"
     )
@@ -708,12 +707,11 @@ def test_foreach_batch_text_index_ingest_appends_and_replay_guard(spark, tmp_pat
     # replay guard: last applied batch id (1) refused, stats untouched
     m = cat.latest_manifest("idx.t")
     assert m["text_last_batch_id"] == 1
-    before = cat.read("idx.t__stats").collect()
     assert append_text_index(
         cat, docs.filter(F.col("doc_id") >= 60), "doc_id", "text",
         "idx.t", batch_id=1,
     ) is False
-    assert cat.read("idx.t__stats").collect() == before
+    assert cat.latest_manifest("idx.t") == m
 
 
 def test_foreach_batch_bitmap_uniques_exact_and_replay(spark, tmp_path):
