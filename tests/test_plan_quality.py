@@ -75,8 +75,29 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "vocab_oov_rates",
         "doc_chunks",
         "nation_market_share",
+        # round-4 additions (event_type_value_trend is EXCLUDED by
+        # design: it is the sanctioned Arrow grouped-map escape,
+        # FlatMapGroupsInPandas — still never BatchEvalPython)
+        "bm25_doc_search",
+        "within_doc_line_dedup",
+        "doc_script_profile",
+        "daily_uniques_bitmap",
+        "purchase_touch_attribution",
+        "frequent_part_pairs",
+        "doc_shared_span_extent",
+        "winsorized_price_stats_sketch",
+        "purchase_next_view_asof",
+        "event_type_value_trend",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
+
+
+def test_grouped_map_uses_arrow_not_row_udf(spark):
+    """The applyInPandas escape hatch must plan as Arrow grouped-map
+    (FlatMapGroupsInPandas), never the row-at-a-time Python UDF."""
+    plan = _plan(spark, "event_type_value_trend")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_scan_prunes_columns(spark):
