@@ -3312,3 +3312,68 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") <= 50)
         .select("part_a", "part_b", "n_orders")
     )
+
+
+@register(
+    "bloom_point_lookup",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT l_orderkey FROM lineitem ORDER BY 1 LIMIT 5
+    )
+    SELECT l.l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN keys k USING (l_orderkey)
+    GROUP BY 1
+    """,
+    doc="Manifest bloom data skipping, driver-gated end to end "
+    "(sinks/manifest.read_point): lineitem lands in a scratch "
+    "ManifestCatalog as three date-interleaved appends, each dir "
+    "carrying a per-column Bloom bitmap; five point lookups then "
+    "read ONLY the dir(s) whose bloom might hold the key - the "
+    "membership half of Iceberg/Delta file pruning, which min/max "
+    "stats cannot provide for id-like keys whose range straddles "
+    "every dir. No false negatives by construction (the oracle's "
+    "exact per-key aggregates prove it: a skipped dir that held the "
+    "key would break the hash); bloom-less dirs are always read.",
+    tags=("parity", "storage", "north-star"),
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_bloom_lookup"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    cat = ManifestCatalog(spark, f"file://{root}")
+    # three interleaved appends: every dir's orderkey RANGE spans the
+    # whole table (min/max skipping useless), only the blooms prune
+    for m in range(3):
+        cat.append(
+            li.filter(F.month("l_shipdate") % 3 == m).drop("l_shipdate"),
+            "pt.li",
+            bloom_cols=["l_orderkey"],
+        )
+    keys = [
+        r[0]
+        for r in li.select("l_orderkey").distinct().orderBy("l_orderkey")
+        .limit(5).collect()
+    ]
+    parts = [cat.read_point("pt.li", "l_orderkey", k) for k in keys]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = u.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    return out.localCheckpoint(eager=True)
