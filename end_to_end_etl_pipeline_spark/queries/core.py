@@ -3377,3 +3377,70 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "orders_change_data_feed",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'delete' AS _change_type
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'update_pre'
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 = 0 AND o_orderkey % 21 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice + 1, 'update_post'
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 = 0 AND o_orderkey % 21 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert'
+    FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 7 = 0
+    """,
+    doc="Change-data-feed between two committed table versions "
+    "(sinks/manifest.diff_versions, the observable surface of "
+    "Delta's readChangeFeed), driver-gated: version 1 of a scratch "
+    "manifest table holds an orders slice, version 2 deterministically "
+    "deletes every 21st key, bumps every 15th key's total price "
+    "(hash-diff update -> update_pre/update_post row images), and "
+    "inserts a disjoint key set; the keyed diff is ONE full-outer "
+    "join on the key comparing a null-safe row hash of the non-key "
+    "columns — change-proportional output, no full-table rewrite "
+    "reading, derived from the immutable version log rather than "
+    "per-commit change files. The oracle rebuilds all four change "
+    "classes directly from the deterministic version definitions.",
+    tags=("parity", "storage", "north-star"),
+)
+def orders_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_cdf"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v1 = o.filter(k % 3 == 0)
+    v2 = (
+        v1.filter(~(k % 21 == 0))
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 15 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(o.filter((k % 3 == 1) & (k % 7 == 0)))
+    )
+    cat = ManifestCatalog(spark, f"file://{root}")
+    cat.replace_atomic(v1, "cdc.o")
+    cat.replace_atomic(v2, "cdc.o")
+    out = cat.diff_versions("cdc.o", 1, 2, keys=["o_orderkey"])
+    return out.localCheckpoint(eager=True)
