@@ -3444,3 +3444,60 @@ def orders_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.replace_atomic(v2, "cdc.o")
     out = cat.diff_versions("cdc.o", 1, 2, keys=["o_orderkey"])
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "zorder_range_read",
+    oracle="""
+    SELECT CAST(l_quantity AS BIGINT) AS quantity,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_extendedprice BETWEEN 20000 AND 60000
+    GROUP BY 1
+    """,
+    doc="Z-order clustering + manifest-stats range read, driver-gated "
+    "end to end (sinks/manifest.optimize_zorder + read_range + "
+    "sinks/zorder Morton interleave): a lineitem slice lands in a "
+    "scratch manifest table, is rewritten clustered on the "
+    "interleaved-bit key of (quantity, price) into key-range dirs "
+    "with per-dir min/max stats on BOTH dimensions, and a "
+    "two-dimensional band query then reads only dirs whose stats "
+    "overlap — the property plain lead-column sort cannot give (its "
+    "second dimension's per-dir range spans everything). Dir stats "
+    "bound ranges, they don't prove membership, so read_range still "
+    "applies the row filter — which is exactly why a wrongly pruned "
+    "dir breaks the oracle's exact aggregates.",
+    tags=("parity", "storage", "north-star"),
+)
+def zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_zorder"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    cat = ManifestCatalog(spark, f"file://{root}")
+    cat.replace_atomic(li, "z.li")
+    cat.optimize_zorder(
+        "z.li", ["l_quantity", "l_extendedprice"], n_dirs=8,
+        stats_cols=["l_quantity", "l_extendedprice"],
+    )
+    banded = cat.read_range("z.li", "l_quantity", 10, 20).filter(
+        F.col("l_extendedprice").between(20000, 60000)
+    )
+    out = banded.groupBy(
+        F.col("l_quantity").cast("bigint").alias("quantity")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return out.localCheckpoint(eager=True)
