@@ -95,7 +95,7 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # doc_shared_span_extent, daily_uniques_bitmap, purchase_next_view_asof,
 # purchase_touch_attribution, frequent_part_pairs,
 # event_type_value_trend, ann_recall_at_k, bloom_point_lookup,
-# orders_change_data_feed, zorder_range_read. Rotate them over same-family
+# orders_change_data_feed, zorder_range_read, orders_time_travel_vacuum. Rotate them over same-family
 # rows that went green in r03/r04 (e.g. ivfpq_topk,
 # orders_column_profile, lang_id, dedup_exact_text, near_dup_pairs,
 # daily_uniques_hll, purchase_last_view_asof, min_cost_supplier).

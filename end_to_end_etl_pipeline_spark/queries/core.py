@@ -3501,3 +3501,61 @@ def zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "orders_time_travel_vacuum",
+    oracle="""
+    SELECT 'v1' AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 'latest', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT 'post_vacuum', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    """,
+    doc="Time-travel reads + vacuum, driver-gated (sinks/manifest "
+    "versioned reads): two commits to a scratch manifest table, a "
+    "version-pinned read of v1 (yesterday's snapshot while today's "
+    "is live — version isolation from the immutable log), the "
+    "latest read, then vacuum(keep_versions=1) physically deletes "
+    "the superseded dirs and the latest read must be BYTE-identical "
+    "after — retention collects only what no retained version "
+    "references. The oracle rebuilds all three snapshots from the "
+    "deterministic version definitions; a vacuum that deleted a "
+    "still-referenced dir would break the post_vacuum aggregates.",
+    tags=("parity", "storage", "north-star"),
+)
+def orders_time_travel_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_timetravel"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    cat = ManifestCatalog(spark, f"file://{root}")
+    cat.replace_atomic(o.filter(k % 4 == 0), "tt.o")      # version 1
+    cat.append(o.filter(k % 4 == 1), "tt.o")              # version 2
+
+    def agg(df, tag):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        ).select(F.lit(tag).alias("snapshot"), "n_rows", "sum_total")
+
+    v1 = agg(cat.read("tt.o", version=1), "v1").localCheckpoint(eager=True)
+    latest = agg(cat.read("tt.o"), "latest").localCheckpoint(eager=True)
+    cat.vacuum("tt.o", keep_versions=1, min_age_seconds=0)
+    post = agg(cat.read("tt.o"), "post_vacuum").localCheckpoint(eager=True)
+    return v1.unionByName(latest).unionByName(post)
