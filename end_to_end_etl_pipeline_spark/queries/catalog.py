@@ -90,15 +90,16 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # in r01/r02 — rotate behind them.
 # ---------------------------------------------------------------------------
 
-# r05 rotation queue (never driver-run as of r04): within_doc_line_dedup,
-# doc_script_profile, bm25_doc_search, bm25_store_search,
-# doc_shared_span_extent, daily_uniques_bitmap, purchase_next_view_asof,
-# purchase_touch_attribution, frequent_part_pairs,
-# event_type_value_trend, ann_recall_at_k, bloom_point_lookup,
-# orders_change_data_feed, zorder_range_read, orders_time_travel_vacuum. Rotate them over same-family
-# rows that went green in r03/r04 (e.g. ivfpq_topk,
-# orders_column_profile, lang_id, dedup_exact_text, near_dup_pairs,
-# daily_uniques_hll, purchase_last_view_asof, min_cost_supplier).
+# r05 rotation: the 15 never-driver-run queries from the r04 queue
+# plus the NEW bpe_merge_rules_batched gate rotate IN; 16 same-family
+# rows that went driver-green in r04 rotate OUT to pytest parity
+# (orc_scan_roundtrip stays pinned by the singleton family contract —
+# instead the five r04-green TPC-H shapes, both r04-green ANN
+# train-in-query rows, two r04-green near-dup rows, three r04-green
+# text-analysis rows, daily_uniques_hll, winsorized_price_stats,
+# weighted_doc_sample, and the two sequential-BPE rows make room).
+# After this round every one of the 145 registered queries has held at
+# least one driver-green row across r01-r05.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + medallion e2e (scan→DQ→SCD2→gold KPIs in one row)
     "customer_master",
@@ -109,44 +110,47 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orc_scan_roundtrip",
     # SCD2 transition semantics (K5/J3)
     "scd2_transition",
-    # dedup family — r04 rotation: the five r03-green rows
-    # (simhash_near_dup, line_dedup_corpus, near_dup_clusters,
-    # bloom_seen_docs, doc_span_overlap) rotate out to pytest parity;
-    # the never-driver-run ngram_jaccard_topk and embedding_near_dup
-    # rotate in so every dedup variant has a driver-green row on file
+    # storage-engine gates (sinks/manifest.py) — the manifest catalog's
+    # hardest claims, never driver-run before r05: bloom membership
+    # point-skip, change-data-feed, time-travel + vacuum retention,
+    # Z-order clustered range read. All end-to-end scratch-table
+    # queries with exact oracles.
+    "bloom_point_lookup",
+    "orders_change_data_feed",
+    "orders_time_travel_vacuum",
+    "zorder_range_read",
+    # dedup family — r05: ngram_jaccard_topk + embedding_near_dup
+    # (green r04) rotate out; the zero-shuffle within-doc line dedup
+    # and the winnowing shared-span extent take their slots
     "dedup_exact_text",
     "near_dup_pairs",
-    "ngram_jaccard_topk",
-    "embedding_near_dup",
-    # similarity / ANN family — r04 rotation: cosine_topk and
-    # ann_recall_trained_cells (green r03) rotate out; pq_topk and
-    # cosine_topk_ivf (never driver-run) rotate in; ivfpq_topk (green
-    # r03) hands its IVFADC-composite slot to the NEW
-    # ann_store_incremental_topk, which exercises strictly more of the
-    # same pipeline (persisted store + frozen-quantizer append +
-    # routing + ADC + re-rank) under the identical value-hash oracle
+    "within_doc_line_dedup",
+    "doc_shared_span_extent",
+    # similarity / ANN family — r05: pq_topk + cosine_topk_ivf (green
+    # r04) rotate out; ann_recall_at_k (exact-ground-truth recall A/B)
+    # rotates in alongside the persisted-store composite
     "ann_store_incremental_topk",
-    "pq_topk",
-    "cosine_topk_ivf",
+    "ann_recall_at_k",
     "label_centroids",
     # embedding transforms + semantic dedup
     "embedding_int8_quantize",
     "semantic_pruned_corpus",
-    # incremental dedup store (new family: O(batch) corpus dedup)
+    # incremental dedup store (O(batch) corpus dedup)
     "incremental_dedup_ingest",
-    # text analysis family — r04 rotation: doc_token_stats,
-    # gopher_quality_filter, doc_tfidf_terms (green r03) rotate out;
-    # the r03 swapped-out fingerprints/boilerplate/normalized rows
-    # rotate back in for their driver-green row
+    # lexical retrieval: BM25 ad-hoc + persisted inverted index
+    "bm25_doc_search",
+    "bm25_store_search",
+    # text analysis family — r05: doc_fingerprints, boilerplate_ratio,
+    # doc_normalized (green r04) rotate out; doc_script_profile in
     "lang_id",
-    "doc_fingerprints",
-    "boilerplate_ratio",
-    "doc_normalized",
+    "doc_script_profile",
     "quality_classifier_scores",
     "word_heavy_hitters_cms",
     "doc_pii_redacted",
-    # tokenizer training
-    "bpe_merge_rules",
+    # tokenizer training — r05: both sequential rows went green r04;
+    # the batched SCALE path (one job per batch, proven ≡ sequential)
+    # takes the merge-rules slot, bpe_token_freqs keeps the apply path
+    "bpe_merge_rules_batched",
     "bpe_token_freqs",
     # corpus curation: cleaning, splits, sampling, packing, chunking,
     # lineage (funnel audit), quality-tiered sampling
@@ -157,7 +161,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_chunks",
     "doc_packed_bins",
     "curriculum_sample",
-    "weighted_doc_sample",
     "source_capped_docs",
     "vocab_oov_rates",
     # multimodal binary
@@ -165,25 +168,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_frame_samples",
     # incremental view maintenance
     "incremental_priority_revenue",
-    # sketches, profiling + late core shapes never driver-run in r02;
-    # r04: orders_column_profile (green r03) hands its slot to the NEW
-    # winsorized_price_stats_sketch (the approx-percentile scale path,
-    # tolerance-gated) so both winsorization legs hold driver rows
-    "daily_uniques_hll",
-    "winsorized_price_stats",
+    # sketches + profiling — r05: daily_uniques_hll and the exact-sort
+    # winsorization (green r04) rotate out; the exact-bitmap distinct
+    # keeps the uniques family's driver row, the sketch winsorization
+    # keeps the percentile family's
+    "daily_uniques_bitmap",
     "winsorized_price_stats_sketch",
     "daily_event_anomaly",
     "customer_record_linkage",
     "min_cost_supplier",
-    # the six de-vacuated TPC-H join shapes: local_supplier_volume
-    # went driver-green in r03 and rotates out; the other five rotate
-    # in for r04 so every one has a driver row (min_cost_supplier
-    # stays as the composite-key anti-join representative)
-    "forecast_revenue_change",
-    "returned_item_revenue",
-    "priority_shipping_split",
-    "idle_rich_customers",
-    "nation_trade_volume",
+    # event-sequence + basket shapes never driver-run before r05:
+    # forward as-of with tolerance, linear touch attribution,
+    # market-basket pair mining, per-group Arrow model fit (the five
+    # r04-green TPC-H shapes rotate out to make room)
+    "purchase_next_view_asof",
+    "purchase_touch_attribution",
+    "frequent_part_pairs",
+    "event_type_value_trend",
 )
 
 

@@ -1428,6 +1428,43 @@ def bpe_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_merge_rules_batched",
+    oracle=_bpe_oracle(8),
+    doc="Batched BPE training conformance gate: the SCALE path "
+    "(operators/bpe.py bpe_train_batched — one pair-count job per "
+    "batch, conflict-pruned argmax prefix, 2*cnt_c trim, plain-argmax "
+    "fallback) must reproduce sequential Sennrich BPE bit-for-bit. "
+    "8 merges with max_batch=4 forces multiple batch rounds, "
+    "exercising acceptance, trimming, and the cross-round re-count; "
+    "the oracle replays training sequentially as an 8-level unrolled "
+    "CTE chain with the same lexicographic tie-break, so every rank, "
+    "pair, and count must match exactly. This is the driver-gated "
+    "proof that the 30k-merge production path equals the textbook "
+    "algorithm, not just the pytest toy.",
+    tags=("north-star", "text"),
+)
+def bpe_merge_rules_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.bpe import bpe_train_batched
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rules = bpe_train_batched(
+        words, "word", "freq", num_merges=8, max_batch=4
+    )
+    return spark.createDataFrame(
+        rules, "merge_rank int, lhs string, rhs string, cnt bigint"
+    )
+
+
+@register(
     "near_dup_pruned_corpus",
     oracle=_clusters_oracle().replace(
         "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",

@@ -114,25 +114,31 @@ def test_driver_window_contract():
         "csv-scan": {"csv_scan_roundtrip"},
         "orc-scan": {"orc_scan_roundtrip"},
         "scd2": {"scd2_transition"},
-        "exact-dedup": {"dedup_exact_text", "line_dedup_corpus"},
+        "exact-dedup": {"dedup_exact_text", "line_dedup_corpus",
+                        "within_doc_line_dedup"},
         "near-dedup": {
             "near_dup_pairs", "simhash_near_dup", "ngram_jaccard_topk",
             "near_dup_clusters", "doc_span_overlap", "embedding_near_dup",
+            "doc_shared_span_extent",
         },
         "semantic-dedup": {"semantic_pruned_corpus"},
         "incremental-dedup": {"incremental_dedup_ingest"},
         "ann": {
             "cosine_topk", "ivfpq_topk", "pq_topk", "cosine_topk_ivf",
-            "ann_recall_trained_cells",
+            "ann_recall_trained_cells", "ann_recall_at_k",
+            "ann_store_incremental_topk",
         },
+        "lexical-retrieval": {"bm25_doc_search", "bm25_store_search"},
+        "storage-engine": {"bloom_point_lookup", "orders_change_data_feed",
+                           "orders_time_travel_vacuum", "zorder_range_read"},
         "kmeans-vectors": {"label_centroids", "embedding_int8_quantize"},
         "sketch": {"word_heavy_hitters_cms", "bloom_seen_docs",
-                   "daily_uniques_hll"},
+                   "daily_uniques_hll", "daily_uniques_bitmap"},
         "text-analysis": {
             "lang_id", "doc_token_stats", "doc_tfidf_terms",
             "gopher_quality_filter", "doc_fingerprints",
             "boilerplate_ratio", "doc_normalized", "doc_bigram_logppl",
-            "doc_pii_redacted",
+            "doc_pii_redacted", "doc_script_profile",
         },
         "quality-classifier": {"quality_classifier_scores"},
         "curation-lineage": {"corpus_funnel_audit", "clean_corpus"},
@@ -142,12 +148,17 @@ def test_driver_window_contract():
         "splits-contamination": {"doc_split_assign", "split_contamination"},
         "vocab": {"vocab_oov_rates"},
         "profiling": {"orders_column_profile", "winsorized_price_stats",
-                      "daily_event_anomaly"},
-        "bpe": {"bpe_merge_rules", "bpe_token_freqs"},
+                      "winsorized_price_stats_sketch", "daily_event_anomaly"},
+        "bpe": {"bpe_merge_rules", "bpe_merge_rules_batched",
+                "bpe_token_freqs"},
         "multimodal": {"binary_doc_stats", "doc_frame_samples"},
         "ivm": {"incremental_priority_revenue"},
         "entity-resolution": {"customer_record_linkage"},
         "core-joins": {"min_cost_supplier", "local_supplier_volume"},
+        "asof": {"purchase_last_view_asof", "purchase_next_view_asof"},
+        "basket-attribution": {"frequent_part_pairs",
+                               "purchase_touch_attribution"},
+        "grouped-models": {"event_type_value_trend"},
     }
     missing = [f for f, alts in families.items() if not alts & window]
     assert not missing, f"families with no driver-window representative: {missing}"
