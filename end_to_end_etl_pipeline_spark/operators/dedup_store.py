@@ -112,11 +112,53 @@ class MinHashDedupStore:
         return total / F.lit(float(self.num_hashes))
 
     def _collisions(self, bands_a: DataFrame, bands_b: DataFrame) -> DataFrame:
+        """(id_a, id_b) band-collision candidates. Deliberately NOT
+        distinct'd: a pair colliding in k bands appears k (≤ bands)
+        times, and every downstream consumer is a groupBy/anti-join
+        that absorbs duplicates (min/max aggregates are
+        multiplicity-invariant, decisions bit-identical) — while the
+        distinct would cost a full extra exchange on every ingest.
+        The duplicate factor is bounded by ``bands``, so the
+        estimator re-evaluation it admits is a constant-factor
+        projection, not a scale risk."""
         a = bands_a.select("band", "band_hash", F.col(self.id_col).alias("id_a"))
         b = bands_b.select("band", "band_hash", F.col(self.id_col).alias("id_b"))
-        return a.join(b, ["band", "band_hash"]).select("id_a", "id_b").distinct()
+        return a.join(b, ["band", "band_hash"]).select("id_a", "id_b")
 
     # -- API -------------------------------------------------------------
+    def probe(self, docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
+        """Read-only dedup decision: classify ``docs`` against the
+        store AND within the batch exactly like :meth:`ingest`, but
+        WITHOUT appending survivors — the store is unchanged.
+
+        This is the query-time half of incremental dedup ("would we
+        keep this batch?" — dry-run admission control, backfill
+        auditing) and the idempotent shape a benchmark can re-run:
+        all the amortization wins (persisted signatures, band-bucket
+        dir pruning, O(batch + collisions) work) with none of the
+        state mutation. Returns ``(accepted_ids, rejected)`` with the
+        same schemas and the same deterministic decision rule as
+        :meth:`ingest`.
+
+        Fully lazy: no cache, no checkpoint, no side effects — each
+        returned frame is a plain plan the caller materializes (the
+        MinHash arithmetic is deterministic md5, so any recompute is
+        bit-identical). That makes a probe ONE Spark action in plain
+        mode (plus the touched-bucket collect in bucketed mode)
+        instead of ingest's persist/checkpoint choreography, which
+        only pays for itself when the decision must survive the
+        append."""
+        _sig_new, _accepted_sigs, rejected = self._decide(
+            docs, text_col, cache=False
+        )
+        # accepted is ids-minus-rejected over the INPUT — no
+        # signature dependency, so consuming it alone never computes
+        # the estimator joins' signature side twice.
+        accepted = docs.select(self.id_col).join(
+            rejected.select(self.id_col), self.id_col, "left_anti"
+        )
+        return accepted, rejected
+
     def ingest(self, docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
         """Dedup ``docs`` against the store AND within the batch;
         append the survivors' signatures; return
@@ -131,8 +173,43 @@ class MinHashDedupStore:
         "lowest id survives": rejects are removed from the candidate
         set before they can reject anyone else (a doc similar only to
         a rejected doc stays, mirroring greedy MinHash dedup)."""
-        sig_new = self._signatures(docs, text_col).persist()
-        sig_new.count()  # materialize once; consumed by several joins
+        sig_new, accepted_sigs, rejected = self._decide(docs, text_col)
+        if self.catalog.exists(self.table):
+            self.catalog.append(accepted_sigs, self.table)
+        else:
+            self.catalog.replace_atomic(accepted_sigs, self.table)
+        if self.band_buckets is not None:
+            accepted_bands = lsh_bands(
+                accepted_sigs, self.id_col, self.bands, self.rows
+            )
+            self.catalog.append_bucketed(
+                accepted_bands,
+                self.bands_table,
+                bucket_expr=F.pmod(
+                    F.hash("band_hash"), F.lit(self.band_buckets)
+                ),
+                n_buckets=self.band_buckets,
+                bucket_keys=["band_hash"],
+            )
+        accepted = accepted_sigs.select(self.id_col)
+        # decision frames must survive sig_new's unpersist
+        accepted = accepted.localCheckpoint(eager=True)
+        rejected = rejected.localCheckpoint(eager=True)
+        sig_new.unpersist()
+        return accepted, rejected
+
+    def _decide(
+        self, docs: DataFrame, text_col: str, cache: bool = True
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Shared decision plan for :meth:`probe`/:meth:`ingest`:
+        returns (sig_new [persisted when ``cache`` — caller
+        unpersists], accepted_sigs, rejected)."""
+        sig_new = self._signatures(docs, text_col)
+        if cache:
+            # persisted, not eagerly counted: the first consumer (the
+            # touched-bucket collect, or the append) fills the cache;
+            # every later join reads it — one fewer Spark job per call
+            sig_new = sig_new.persist()
         bands_new = lsh_bands(sig_new, self.id_col, self.bands, self.rows)
 
         rejected_vs_store = None
@@ -222,26 +299,4 @@ class MinHashDedupStore:
         )
 
         accepted_sigs = sig_new.join(rejected, self.id_col, "left_anti")
-        if self.catalog.exists(self.table):
-            self.catalog.append(accepted_sigs, self.table)
-        else:
-            self.catalog.replace_atomic(accepted_sigs, self.table)
-        if self.band_buckets is not None:
-            accepted_bands = lsh_bands(
-                accepted_sigs, self.id_col, self.bands, self.rows
-            )
-            self.catalog.append_bucketed(
-                accepted_bands,
-                self.bands_table,
-                bucket_expr=F.pmod(
-                    F.hash("band_hash"), F.lit(self.band_buckets)
-                ),
-                n_buckets=self.band_buckets,
-                bucket_keys=["band_hash"],
-            )
-        accepted = accepted_sigs.select(self.id_col)
-        # decision frames must survive sig_new's unpersist
-        accepted = accepted.localCheckpoint(eager=True)
-        rejected = rejected.localCheckpoint(eager=True)
-        sig_new.unpersist()
-        return accepted, rejected
+        return sig_new, accepted_sigs, rejected

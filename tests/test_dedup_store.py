@@ -182,6 +182,36 @@ def test_bucketed_band_store_matches_unbucketed_and_prunes(spark, tmp_path):
     assert len(touched) <= 8  # 2 docs x 4 bands: bounded probe set
 
 
+def test_probe_matches_ingest_and_leaves_store_unchanged(spark, cat):
+    """probe() must return exactly the decisions ingest() would make
+    on the same batch, without mutating the store (version, rows) —
+    the idempotent read-only shape the bench re-runs."""
+    store = MinHashDedupStore(cat, "dedup.probe", threshold=0.6, band_buckets=8)
+    store.ingest(_docs(spark, [(1, BASE + "x"), (3, OTHER)]), "text")
+    v0 = cat.latest_manifest("dedup.probe")["version"]
+
+    batch = _docs(spark, [(10, BASE + "y"), (11, OTHER[::-1]), (12, BASE + "y2")])
+    p_acc, p_rej = store.probe(batch, "text")
+    probe_result = (
+        sorted(r.doc_id for r in p_acc.collect()),
+        sorted((r.doc_id, r.dup_of, r.est_jaccard) for r in p_rej.collect()),
+    )
+    # store untouched: same version, same rows; probe is repeatable
+    assert cat.latest_manifest("dedup.probe")["version"] == v0
+    assert sorted(r.doc_id for r in cat.read("dedup.probe").collect()) == [1, 3]
+    p_acc2, p_rej2 = store.probe(batch, "text")
+    assert probe_result == (
+        sorted(r.doc_id for r in p_acc2.collect()),
+        sorted((r.doc_id, r.dup_of, r.est_jaccard) for r in p_rej2.collect()),
+    )
+
+    i_acc, i_rej = store.ingest(batch, "text")
+    assert probe_result == (
+        sorted(r.doc_id for r in i_acc.collect()),
+        sorted((r.doc_id, r.dup_of, r.est_jaccard) for r in i_rej.collect()),
+    )
+
+
 def test_append_bucketed_layout_guard(spark, tmp_path):
     from pyspark.sql import functions as F
     from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
