@@ -356,8 +356,13 @@ def ivf_assign_cells(
         F.col(id_col).alias("__aid"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
     ).select("__aid", (F.col("pos0") + 1).alias("pos"), "v")
+    # no broadcast hint: this branch only runs when the quantizer is
+    # TOO BIG to collect as literals (> max_literal_rows), so at the
+    # quoted scale (100k cells × 1k dims = 100M (label,pos,cv) rows)
+    # a forced broadcast would OOM the executors — let AQE pick, or
+    # shuffle-join on pos
     scored = (
-        ex.join(F.broadcast(cent), "pos")
+        ex.join(cent, "pos")
         .groupBy("__aid", "label")
         .agg(
             F.sum(F.col("v") * F.col("cv")).alias("d"),

@@ -122,30 +122,39 @@ def asof_join(
             .rowsBetween(0, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    carried = unioned
-    if tolerance_seconds is not None:
-        # carry the matched right row's timestamp so the gap is
-        # checkable per row (right rows see their own __t; left rows
-        # inherit the nearest one through the same window pick)
-        carried = carried.withColumn(
-            "__rt", F.when(F.col("__side") == 0, F.col("__t"))
-        )
-        carried = carried.withColumn("__rt", pick("__rt"))
-    for c in right_cols:
-        carried = carried.withColumn(f"__r_{c}", pick(f"__r_{c}"))
+    # The matched right row travels as ONE struct (timestamp +
+    # payload) through a single window pick, then field-extracts:
+    # every carried value comes from the SAME nearest right row.
+    # Per-column picks would diverge when the nearest right row holds
+    # a NULL in a carried column — last(col, ignorenulls) reaches past
+    # it to a farther row while the gap check still validates the
+    # nearest row's timestamp, e.g. right rows (t=1, v=5) and
+    # (t=100, v=NULL) with left t=101, tolerance=10: the nearest row
+    # passes the gap check but v=5 (gap 100) would survive. The
+    # struct is non-null exactly on right rows, so ignorenulls picks
+    # the nearest whole row, NULL payload and all — pandas
+    # merge_asof's matched-row semantics. Bonus: one window pass
+    # regardless of how many columns are carried.
+    m_fields = [F.col("__t").alias("__mt")] + [
+        F.col(f"__r_{c}").alias(c) for c in right_cols
+    ]
+    carried = unioned.withColumn(
+        "__m", F.when(F.col("__side") == 0, F.struct(*m_fields))
+    )
+    carried = carried.withColumn("__m", pick("__m"))
     if tolerance_seconds is not None:
         gap_ok = (
             F.abs(
-                F.col("__t").cast("double") - F.col("__rt").cast("double")
+                F.col("__t").cast("double")
+                - F.col("__m.__mt").cast("double")
             )
             <= F.lit(float(tolerance_seconds))
         )
-        for c in right_cols:
-            carried = carried.withColumn(
-                f"__r_{c}", F.when(gap_ok, F.col(f"__r_{c}"))
-            )
-        carried = carried.drop("__rt")
-    out = carried.filter(F.col("__side") == 1).drop("__t", "__side")
+        carried = carried.withColumn("__m", F.when(gap_ok, F.col("__m")))
+    out = carried.filter(F.col("__side") == 1)
+    for c in right_cols:
+        out = out.withColumn(f"__r_{c}", F.col(f"__m.{c}"))
+    out = out.drop("__m", "__t", "__side")
     for c in right_cols:
         out = out.withColumnRenamed(f"__r_{c}", c)
     return out

@@ -165,6 +165,8 @@ def text_index_search(
     with df > ``max_df_frac``·N before the scoring join, and the
     per-query top-k goes through WindowGroupLimit partial top-k."""
     manifest = catalog.latest_manifest(table)
+    if manifest is None:
+        raise ValueError(f"table {table} is not a text index (write first)")
     n_buckets = manifest["n_buckets"]
     qterms = queries.select(
         F.col(query_id).alias("query_id"), F.col(word_col).alias("word")

@@ -283,24 +283,71 @@ class ManifestCatalog:
             out[c] = {str(r["word"]): int(r["bits"]) for r in rows}
         return out
 
-    @classmethod
-    def _bloom_positions(cls, value) -> list[tuple[int, int]]:
-        """Driver-side replay of ``operators/sketches._bloom_pos`` for
-        one probe value: [(word, bit)] per hash row. Must match the
-        JVM build bit-for-bit — md5 of '<row>:<str(value)>', first 8
-        hex chars as int, mod num_bits."""
+    def _bloom_positions(self, value, spark_type=None) -> list[tuple[int, int]]:
+        """Probe positions for one value: [(word, bit)] per hash row.
+        Must match the JVM build bit-for-bit, or the probe silently
+        skips the dir that holds the key (a false NEGATIVE — the one
+        thing a bloom must never do).
+
+        The build hashes ``CAST(col AS STRING)``; Python ``str()``
+        renders bool ('True' vs 'true'), float (repr/scientific
+        notation), Decimal (trailing-zero scale), and timestamps
+        differently, so only types whose Python rendering provably
+        equals Spark's — int (excluding bool) and str — take the
+        driver-side hashlib fast path. Every other type routes
+        through the SAME Spark expression as the build
+        (``operators/sketches._bloom_pos`` over a one-row literal
+        frame): a ~100 ms local job, paid only for exotic probe
+        types, never a wrong bit. ``spark_type`` pins the literal
+        frame's column to the TABLE column's type — type inference
+        would otherwise render e.g. a python Decimal as
+        decimal(38,18) ('3.14000000000000000000') where the build
+        hashed decimal(10,4) ('3.1400')."""
         import hashlib
 
-        out = []
-        for h in range(cls.BLOOM_HASHES):
-            pos = (
-                int(
-                    hashlib.md5(f"{h}:{value}".encode()).hexdigest()[:8], 16
+        if isinstance(value, str) or (
+            isinstance(value, int) and not isinstance(value, bool)
+        ):
+            out = []
+            for h in range(self.BLOOM_HASHES):
+                pos = (
+                    int(
+                        hashlib.md5(f"{h}:{value}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % self.BLOOM_BITS
                 )
-                % cls.BLOOM_BITS
+                out.append((pos // 32, pos % 32))
+            return out
+        from pyspark.sql.types import StructField, StructType
+
+        from end_to_end_etl_pipeline_spark.operators.sketches import (
+            _bloom_pos,
+        )
+
+        if spark_type is not None:
+            probe_df = self.spark.createDataFrame(
+                [(value,)],
+                StructType([StructField("__key", spark_type)]),
             )
-            out.append((pos // 32, pos % 32))
-        return out
+        else:
+            probe_df = self.spark.createDataFrame([(value,)], ["__key"])
+        rows = (
+            probe_df
+            .select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(self.BLOOM_HASHES - 1))
+                ).alias("__h"),
+                "__key",
+            )
+            .select(
+                _bloom_pos(
+                    F.col("__h"), F.col("__key"), self.BLOOM_BITS
+                ).alias("__pos")
+            )
+            .collect()
+        )
+        return [(r["__pos"] // 32, r["__pos"] % 32) for r in rows]
 
     def bloom_pruned_dirs(
         self, name: str, col: str, value, version: int | None = None
@@ -319,7 +366,16 @@ class ManifestCatalog:
         blooms = manifest.get("blooms") or {}
         if value is None:
             return self._dirs(manifest)
-        probe = self._bloom_positions(value)
+        if isinstance(value, str) or (
+            isinstance(value, int) and not isinstance(value, bool)
+        ):
+            spark_type = None  # hashlib fast path; type not consulted
+        else:
+            # exotic probe type: the Spark-expression route needs the
+            # TABLE column's type so the literal renders exactly like
+            # the build did (schema fetch is metadata-only, no job)
+            spark_type = self.read(name).schema[col].dataType
+        probe = self._bloom_positions(value, spark_type)
         kept = []
         for d in self._dirs(manifest):
             bm = (blooms.get(d) or {}).get(col)

@@ -240,8 +240,30 @@ class MetastoreCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
+    @staticmethod
+    def _split_name(name: str) -> list[str]:
+        """Split a (possibly backtick-quoted) table name on the dots
+        OUTSIDE backticks, stripping the quotes: `` `my.catalog`.bronze.t ``
+        → ['my.catalog', 'bronze', 't']. A naive ``name.split('.')``
+        would shear the quoted part in two. (Literal backticks inside
+        an identifier — the ``` `` ``` escape — are not supported;
+        every other special character is.)"""
+        parts: list[str] = []
+        buf: list[str] = []
+        in_quotes = False
+        for ch in name:
+            if ch == "`":
+                in_quotes = not in_quotes
+            elif ch == "." and not in_quotes:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        return parts
+
     def _resolve(self, name: str) -> str:
-        parts = [p.strip("`") for p in name.split(".")]
+        parts = self._split_name(name)
         if len(parts) == 3:
             cats = {c.name for c in self.spark.catalog.listCatalogs()}
             if parts[0] not in cats:
@@ -254,7 +276,7 @@ class MetastoreCatalog:
     def exists(self, name: str) -> bool:
         """K10 — metastore probe (reference branches create-vs-merge
         on ``spark.catalog.tableExists``)."""
-        parts = [p.strip("`") for p in name.split(".")]
+        parts = self._split_name(name)
         if len(parts) == 3:
             cats = {c.name for c in self.spark.catalog.listCatalogs()}
             if parts[0] not in cats:

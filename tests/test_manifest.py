@@ -591,6 +591,32 @@ def test_metastore_catalog_roundtrip_and_three_level_names(spark):
     assert cat.exists(name) is False
 
 
+def test_metastore_quoted_identifier_with_literal_dot(spark):
+    """A backtick-quoted identifier containing a literal dot must not
+    be sheared by name splitting: `` `my.catalog`.bronze_q.t `` is a
+    3-level name whose first part is 'my.catalog' (unregistered →
+    collapses onto the session catalog), not a 4-level mis-split."""
+    from end_to_end_etl_pipeline_spark.sinks.writers import MetastoreCatalog
+
+    cat = MetastoreCatalog(spark)
+    assert cat._split_name("`my.catalog`.bronze_q.t") == [
+        "my.catalog", "bronze_q", "t"
+    ]
+    assert cat._split_name("`companies-data`.bronze.t") == [
+        "companies-data", "bronze", "t"
+    ]
+    name = "`my.catalog`.bronze_q.t"
+    try:
+        assert cat.exists(name) is False
+        cat.overwrite(_df(spark, [(1, "a")]), name)
+        assert cat.exists(name) is True
+        assert cat.read(name).count() == 1
+        # collapsed 2-level address reaches the same table
+        assert spark.table("`bronze_q`.`t`").count() == 1
+    finally:
+        cat.drop(name)
+
+
 def test_metastore_alter_table_add_columns_ddl(spark):
     """K9 literal DDL: ALTER TABLE ADD COLUMNS backfills SCD columns
     onto an existing table (reference b2s_yfinance.py:46-61) —
@@ -657,6 +683,50 @@ def test_bloom_point_lookup_prunes_dirs_never_false_negative(spark, cat):
     assert "late_key" in [
         r.key for r in cat.read_point("bl.t", "key", "late_key").collect()
     ]
+
+
+def test_bloom_probe_exotic_types_never_false_negative(spark, cat):
+    """Probe values whose Python str() rendering differs from Spark's
+    CAST(... AS STRING) — bool, float, Decimal, timestamp, date —
+    must still find their dir (the probe routes them through the same
+    Spark expression as the build; a divergent rendering would flip
+    every probe bit and silently skip the only dir with the key)."""
+    import datetime
+    import decimal
+
+    cases = [
+        ("b", "boolean", True),
+        ("f", "double", 1.5e-7),            # scientific-notation repr
+        ("d", "decimal(10,4)", decimal.Decimal("3.1400")),
+        ("ts", "timestamp", datetime.datetime(2024, 6, 1, 12, 30, 15)),
+        ("dt", "date", datetime.date(2024, 6, 1)),
+    ]
+    for col, typ, val in cases:
+        tbl = f"blx.{col}"
+        cat.append(
+            spark.createDataFrame([(val,), (None,)], f"{col} {typ}"),
+            tbl, bloom_cols=[col],
+        )
+        # decoy dir with a different value: pruning has something to skip
+        other = {
+            "boolean": False,
+            "double": 2.25,
+            "decimal(10,4)": decimal.Decimal("9.9"),
+            "timestamp": datetime.datetime(1999, 1, 1),
+            "date": datetime.date(1999, 1, 1),
+        }[typ]
+        cat.append(
+            spark.createDataFrame([(other,)], f"{col} {typ}"),
+            tbl, bloom_cols=[col],
+        )
+        got = cat.read_point(tbl, col, val).collect()
+        assert len(got) == 1 and got[0][col] == val, f"{typ} probe lost {val!r}"
+    # the int/str hashlib fast path still agrees with the Spark route
+    cat.append(
+        spark.createDataFrame([(42, "x")], "k bigint, v string"),
+        "blx.fast", bloom_cols=["k"],
+    )
+    assert cat.read_point("blx.fast", "k", 42).count() == 1
 
 
 def test_bloom_survives_optimize_recompute(spark, cat):

@@ -779,6 +779,34 @@ def test_within_doc_line_dedup_invariants_fuzzed(spark, corpus):
     )
 
 
+def test_asof_join_null_payload_in_nearest_row_is_matched_row_semantics(spark):
+    """The ADVICE scenario: right rows (t=1, v=5) and (t=100, v=NULL),
+    left t=101, tolerance=10. The nearest right row (t=100) is the
+    match; its NULL payload must be carried — NOT the week-old v=5,
+    whose own gap (100s) violates the tolerance. Value and timestamp
+    must come from the same row."""
+    left = spark.createDataFrame(
+        [("k", "2026-01-01 00:01:41")], "k string, t string"  # t=101s
+    )
+    right = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:01", 5.0),     # t=1: far, has value
+         ("k", "2026-01-01 00:01:40", None)],   # t=100: nearest, NULL v
+        "k string, rt string, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        right_cols=["v"], tolerance_seconds=10.0,
+    )
+    [r] = out.collect()
+    assert r.v is None  # matched row's NULL, not the stale v=5
+    # without tolerance the same holds: the nearest row IS the match
+    [r2] = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        right_cols=["v"],
+    ).collect()
+    assert r2.v is None
+
+
 def test_asof_join_forward_direction(spark):
     """Forward as-of: each left row picks the EARLIEST right row at or
     after its timestamp (next-fill lookup); rows with no later right

@@ -349,6 +349,18 @@ def test_ivf_assign_cells_matches_router_and_is_in_plan(spark, tmp_path):
               if r["vec_id"] % 3 == 0}
     assert stored == want
 
+    # large-quantizer fallback (forced via max_literal_rows=1): same
+    # assignments through the distributed explode-join-window plan,
+    # and no forced broadcast of the centroid relation (a quantizer
+    # on this path exceeds the literal cap by definition — a
+    # BroadcastExchange hint there would OOM at the quoted scale)
+    fb = ivf_assign_cells(
+        cent, newb, "vec_id", "embedding", max_literal_rows=1
+    )
+    assert {r["vec_id"]: r["cell"] for r in fb.collect()} == want
+    fb_plan = fb._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in fb_plan  # no forced broadcast hint
+
 
 def test_text_index_store_search_append_and_prune(spark, tmp_path):
     """Persisted inverted index: (1) store-backed BM25 equals the same
@@ -373,6 +385,10 @@ def test_text_index_store_search_append_and_prune(spark, tmp_path):
     )
 
     once = ManifestCatalog(spark, f"file://{tmp_path}/once")
+    # querying a never-written index: clear ValueError, not a
+    # TypeError on the missing manifest
+    with pytest.raises(ValueError, match="not a text index"):
+        text_index_search(once, "idx.t", queries, k=5)
     write_text_index(once, docs, "doc_id", "text", "idx.t", n_buckets=16)
     got, read_buckets = text_index_search(once, "idx.t", queries, k=5)
     got_rows = sorted(map(tuple, got.collect()))
