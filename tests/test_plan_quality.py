@@ -92,6 +92,46 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         assert "BatchEvalPython" not in _plan(spark, name), name
 
 
+def test_dedup_store_probe_plan_lazy_and_jvm_side(spark, tmp_path):
+    """The read-only probe (bench's amortized dedup twin) must stay
+    a plain JVM-side plan: no Python row UDFs, no forced broadcast
+    hint on the store side (store size is unbounded — AQE decides),
+    and fully lazy — constructing the decision frames launches no
+    Spark jobs."""
+    from end_to_end_etl_pipeline_spark.operators.dedup_store import (
+        MinHashDedupStore,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    store = MinHashDedupStore(cat, "p.sigs", threshold=0.6)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "other words here")],
+        "doc_id int, text string",
+    )
+    store.ingest(docs, "text")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    accepted, rejected = store.probe(batch, "text")
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    # at most the parquet footer/listing metadata job from opening
+    # the store table — never the decision DAG (whose materialization
+    # takes several shuffle jobs)
+    assert jobs_after - jobs_before <= 1, "probe construction must be lazy"
+    for df in (accepted, rejected):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BatchEvalPython" not in plan
+    analyzed = rejected._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced store broadcast
+
+
 def test_grouped_map_uses_arrow_not_row_udf(spark):
     """The applyInPandas escape hatch must plan as Arrow grouped-map
     (FlatMapGroupsInPandas), never the row-at-a-time Python UDF."""
