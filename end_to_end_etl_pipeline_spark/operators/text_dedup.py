@@ -87,16 +87,25 @@ def minhash_signatures(
 def shingle_array(
     df: DataFrame, id_col: str, text_col: str, n: int = 6
 ) -> DataFrame:
-    """(id, shingles array<string>) — overlapping char n-grams kept in
-    array form so downstream hashing runs as a per-row projection
-    (no explode, no shuffle). Documents shorter than ``n`` get an
-    empty array."""
+    """(id, shingles array<string>) — DISTINCT overlapping char
+    n-grams kept in array form so downstream hashing runs as a
+    per-row projection (no explode, no shuffle). Documents shorter
+    than ``n`` get an empty array.
+
+    Distinct at the source because every consumer is set-semantics:
+    MinHash minima are multiset-invariant (min over duplicates ==
+    min over the set — results bit-identical, oracles unchanged) and
+    the exact-Jaccard verify works on distinct sets anyway. Hashing
+    each distinct shingle once cuts the md5 count by the repetition
+    factor (~18% on prose, unboundedly more on degenerate repetitive
+    documents — the pathological doc of one repeated character costs
+    O(1) hashes instead of O(len))."""
     return df.select(
         F.col(id_col),
         F.expr(
             f"CASE WHEN length({text_col}) >= {n} THEN "
-            f"transform(sequence(1, length({text_col}) - {n} + 1), "
-            f"i -> substring({text_col}, i, {n})) ELSE "
+            f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1), "
+            f"i -> substring({text_col}, i, {n}))) ELSE "
             f"CAST(array() AS array<string>) END"
         ).alias("shingles"),
     )
