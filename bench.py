@@ -194,6 +194,54 @@ def _build_dedup_store(spark, sf_dir: str):
     return cat, probe, tmpdir
 
 
+def emit(
+    timings: dict[str, float],
+    warm_samples: dict[str, list[float]],
+    sf: float,
+) -> str:
+    """Print the round's numbers and return the final stdout line.
+
+    Per-query detail maps go to a sidecar file AND an earlier stdout
+    line (prefixed so no JSON-line scanner mistakes it for the
+    headline); the FINAL stdout line is a compact headline object
+    only. r04's single long line (cold + warm-min + warm-median x 28
+    queries) overflowed the driver's tail capture and the round
+    recorded `parsed: null` — the headline must stay short enough to
+    always survive a tail read (contract test:
+    tests/test_cli.py::test_bench_emit_contract)."""
+    warm_min = {n: round(min(s), 3) for n, s in warm_samples.items()}
+    warm_med = {
+        n: round(statistics.median(s), 3) for n, s in warm_samples.items()
+    }
+    details = {
+        "queries": timings,
+        "queries_warm": warm_min,
+        "queries_warm_median": warm_med,
+        "warm_runs": N_WARM_RUNS,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(details, f, indent=1, sort_keys=True)
+    except OSError as exc:  # pragma: no cover - read-only checkout
+        print(f"sidecar write failed: {exc!r}", file=sys.stderr)
+    print("BENCH_DETAILS " + json.dumps(details))
+    headline = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "warm_total_sec": round(sum(warm_min.values()), 3),
+            "sf": sf,
+        }
+    )
+    print(headline)
+    return headline
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -235,45 +283,7 @@ def main() -> None:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 warm_samples[name].append(time.perf_counter() - t0)
 
-        warm_min = {n: round(min(s), 3) for n, s in warm_samples.items()}
-        warm_med = {
-            n: round(statistics.median(s), 3) for n, s in warm_samples.items()
-        }
-        total = round(sum(timings.values()), 3)
-        warm_total = round(sum(warm_min.values()), 3)
-        # Per-query detail maps go to a sidecar file AND an earlier
-        # stdout line; the FINAL stdout line is a compact headline
-        # object only.  r04's single long line (cold + warm-min +
-        # warm-median x 28 queries) overflowed the driver's tail
-        # capture and the round recorded `parsed: null` — the headline
-        # must stay short enough to always survive a tail read.
-        details = {
-            "queries": timings,
-            "queries_warm": warm_min,
-            "queries_warm_median": warm_med,
-            "warm_runs": N_WARM_RUNS,
-        }
-        sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-        )
-        try:
-            with open(sidecar, "w") as f:
-                json.dump(details, f, indent=1, sort_keys=True)
-        except OSError as exc:  # pragma: no cover - read-only checkout
-            print(f"sidecar write failed: {exc!r}", file=sys.stderr)
-        print("BENCH_DETAILS " + json.dumps(details))
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_sec",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "warm_total_sec": warm_total,
-                    "sf": sf,
-                }
-            )
-        )
+        emit(timings, warm_samples, sf)
     finally:
         if tmpdir:
             shutil.rmtree(tmpdir, ignore_errors=True)

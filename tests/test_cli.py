@@ -90,3 +90,34 @@ def test_cli_query_runner_and_list(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].split("\t")[0] == "l_returnflag"
     assert 2 <= len(out) <= 4
+
+
+def test_bench_emit_contract(tmp_path, capsys, monkeypatch):
+    """The driver parses bench output by tail-capturing stdout: the
+    FINAL line must be self-contained JSON with the contract keys and
+    stay small enough to survive any reasonable tail window (r04 lost
+    its whole benchmark to one oversized line). Detail maps must ride
+    a NON-JSON-prefixed earlier line plus the sidecar file."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    timings = {f"q{i:02d}": 1.234 for i in range(40)}  # wider than today's set
+    warm = {n: [1.0, 1.1, 1.2] for n in timings}
+    returned = bench.emit(timings, warm, sf=0.1)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1] == returned
+    head = json.loads(out[-1])
+    assert {"metric", "value", "unit", "queries", "warm_total_sec", "sf"} <= set(head)
+    assert head["unit"] == "sec" and head["sf"] == 0.1
+    assert len(out[-1]) < 4096, "headline line must survive tail capture"
+    # the details line is deliberately NOT bare JSON
+    assert out[-2].startswith("BENCH_DETAILS ")
+    details = json.loads(out[-2].removeprefix("BENCH_DETAILS "))
+    assert details["queries_warm"]["q00"] == 1.0
+    assert details["queries_warm_median"]["q00"] == 1.1
+    sidecar = json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
+    assert sidecar == details
