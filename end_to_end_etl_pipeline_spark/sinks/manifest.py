@@ -778,6 +778,42 @@ class ManifestCatalog:
             if self._commit_if(name, new, base):
                 return
 
+    def maybe_optimize(
+        self,
+        name: str,
+        max_dirs: int = 16,
+        **optimize_kwargs,
+    ) -> bool:
+        """Compaction POLICY: run :meth:`optimize` only when the table
+        has fragmented past ``max_dirs`` — the small-files trigger
+        every append-heavy lakehouse table needs (Delta's
+        auto-compact / scheduled OPTIMIZE). Each append commits one
+        data dir, so a table taking frequent small batches degrades
+        toward one-dir-per-batch scans; calling this after ingest
+        (or from a foreachBatch) bounds read amplification at
+        ``max_dirs`` scans' worth of listing forever, while quiet
+        tables never pay a rewrite.
+
+        Fragmentation measure: plain tables count manifest data dirs;
+        bucketed tables count the WORST bucket's dir list (appends
+        fragment per touched bucket, and a read probes one bucket —
+        the per-probe cost is what the policy must bound).
+        ``optimize_kwargs`` pass through (cluster_by / stats_cols /
+        bloom_cols / target_partitions). Returns True iff a rewrite
+        ran. Concurrency-safe: the underlying optimize CAS-rebases."""
+        manifest = self.latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} has no committed manifest")
+        bucket_dirs = manifest.get("bucket_dirs")
+        if bucket_dirs:
+            frag = max((len(ds) for ds in bucket_dirs.values()), default=0)
+        else:
+            frag = len(manifest.get("dirs") or [])
+        if frag <= max_dirs:
+            return False
+        self.optimize(name, **optimize_kwargs)
+        return True
+
     def optimize_zorder(
         self,
         name: str,

@@ -729,6 +729,34 @@ def test_bloom_probe_exotic_types_never_false_negative(spark, cat):
     assert cat.read_point("blx.fast", "k", 42).count() == 1
 
 
+def test_maybe_optimize_policy_triggers_on_fragmentation(spark, cat):
+    """The small-files policy: below the threshold appends accumulate
+    untouched; once dirs exceed max_dirs one compaction rewrite runs
+    (rows identical, single dir), and the now-compact table is a
+    no-op again. Bucketed tables trigger on the WORST bucket."""
+    for i in range(4):
+        cat.append(_df(spark, [(i, f"v{i}")]), "mo.t")
+    assert cat.maybe_optimize("mo.t", max_dirs=4) is False  # 4 <= 4
+    assert len(cat.latest_manifest("mo.t")["dirs"]) == 4
+    cat.append(_df(spark, [(9, "v9")]), "mo.t")
+    assert cat.maybe_optimize("mo.t", max_dirs=4) is True   # 5 > 4
+    m = cat.latest_manifest("mo.t")
+    assert len(m["dirs"]) == 1
+    assert sorted(r.k for r in cat.read("mo.t").collect()) == [0, 1, 2, 3, 9]
+    assert cat.maybe_optimize("mo.t", max_dirs=4) is False  # compact again
+
+    # bucketed: two appends touching the same bucket → worst bucket 2
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    be = F.pmod(F.hash("k"), F.lit(4))
+    for _ in range(2):
+        cat.append_bucketed(df, "mo.b", be, n_buckets=4, bucket_keys=["k"])
+    assert cat.maybe_optimize("mo.b", max_dirs=2) is False
+    assert cat.maybe_optimize("mo.b", max_dirs=1) is True
+    m = cat.latest_manifest("mo.b")
+    assert all(len(ds) == 1 for ds in m["bucket_dirs"].values() if ds)
+    assert cat.read("mo.b").count() == 4
+
+
 def test_bloom_survives_optimize_recompute(spark, cat):
     """Compaction drops dir-keyed blooms (dead dirs); passing
     bloom_cols recomputes them for the compacted dir and point
