@@ -167,7 +167,11 @@ def _build_dedup_store(spark, sf_dir: str):
         cat, "dedup.sigs", num_hashes=16, bands=4, shingle_len=6,
         threshold=0.6,
     )
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     store.ingest(docs, "text")
 
     def probe(spark, sf_dir):

@@ -625,6 +625,7 @@ def foreach_batch_ann_ingest(
     checkpoint_dir: str,
     cell_col: str | None = None,
     available_now: bool = True,
+    auto_compact_max_dirs: int | None = None,
 ):
     """Continuous ANN-index maintenance: every micro-batch of new
     embeddings is folded into the persisted IVFADC store
@@ -646,8 +647,17 @@ def foreach_batch_ann_ingest(
 
     The store must exist (``write_ivfpq_store``) before the stream
     starts — the codebook and centroids are model parameters the
-    stream consumes, not state it creates. Returns the started
-    ``StreamingQuery`` (caller awaits)."""
+    stream consumes, not state it creates.
+
+    ``auto_compact_max_dirs``: every micro-batch appends one dir per
+    touched cell bucket, so a long-running stream fragments the store
+    toward one-dir-per-batch probes; when set, each trigger ends with
+    ``catalog.maybe_optimize(table, max_dirs=...)`` — a rewrite runs
+    only once the WORST cell exceeds the threshold (optimize
+    preserves the identity-bucketed cell layout and custom manifest
+    metadata, pytest-proven), so probe-time read amplification stays
+    bounded forever. Returns the started ``StreamingQuery`` (caller
+    awaits)."""
     from end_to_end_etl_pipeline_spark.operators.ivf_store import (
         append_ivfpq_store,
     )
@@ -658,6 +668,8 @@ def foreach_batch_ann_ingest(
         append_ivfpq_store(
             catalog, batch_df, table, cell_col=cell_col, batch_id=batch_id
         )
+        if auto_compact_max_dirs is not None:
+            catalog.maybe_optimize(table, max_dirs=auto_compact_max_dirs)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -677,6 +689,7 @@ def foreach_batch_text_index_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    auto_compact_max_dirs: int | None = None,
 ):
     """Continuous lexical-index maintenance: every micro-batch of
     documents folds into the persisted inverted index
@@ -690,7 +703,11 @@ def foreach_batch_text_index_ingest(
     no data-without-marker window; same contract as the ANN bridge).
 
     The index must exist (``write_text_index``) before the stream
-    starts. Returns the started ``StreamingQuery`` (caller awaits)."""
+    starts. ``auto_compact_max_dirs``: as in
+    :func:`foreach_batch_ann_ingest` — bound posting-bucket
+    fragmentation by compacting once the worst term bucket exceeds
+    the threshold. Returns the started ``StreamingQuery`` (caller
+    awaits)."""
     from end_to_end_etl_pipeline_spark.operators.text_index import (
         append_text_index,
     )
@@ -701,6 +718,8 @@ def foreach_batch_text_index_ingest(
         append_text_index(
             catalog, batch_df, id_col, text_col, table, batch_id=batch_id
         )
+        if auto_compact_max_dirs is not None:
+            catalog.maybe_optimize(table, max_dirs=auto_compact_max_dirs)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -688,9 +688,19 @@ def test_foreach_batch_text_index_ingest_appends_and_replay_guard(spark, tmp_pat
         spark, d, "doc_id bigint, text string", max_files_per_trigger=1
     )
     q = foreach_batch_text_index_ingest(
-        stream, cat, "idx.t", checkpoint_dir=str(tmp_path / "ck")
+        stream, cat, "idx.t", checkpoint_dir=str(tmp_path / "ck"),
+        # small-files policy under streaming: every trigger appends a
+        # dir per touched term bucket; compact whenever the worst
+        # bucket exceeds one dir
+        auto_compact_max_dirs=1,
     )
     q.awaitTermination(120)
+
+    # the policy ran: post-stream, no bucket is fragmented, and the
+    # compaction preserved stats + replay marker (asserted below via
+    # manifest equality and search results)
+    mfrag = cat.latest_manifest("idx.t")
+    assert all(len(ds) <= 1 for ds in mfrag["bucket_dirs"].values())
 
     # streamed result == one-shot index over all 90 docs
     once = ManifestCatalog(spark, f"file://{tmp_path}/once")
