@@ -447,6 +447,7 @@ def foreach_batch_dedup_ingest(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     available_now: bool = True,
+    auto_compact_max_dirs: int | None = None,
 ):
     """Continuous corpus dedup: every micro-batch of documents is
     near-dup-checked against the persisted MinHash signature store
@@ -463,7 +464,12 @@ def foreach_batch_dedup_ingest(
     duplicate signatures (unlike additive agg maintenance, which
     needs the explicit ``_batch_id`` guard).
 
-    Returns the started ``StreamingQuery`` (caller awaits)."""
+    ``auto_compact_max_dirs``: as in
+    :func:`foreach_batch_ann_ingest` — each trigger appends one
+    signature dir, so when set, the trigger ends with
+    ``catalog.maybe_optimize(table, ...)`` and per-ingest store scans
+    stay bounded. Returns the started ``StreamingQuery`` (caller
+    awaits)."""
     from end_to_end_etl_pipeline_spark.operators.dedup_store import (
         MinHashDedupStore,
     )
@@ -474,6 +480,8 @@ def foreach_batch_dedup_ingest(
         if batch_df.isEmpty():
             return
         store.ingest(batch_df, text_col)
+        if auto_compact_max_dirs is not None:
+            catalog.maybe_optimize(table, max_dirs=auto_compact_max_dirs)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
