@@ -100,6 +100,15 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # weighted_doc_sample, and the two sequential-BPE rows make room).
 # After this round every one of the 145 registered queries has held at
 # least one driver-green row across r01-r05.
+#
+# r06 rotation guidance: no never-driver-run queue remains. Rotate to
+# refresh the OLDEST evidence — rows whose last green is r02/r03
+# (e.g. text_scan_roundtrip, user_sessions, shipping_priority,
+# order_value_percentiles, doc_stratified_sample, keyword_doc_similarity,
+# near_dup_clusters, bloom_seen_docs, doc_span_overlap, line_dedup_corpus,
+# simhash_near_dup) — over same-family rows that went green in r05,
+# keeping every family represented (test-asserted below). Any NEW
+# operator family lands in the window the round it ships.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + medallion e2e (scan→DQ→SCD2→gold KPIs in one row)
     "customer_master",
