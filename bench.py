@@ -102,6 +102,10 @@ BENCH_QUERIES = [
 
 N_WARM_RUNS = 3
 
+#: where emit() writes BENCH_DETAILS.json (module-level so tests can
+#: redirect it without monkeypatching os.path globally)
+SIDECAR_DIR = os.path.dirname(os.path.abspath(__file__))
+
 
 def _build_ann_store(spark, sf_dir: str):
     """Untimed setup: train the PQ codebook once (same params as the
@@ -177,8 +181,9 @@ def _build_dedup_store(spark, sf_dir: str):
     def probe(spark, sf_dir):
         # the planted near-dup batch from the near_dup_pairs corpus:
         # every 7th doc, perturbed — the store must catch these
-        # against its persisted signatures, reading only the band
-        # buckets the batch touches. Read-only → idempotent re-runs.
+        # against its persisted signatures via one columnar scan of
+        # the signature table (plain mode — see the setup comment).
+        # Read-only → idempotent re-runs.
         batch = (
             load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 7 == 0)
@@ -223,9 +228,7 @@ def emit(
         "queries_warm_median": warm_med,
         "warm_runs": N_WARM_RUNS,
     }
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-    )
+    sidecar = os.path.join(SIDECAR_DIR, "BENCH_DETAILS.json")
     try:
         with open(sidecar, "w") as f:
             json.dump(details, f, indent=1, sort_keys=True)

@@ -151,11 +151,16 @@ class MinHashDedupStore:
         _sig_new, _accepted_sigs, rejected = self._decide(
             docs, text_col, cache=False
         )
-        # accepted is ids-minus-rejected over the INPUT — no
-        # signature dependency, so consuming it alone never computes
-        # the estimator joins' signature side twice.
-        accepted = docs.select(self.id_col).join(
-            rejected.select(self.id_col), self.id_col, "left_anti"
+        # accepted mirrors ingest exactly: docs that HAVE a signature
+        # (text long enough to shingle — shingle-less docs appear in
+        # NEITHER frame, same as ingest, which cannot store a
+        # signature for them) minus the rejected. Expressed as a
+        # length predicate rather than sig_new so consuming accepted
+        # alone never computes the estimator joins' signature side.
+        accepted = (
+            docs.filter(F.length(F.col(text_col)) >= self.shingle_len)
+            .select(self.id_col)
+            .join(rejected.select(self.id_col), self.id_col, "left_anti")
         )
         return accepted, rejected
 
@@ -172,7 +177,13 @@ class MinHashDedupStore:
         Within-batch chains resolve like connected components under
         "lowest id survives": rejects are removed from the candidate
         set before they can reject anyone else (a doc similar only to
-        a rejected doc stays, mirroring greedy MinHash dedup)."""
+        a rejected doc stays, mirroring greedy MinHash dedup).
+
+        Shingle-less docs (text shorter than ``shingle_len``, or
+        NULL) have no signature to store or match, so they appear in
+        NEITHER frame — unclassifiable, by contract (:meth:`probe`
+        matches). Filter or pad such docs upstream if they must be
+        retained."""
         sig_new, accepted_sigs, rejected = self._decide(docs, text_col)
         if self.catalog.exists(self.table):
             self.catalog.append(accepted_sigs, self.table)

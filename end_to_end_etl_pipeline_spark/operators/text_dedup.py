@@ -341,8 +341,10 @@ def minhash_near_dup_pairs(
     )
     # exact-verify pass re-shingles only candidate docs; the shingle
     # re-projection is cheap (no hashing) so no persist is needed
+    # shingle_array already emits distinct shingles, so the array IS
+    # the shingle set — no consumer-side array_distinct pass needed
     sets_ = sarr.join(maybe_bc(docs_in_pairs), id_col, "left_semi").select(
-        F.col(id_col), F.array_distinct("shingles").alias("sset")
+        F.col(id_col), F.col("shingles").alias("sset")
     )
     jac = (
         maybe_bc(cand)

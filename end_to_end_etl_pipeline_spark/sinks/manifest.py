@@ -292,10 +292,13 @@ class ManifestCatalog:
         The build hashes ``CAST(col AS STRING)``; Python ``str()``
         renders bool ('True' vs 'true'), float (repr/scientific
         notation), Decimal (trailing-zero scale), and timestamps
-        differently, so only types whose Python rendering provably
-        equals Spark's — int (excluding bool) and str — take the
-        driver-side hashlib fast path. Every other type routes
-        through the SAME Spark expression as the build
+        differently, so the driver-side hashlib fast path runs only
+        when the CALLER passes ``spark_type=None`` — the caller's
+        contract (see :meth:`bloom_pruned_dirs`) is that it does so
+        only for (str value, string column) and (int value, integral
+        column), the pairings whose renderings provably agree. Every
+        other case routes through the SAME Spark expression as the
+        build
         (``operators/sketches._bloom_pos`` over a one-row literal
         frame): a ~100 ms local job, paid only for exotic probe
         types, never a wrong bit. ``spark_type`` pins the literal
@@ -305,9 +308,7 @@ class ManifestCatalog:
         hashed decimal(10,4) ('3.1400')."""
         import hashlib
 
-        if isinstance(value, str) or (
-            isinstance(value, int) and not isinstance(value, bool)
-        ):
+        if spark_type is None:
             out = []
             for h in range(self.BLOOM_HASHES):
                 pos = (
@@ -325,13 +326,10 @@ class ManifestCatalog:
             _bloom_pos,
         )
 
-        if spark_type is not None:
-            probe_df = self.spark.createDataFrame(
-                [(value,)],
-                StructType([StructField("__key", spark_type)]),
-            )
-        else:
-            probe_df = self.spark.createDataFrame([(value,)], ["__key"])
+        probe_df = self.spark.createDataFrame(
+            [(value,)],
+            StructType([StructField("__key", spark_type)]),
+        )
         rows = (
             probe_df
             .select(
@@ -366,16 +364,37 @@ class ManifestCatalog:
         blooms = manifest.get("blooms") or {}
         if value is None:
             return self._dirs(manifest)
-        if isinstance(value, str) or (
-            isinstance(value, int) and not isinstance(value, bool)
-        ):
-            spark_type = None  # hashlib fast path; type not consulted
-        else:
-            # exotic probe type: the Spark-expression route needs the
-            # TABLE column's type so the literal renders exactly like
-            # the build did (schema fetch is metadata-only, no job)
-            spark_type = self.read(name).schema[col].dataType
-        probe = self._bloom_positions(value, spark_type)
+        # The fast-path decision must consult the TABLE column's type,
+        # not the probe value's Python type: an int probe against a
+        # double column renders '42' in Python but the build hashed
+        # CAST(42.0 AS STRING) = '42.0' — every bit wrong, a silent
+        # false negative. Only (str value, string column) and
+        # (non-bool int value, integral column) provably render
+        # identically; everything else goes through the build's own
+        # Spark expression typed as the column. (Schema fetch is
+        # metadata-only, no job.)
+        from pyspark.sql.types import (
+            ByteType, IntegerType, LongType, ShortType, StringType,
+        )
+
+        col_type = self.read(name).schema[col].dataType
+        fast = (
+            isinstance(value, str) and isinstance(col_type, StringType)
+        ) or (
+            isinstance(value, int)
+            and not isinstance(value, bool)
+            and isinstance(
+                col_type, (ByteType, ShortType, IntegerType, LongType)
+            )
+        )
+        try:
+            probe = self._bloom_positions(value, None if fast else col_type)
+        except Exception:
+            # a probe value the column's type can't hold (e.g. a str
+            # probe against bigint): pruning is an IO optimization —
+            # degrade to reading every dir rather than guessing a
+            # rendering and risking a false negative
+            return self._dirs(manifest)
         kept = []
         for d in self._dirs(manifest):
             bm = (blooms.get(d) or {}).get(col)
@@ -715,6 +734,15 @@ class ManifestCatalog:
                 raise FileNotFoundError(f"table {name} has no committed manifest")
             base = manifest["version"]
             bucketed = manifest.get("bucket_dirs") is not None
+            if bucketed and (stats_cols or bloom_cols):
+                # bucketed tables skip via bucket pruning, not manifest
+                # stats/blooms (append_bucketed records neither) — a
+                # silently ignored kwarg would read as "skipping is on"
+                raise ValueError(
+                    f"table {name} is bucketed: stats_cols/bloom_cols do "
+                    "not apply (bucket pruning is its data-skipping "
+                    "mechanism)"
+                )
             # pin the scan to the base version: reading "latest" could
             # silently span a concurrent commit and desync from the CAS
             df = self.read(name, version=base)
@@ -798,9 +826,11 @@ class ManifestCatalog:
         bucketed tables count the WORST bucket's dir list (appends
         fragment per touched bucket, and a read probes one bucket —
         the per-probe cost is what the policy must bound).
-        ``optimize_kwargs`` pass through (cluster_by / stats_cols /
-        bloom_cols / target_partitions). Returns True iff a rewrite
-        ran. Concurrency-safe: the underlying optimize CAS-rebases."""
+        ``optimize_kwargs`` pass through (cluster_by /
+        target_partitions; stats_cols / bloom_cols for PLAIN tables —
+        optimize refuses them on bucketed tables, whose skipping is
+        bucket pruning). Returns True iff a rewrite ran.
+        Concurrency-safe: the underlying optimize CAS-rebases."""
         manifest = self.latest_manifest(name)
         if manifest is None:
             raise FileNotFoundError(f"table {name} has no committed manifest")

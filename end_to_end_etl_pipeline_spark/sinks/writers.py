@@ -281,7 +281,12 @@ class MetastoreCatalog:
             cats = {c.name for c in self.spark.catalog.listCatalogs()}
             if parts[0] not in cats:
                 parts = parts[1:]
-        return self.spark.catalog.tableExists(".".join(parts))
+        # re-quote each part: tableExists parses its argument, so a
+        # bare join would shear a dotted part back apart (and choke
+        # on dashes) — the exact mis-split _split_name exists to avoid
+        return self.spark.catalog.tableExists(
+            ".".join(f"`{p}`" for p in parts)
+        )
 
     def read(self, name: str) -> DataFrame:
         return self.spark.table(self._resolve(name))

@@ -102,9 +102,7 @@ def test_bench_emit_contract(tmp_path, capsys, monkeypatch):
 
     import bench
 
-    monkeypatch.setattr(
-        bench.os.path, "dirname", lambda p: str(tmp_path), raising=False
-    )
+    monkeypatch.setattr(bench, "SIDECAR_DIR", str(tmp_path))
     timings = {f"q{i:02d}": 1.234 for i in range(40)}  # wider than today's set
     warm = {n: [1.0, 1.1, 1.2] for n in timings}
     returned = bench.emit(timings, warm, sf=0.1)

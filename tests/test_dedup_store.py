@@ -212,6 +212,27 @@ def test_probe_matches_ingest_and_leaves_store_unchanged(spark, cat):
     )
 
 
+def test_probe_and_ingest_agree_on_shingleless_docs(spark, cat):
+    """Docs too short to shingle (or NULL text) are unclassifiable by
+    contract: BOTH probe and ingest must omit them from accepted and
+    rejected alike — probe's accepted derivation must not silently
+    admit what ingest would drop."""
+    store = MinHashDedupStore(cat, "dedup.short", threshold=0.6)
+    store.ingest(_docs(spark, [(1, BASE)]), "text")
+    batch = spark.createDataFrame(
+        [(10, BASE + "zz"), (11, "abc"), (12, None)],
+        "doc_id int, text string",
+    )
+    p_acc, p_rej = store.probe(batch, "text")
+    i_acc, i_rej = store.ingest(batch, "text")
+    for acc, rej in ((p_acc, p_rej), (i_acc, i_rej)):
+        acc_ids = {r.doc_id for r in acc.collect()}
+        rej_ids = {r.doc_id for r in rej.collect()}
+        assert rej_ids == {10}          # near-dup of stored doc 1
+        assert acc_ids == set()         # 11/12 unclassifiable, not accepted
+    assert sorted(r.doc_id for r in cat.read("dedup.short").collect()) == [1]
+
+
 def test_append_bucketed_layout_guard(spark, tmp_path):
     from pyspark.sql import functions as F
     from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog

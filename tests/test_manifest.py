@@ -616,6 +616,20 @@ def test_metastore_quoted_identifier_with_literal_dot(spark):
     finally:
         cat.drop(name)
 
+    # dotted part in the DB/TABLE position: exists() re-quotes the
+    # parts it hands tableExists, so the probe parses as the intended
+    # 2-part name (db bronze_q, table 'my.table') and answers a
+    # CORRECT False — not the pre-fix mis-split into a bogus 3-part
+    # name. The session catalog itself can't hold such an identifier
+    # (INVALID_SCHEMA_OR_RELATION_NAME), so the create path then
+    # fails loudly at saveAsTable rather than clobbering anything.
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    assert cat.exists("bronze_q.`my.table`") is False
+    with _pytest.raises(AnalysisException):
+        cat.overwrite(_df(spark, [(5, "e")]), "bronze_q.`my.table`")
+
 
 def test_metastore_alter_table_add_columns_ddl(spark):
     """K9 literal DDL: ALTER TABLE ADD COLUMNS backfills SCD columns
@@ -728,6 +742,27 @@ def test_bloom_probe_exotic_types_never_false_negative(spark, cat):
     )
     assert cat.read_point("blx.fast", "k", 42).count() == 1
 
+    # CROSS-typed probes: the fast path keys on the COLUMN type, so an
+    # int probe against a double/decimal column must route through the
+    # Spark expression (build hashed '42.0'/'42.0000', not '42') and
+    # still find its row
+    cat.append(
+        spark.createDataFrame([(42.0,)], "fd double"),
+        "blx.xd", bloom_cols=["fd"],
+    )
+    cat.append(spark.createDataFrame([(7.5,)], "fd double"), "blx.xd",
+               bloom_cols=["fd"])
+    assert cat.read_point("blx.xd", "fd", 42).count() == 1
+    cat.append(
+        spark.createDataFrame([(decimal.Decimal("42.0000"),)],
+                              "dd decimal(10,4)"),
+        "blx.xdec", bloom_cols=["dd"],
+    )
+    assert cat.read_point("blx.xdec", "dd", 42).count() == 1
+    # a probe the column type can't hold degrades to no pruning (all
+    # dirs kept), never a wrong skip
+    assert len(cat.bloom_pruned_dirs("blx.fast", "k", "not-an-int")) == 1
+
 
 def test_maybe_optimize_policy_triggers_on_fragmentation(spark, cat):
     """The small-files policy: below the threshold appends accumulate
@@ -755,6 +790,10 @@ def test_maybe_optimize_policy_triggers_on_fragmentation(spark, cat):
     m = cat.latest_manifest("mo.b")
     assert all(len(ds) == 1 for ds in m["bucket_dirs"].values() if ds)
     assert cat.read("mo.b").count() == 4
+    # bucketed tables skip via bucket pruning — stats/bloom kwargs are
+    # refused loudly, never silently ignored
+    with pytest.raises(ValueError, match="bucketed"):
+        cat.optimize("mo.b", bloom_cols=["k"])
 
 
 def test_bloom_survives_optimize_recompute(spark, cat):
