@@ -1,0 +1,95 @@
+"""Rank fusion for hybrid retrieval.
+
+Reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher 2009) combines
+the rankings of independent retrieval arms — typically a lexical
+(BM25) arm and a dense (embedding-cosine / ANN) arm — without score
+calibration: each arm contributes ``1 / (k + rank)`` per document and
+the fused score is the sum, so arms with incomparable score scales
+(log-idf sums vs cosines) still fuse sensibly.  This is the standard
+fusion step of a RAG / eval-mining retrieval stack; the reference
+pipeline has no retrieval surface at all, so this family is part of
+the LLM-training-data extension mandated alongside SURVEY.md §2.
+
+Scale shape: each arm is ALREADY a per-query top-N frame (bounded by
+``arm_topk × n_queries`` rows — the arms themselves are the scale
+paths: postings-bucketed BM25 (`operators/text_index.py`) and the
+IVF/PQ store (`operators/ivf_store.py`)); fusion is a union of tiny
+frames plus one aggregation keyed on (query, doc).  Nothing here
+grows with corpus size, only with the number of in-flight queries.
+Determinism: arm ranks come from ``row_number`` over (score desc, id
+asc) on 6dp-rounded scores, and the fused score is a sum of exact
+reciprocals rounded to 6dp before the final ranking — bit-stable
+across engines, which is what lets a DuckDB oracle replay the exact
+fused ranking.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_ranks(
+    scored: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    topk: int,
+) -> DataFrame:
+    """Per-query rank frame (query, id, __rnk ≤ topk) from a scored
+    frame; rank order is score desc, id asc (callers pre-round scores
+    so the order is engine-stable).  The row_number + filter pair is
+    Spark's WindowGroupLimit partial top-k — each partition keeps a
+    bounded heap, nothing ships the full ranking."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= topk)
+        .select(query_col, id_col, "__rnk")
+    )
+
+
+def rrf_fuse(
+    arms: Iterable[Tuple[DataFrame, str]],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    k: int = 60,
+    arm_topk: int = 20,
+    topk: int = 10,
+    out_col: str = "rrf",
+) -> DataFrame:
+    """Fuse retrieval arms with reciprocal-rank fusion.
+
+    ``arms`` is a sequence of ``(scored_frame, score_col)`` pairs;
+    each frame must carry ``query_col`` and ``id_col``.  Returns
+    ``(query_col, id_col, out_col, n_arms)`` — the fused score
+    (6dp) and how many arms retrieved the document — limited to the
+    per-query fused top-``topk`` (ties to lowest id).
+
+    A document missing from an arm's top-``arm_topk`` simply
+    contributes nothing for that arm (the conventional RRF treatment
+    of truncated rankings) — no outer join, no sentinel ranks."""
+    ranked = [
+        topk_ranks(df, query_col, id_col, score_col, arm_topk)
+        for df, score_col in arms
+    ]
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one arm")
+    allranks = reduce(DataFrame.unionByName, ranked)
+    fused = allranks.groupBy(query_col, id_col).agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("__rnk"))), 6).alias(out_col),
+        F.count(F.lit(1)).alias("n_arms"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(out_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .select(query_col, id_col, out_col, "n_arms")
+    )

@@ -1060,3 +1060,175 @@ def ann_recall_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id", "embedding", 5, 6,
     ).select("query_id", F.col("match_id").alias("a_match"))
     return _recall_frame(_exact_l2_top5(emb, queries), approx)
+
+
+@register(
+    "hybrid_doc_retrieval",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT d.doc_id,
+             d.text || ' zqh' || CAST(d.doc_id % 7 AS VARCHAR) AS text,
+             CAST(e.embedding AS DOUBLE[]) AS v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    qv AS (SELECT vec_id - 100 AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id BETWEEN 100 AND 104),
+    dscore AS (
+      SELECT query_id, doc_id, {_COS.format(a="qv", b="v")} AS cosine
+      FROM qv, corpus
+      WHERE list_dot_product(qv, qv) > 0 AND list_dot_product(v, v) > 0
+    ),
+    dense AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, doc_id) AS __rnk
+      FROM dscore
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, doc_id) <= 20
+    ),
+    dwords AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+      FROM corpus
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl FROM dwords),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    qterms AS (
+      SELECT i AS query_id, 'zqh' || CAST(i AS VARCHAR) AS word
+      FROM generate_series(0, 4) t(i)
+      UNION ALL
+      SELECT i, 'batch' FROM generate_series(0, 4) t(i)
+      UNION ALL
+      SELECT i, 'scan' FROM generate_series(0, 4) t(i)
+    ),
+    uniq AS (SELECT DISTINCT word FROM qterms),
+    tf AS (
+      SELECT t.doc_id, t.word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(words) AS word FROM dwords) t
+      JOIN uniq USING (word)
+      GROUP BY 1, 2
+    ),
+    docfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    eligible AS (SELECT word, df FROM docfreq, stats WHERE df <= 0.5 * n),
+    part AS (
+      SELECT qt.query_id, tf.doc_id,
+             ln((s.n - e.df + 0.5) / (e.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS w
+      FROM qterms qt
+      JOIN eligible e USING (word)
+      JOIN tf ON tf.word = qt.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    lexs AS (SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+             FROM part GROUP BY 1, 2),
+    lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS __rnk
+      FROM lexs
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY bm25 DESC, doc_id) <= 20
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(sum(1.0 / (60 + __rnk)), 6) AS rrf,
+             count(*) AS n_arms
+      FROM (SELECT * FROM dense UNION ALL SELECT * FROM lex)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf, n_arms FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) <= 10
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion (operators/"
+    "retrieval.rrf_fuse) - the fusion step of a RAG / eval-mining "
+    "stack: a lexical BM25 arm (Lucene-form, k1=1.2, b=0.75, "
+    "df <= N/2 stopword cap - same math as bm25_doc_search) and a "
+    "dense cosine arm (exact, 6dp - cosine_topk with queries from "
+    "the embedding table itself) each produce a per-query top-20 "
+    "ranking over the SAME joined corpus (documents JOIN embeddings "
+    "on doc_id = vec_id, a planted rare topic tag zqh<doc_id%7> so "
+    "the lexical arm has df-cap-surviving signal; the 'batch'/'scan' "
+    "query terms provably die at the cap), then rrf = "
+    "sum(1/(60+rank)) fuses them - no score calibration across "
+    "incomparable scales, the standard RRF treatment of truncated "
+    "rankings (missing arm contributes nothing, no outer join). "
+    "Output also carries n_arms (how many arms retrieved the doc). "
+    "Scale shape: the fusion is a union of two per-query top-20 "
+    "frames plus one (query, doc) aggregation - nothing grows with "
+    "corpus size; the arms are the scale paths and each is already "
+    "postings-bucketed (text_index) / IVF-store-backed elsewhere in "
+    "the repo; both arm rankings and the fused ranking go through "
+    "WindowGroupLimit partial top-k on 6dp-rounded scores, ties to "
+    "lowest doc_id.",
+    tags=("north-star", "vectors", "search"),
+)
+def hybrid_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from end_to_end_etl_pipeline_spark.operators.retrieval import rrf_fuse
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = (
+        docs.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                "text", F.lit(" zqh"), (F.col("doc_id") % 7).cast("string")
+            ).alias("text"),
+            "embedding",
+        )
+    )
+    # dense arm: exact cosine (the conformance stand-in for the IVF
+    # store's query path), queries are vectors 100..104 re-keyed 0..4
+    qvecs = emb.filter(F.col("vec_id").between(100, 104)).select(
+        (F.col("vec_id") - 100).alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(
+        qvecs, corpus, "query_id", "doc_id", "embedding", k=20,
+        exclude_self=False,
+    ).select("query_id", F.col("match_id").alias("doc_id"), "cosine")
+    # lexical arm: BM25 over the same corpus, postings built for the
+    # query terms only (left-semi before the tf agg), df as a window
+    # over those postings, doc length riding the tokenization
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = corpus.select("doc_id", words.alias("words"))
+    dl = d.select("doc_id", F.size("words").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    qterms = spark.createDataFrame(
+        [(i, w) for i in range(5) for w in (f"zqh{i}", "batch", "scan")],
+        "query_id bigint, word string",
+    )
+    uniq = qterms.select("word").distinct()
+    toks = d.select(
+        "doc_id", F.size("words").alias("dl"), F.explode("words").alias("word")
+    )
+    tf = (
+        toks.join(F.broadcast(uniq), "word", "left_semi")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= 0.5 * F.col("n"))
+        .join(F.broadcast(qterms), "word")
+        .withColumn(
+            "w",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * F.col("tf") * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    lex = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("w"), 6).alias("bm25")
+    )
+    return rrf_fuse(
+        [(dense, "cosine"), (lex, "bm25")],
+        query_col="query_id", id_col="doc_id", k=60, arm_topk=20, topk=10,
+    )

@@ -1,0 +1,74 @@
+"""rrf_fuse unit semantics: reciprocal-rank arithmetic, truncated-arm
+handling, tie-breaks, and the partial-top-k plan shape.  The
+end-to-end hybrid query is gated by the DuckDB oracle in
+test_oracle_parity like every other registered query; these tests pin
+the operator's contract on hand-built frames where every expected
+value is computable by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.retrieval import rrf_fuse, topk_ranks
+
+
+def _arm(spark, rows):
+    return spark.createDataFrame(rows, "query_id bigint, doc_id bigint, score double")
+
+
+def test_rrf_two_arm_sum_and_n_arms(spark):
+    # arm A ranks: doc 1 (r1), doc 2 (r2); arm B ranks: doc 2 (r1), doc 3 (r2)
+    a = _arm(spark, [(0, 1, 0.9), (0, 2, 0.8)])
+    b = _arm(spark, [(0, 2, 5.0), (0, 3, 4.0)])
+    out = {
+        r["doc_id"]: (r["rrf"], r["n_arms"])
+        for r in rrf_fuse([(a, "score"), (b, "score")], k=60).collect()
+    }
+    assert out[1] == (round(1 / 61, 6), 1)
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert out[3] == (round(1 / 62, 6), 1)
+    # doc 2 is in both arms -> highest fused score
+    assert max(out, key=lambda d: out[d][0]) == 2
+
+
+def test_rrf_arm_topk_truncation(spark):
+    # with arm_topk=1 only each arm's best doc contributes
+    a = _arm(spark, [(0, 1, 0.9), (0, 2, 0.8)])
+    b = _arm(spark, [(0, 2, 5.0), (0, 3, 4.0)])
+    out = {
+        r["doc_id"]: r["n_arms"]
+        for r in rrf_fuse([(a, "score"), (b, "score")], arm_topk=1).collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
+def test_rrf_tie_breaks_to_lowest_id(spark):
+    # equal scores inside an arm rank by doc_id asc; equal fused
+    # scores order by doc_id asc in the final top-k
+    a = _arm(spark, [(0, 7, 1.0), (0, 3, 1.0)])
+    rows = rrf_fuse([(a, "score")], topk=1).collect()
+    assert [(r["doc_id"], r["rrf"]) for r in rows] == [(3, round(1 / 61, 6))]
+
+
+def test_rrf_per_query_isolation(spark):
+    a = _arm(spark, [(0, 1, 0.9), (1, 2, 0.9)])
+    out = rrf_fuse([(a, "score")]).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in out} == {(0, 1), (1, 2)}
+    assert all(r["rrf"] == round(1 / 61, 6) for r in out)
+
+
+def test_rrf_no_arms_raises():
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_topk_ranks_partial_topk_plan(spark):
+    # the rank filter must plan as WindowGroupLimit (bounded per-key
+    # heap), not a full sort of the arm — the guard that keeps arm
+    # ranking scale-safe when a query matches many docs
+    arm = _arm(spark, [(0, i, float(i)) for i in range(1, 30)])
+    plan = topk_ranks(
+        arm, "query_id", "doc_id", "score", 5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
