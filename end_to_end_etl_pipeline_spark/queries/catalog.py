@@ -140,15 +140,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rotates in alongside the persisted-store composite
     "ann_store_incremental_topk",
     "ann_recall_at_k",
-    "label_centroids",
     # embedding transforms + semantic dedup
     "embedding_int8_quantize",
     "semantic_pruned_corpus",
     # incremental dedup store (O(batch) corpus dedup)
     "incremental_dedup_ingest",
-    # lexical retrieval: BM25 ad-hoc + persisted inverted index
+    # lexical retrieval: BM25 ad-hoc + persisted inverted index;
+    # hybrid RRF fusion (lexical + dense arms) is NEW in r05 and
+    # lands in the window the round it ships — label_centroids
+    # (green r04; kmeans-vectors family stays covered by
+    # embedding_int8_quantize) gives up its slot
     "bm25_doc_search",
     "bm25_store_search",
+    "hybrid_doc_retrieval",
     # text analysis family — r05: doc_fingerprints, boilerplate_ratio,
     # doc_normalized (green r04) rotate out; doc_script_profile in
     "lang_id",
