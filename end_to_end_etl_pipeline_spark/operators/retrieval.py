@@ -31,6 +31,8 @@ from typing import Iterable, Tuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from end_to_end_etl_pipeline_spark.operators.similarity import dot
+
 
 def topk_ranks(
     scored: DataFrame,
@@ -92,4 +94,108 @@ def rrf_fuse(
         fused.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= topk)
         .select(query_col, id_col, out_col, "n_arms")
+    )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    query_col: str,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell/Goldstein 1998):
+    greedily select ``k`` documents per query trading relevance
+    against redundancy — step score is ``lam·rel − (1−lam)·max
+    cosine-to-already-selected``.  The diversification step of a RAG
+    context builder (don't spend the context window on five copies of
+    the same passage) and of eval-set mining.
+
+    ``candidates`` is a per-query frame (query, id, vec, rel) that is
+    ALREADY bounded (a retrieval arm's top-N) — MMR is quadratic in
+    the candidate count by definition, so the operator materializes
+    the per-query pairwise cosine matrix once (≤ n_queries · N² rows,
+    never corpus-scale) and runs ``k`` plan-flat greedy steps over
+    it.  Each step's pick and the shrinking remainder are
+    ``localCheckpoint``ed: candidate-scale frames, executor-side, so
+    plan depth stays O(1) per step instead of exponential in ``k``
+    (the iterative-lineage trap; same treatment as operators/bpe.py).
+
+    Determinism: rel must arrive 6dp-rounded; pairwise sims and step
+    scores round to 6dp; ties break on lowest id.  ``best_sim`` is
+    seeded at −1.0 (below any cosine) so one uniform score formula
+    covers step 1 — a constant per-query offset that cannot change
+    the argmax — which lets a DuckDB unrolled-CTE oracle replay every
+    pick exactly.  Returns (query, id, mmr_rank 1..k, rel)."""
+    v = F.col(vec_col).cast("array<double>")
+    base = candidates.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).alias("__rel"),
+        v.alias("__v"),
+        F.sqrt(dot(v, v)).alias("__n"),
+    )
+    a = base.select("__q", F.col("__id").alias("__ida"),
+                    F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = base.select("__q", F.col("__id").alias("__idb"),
+                    F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    sim = (
+        a.join(b, "__q")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            "__q", "__ida", "__idb",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("__sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    om = 1.0 - lam
+    rem = base.select(
+        "__q", "__id", "__rel", F.lit(-1.0).alias("__bs")
+    ).localCheckpoint(eager=True)
+    picked = []
+    for i in range(1, k + 1):
+        w = Window.partitionBy("__q").orderBy(
+            F.col("__score").desc(), F.col("__id").asc()
+        )
+        sel = (
+            rem.withColumn(
+                "__score",
+                F.round(F.lit(lam) * F.col("__rel") - F.lit(om) * F.col("__bs"), 6),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__q", "__id", "__rel", F.lit(i).alias("mmr_rank"))
+            .localCheckpoint(eager=True)
+        )
+        picked.append(sel)
+        if i < k:
+            rem = (
+                rem.join(
+                    sel.select("__q", F.col("__id").alias("__sel")), "__q"
+                )
+                .filter(F.col("__id") != F.col("__sel"))
+                .join(
+                    sim,
+                    (sim["__q"] == rem["__q"])
+                    & (sim["__ida"] == rem["__id"])
+                    & (sim["__idb"] == F.col("__sel")),
+                )
+                .select(
+                    rem["__q"], rem["__id"], rem["__rel"],
+                    F.greatest(F.col("__bs"), F.col("__sim")).alias("__bs"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = reduce(DataFrame.unionByName, picked)
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.col("__id").alias(id_col),
+        "mmr_rank",
+        F.col("__rel").alias(rel_col),
     )

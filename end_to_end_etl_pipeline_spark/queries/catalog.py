@@ -131,8 +131,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup family — r05: ngram_jaccard_topk + embedding_near_dup
     # (green r04) rotate out; the zero-shuffle within-doc line dedup
     # and the winnowing shared-span extent take their slots
+    # (near_dup_pairs — green r03+r04 AND benched cold+warm every
+    # round — gives its slot to the NEW mmr_diverse_rerank below;
+    # doc_shared_span_extent keeps the near-dedup family covered)
     "dedup_exact_text",
-    "near_dup_pairs",
     "within_doc_line_dedup",
     "doc_shared_span_extent",
     # similarity / ANN family — r05: pq_topk + cosine_topk_ivf (green
@@ -153,6 +155,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bm25_doc_search",
     "bm25_store_search",
     "hybrid_doc_retrieval",
+    # diversified retrieval (MMR re-rank) — NEW in r05, lands in its
+    # shipping round
+    "mmr_diverse_rerank",
     # text analysis family — r05: doc_fingerprints, boilerplate_ratio,
     # doc_normalized (green r04) rotate out; doc_script_profile in
     "lang_id",

@@ -1232,3 +1232,107 @@ def hybrid_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(dense, "cosine"), (lex, "bm25")],
         query_col="query_id", id_col="doc_id", k=60, arm_topk=20, topk=10,
     )
+
+
+def _mmr_ctes(k: int, lam: float) -> str:
+    """Unrolled MMR greedy steps as DuckDB CTEs (the Lloyd's/BPE
+    playbook: a fixed-iteration algorithm becomes an exact SQL
+    oracle by unrolling).  Expects CTEs ``candv(query_id, doc_id,
+    rel, v)`` and ``msim(query_id, id_a, id_b, sim)`` upstream;
+    emits rem0..rem{k-1}, s1..s{k}, and ``mmr_sel``.  The score
+    formula and its float literals are generated from the SAME
+    Python floats the Spark operator uses (repr round-trip), so both
+    engines evaluate bit-identical IEEE arithmetic."""
+    om = 1.0 - lam
+    parts = [
+        "rem0 AS (SELECT query_id, doc_id, rel, -1.0 AS bs FROM candv)"
+    ]
+    score = f"round({lam!r} * rel - {om!r} * bs, 6)"
+    for i in range(1, k + 1):
+        parts.append(f"""
+    s{i} AS (
+      SELECT query_id, doc_id, rel FROM (
+        SELECT query_id, doc_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {score} DESC, doc_id) AS rn
+        FROM rem{i - 1}) WHERE rn = 1
+    )""")
+        if i < k:
+            parts.append(f"""
+    rem{i} AS (
+      SELECT r.query_id, r.doc_id, r.rel, greatest(r.bs, p.sim) AS bs
+      FROM rem{i - 1} r
+      JOIN s{i} ON r.query_id = s{i}.query_id AND r.doc_id <> s{i}.doc_id
+      JOIN msim p ON p.query_id = r.query_id AND p.id_a = r.doc_id
+                 AND p.id_b = s{i}.doc_id
+    )""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT query_id, doc_id, {i} AS mmr_rank, rel FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"mmr_sel AS (\n      {union}\n    )")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "mmr_diverse_rerank",
+    oracle=f"""
+    WITH qv AS (SELECT vec_id - 100 AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id BETWEEN 100 AND 104),
+    c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, doc_id, {_COS.format(a="qv", b="v")} AS rel, v
+      FROM qv, c
+      WHERE list_dot_product(qv, qv) > 0 AND list_dot_product(v, v) > 0
+    ),
+    candv AS (
+      SELECT query_id, doc_id, rel, v FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) <= 20
+    ),
+    msim AS (
+      SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+             {_COS.format(a="a.v", b="b.v")} AS sim
+      FROM candv a JOIN candv b
+        ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+    ),
+    {{mmr}}
+    SELECT query_id, doc_id, mmr_rank, rel FROM mmr_sel
+    """.format(mmr=_mmr_ctes(5, 0.7)),
+    doc="Maximal-marginal-relevance diversified re-rank (operators/"
+    "retrieval.mmr_select, Carbonell/Goldstein 1998) - the context-"
+    "window diversification step of a RAG stack: from each query's "
+    "exact-cosine top-20 candidates, greedily pick 5 by "
+    "0.7*rel - 0.3*max_cosine_to_already_picked, so near-duplicate "
+    "passages don't crowd out coverage. Pure-DataFrame unrolled "
+    "greedy (k plan-flat steps, each pick localCheckpointed at "
+    "n_queries scale - the BPE/Lloyd's iterative pattern), pairwise "
+    "candidate sims materialized ONCE at candidate scale (<= q*N^2, "
+    "never corpus scale). Scores 6dp, ties to lowest doc_id, "
+    "best_sim seeded at -1.0 so one score formula covers step 1 "
+    "(constant per-query offset, argmax unchanged) - the DuckDB "
+    "oracle unrolls the identical 5 steps and replays every pick "
+    "exactly.",
+    tags=("north-star", "vectors", "search"),
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.retrieval import mmr_select
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id").between(100, 104)).select(
+        (F.col("vec_id") - 100).alias("query_id"), "embedding"
+    )
+    cand = cosine_topk(
+        qvecs, emb, "query_id", "vec_id", "embedding", k=20, exclude_self=False
+    )
+    candv = cand.join(
+        emb.select(F.col("vec_id").alias("match_id"), "embedding"), "match_id"
+    )
+    out = mmr_select(
+        candv, "query_id", "match_id", "embedding", "cosine", k=5, lam=0.7
+    )
+    return out.select(
+        "query_id", F.col("match_id").alias("doc_id"), "mmr_rank",
+        F.col("cosine").alias("rel"),
+    )

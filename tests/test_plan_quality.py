@@ -88,6 +88,9 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "winsorized_price_stats_sketch",
         "purchase_next_view_asof",
         "event_type_value_trend",
+        # round-5 additions
+        "hybrid_doc_retrieval",
+        "mmr_diverse_rerank",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
 

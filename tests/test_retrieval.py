@@ -72,3 +72,48 @@ def test_topk_ranks_partial_topk_plan(spark):
         arm, "query_id", "doc_id", "score", 5
     )._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_mmr_diversifies_over_pure_relevance(spark):
+    # 2-d candidates, lam=0.5, hand-computable: c2 duplicates c1's
+    # direction (sim=1) so despite rel .8 it must sink to LAST while
+    # the orthogonal c3 (rel .5) and the oblique c4 (rel .7,
+    # sim .6/.8) are picked first — the exact failure mode MMR
+    # exists to fix (relevance-only would return c1, c2, c4, c3).
+    cand = spark.createDataFrame(
+        [
+            (0, 1, [1.0, 0.0], 0.9),
+            (0, 2, [1.0, 0.0], 0.8),
+            (0, 3, [0.0, 1.0], 0.5),
+            (0, 4, [0.6, 0.8], 0.7),
+        ],
+        "query_id bigint, doc_id bigint, v array<double>, rel double",
+    )
+    from end_to_end_etl_pipeline_spark.operators.retrieval import mmr_select
+
+    rows = mmr_select(
+        cand, "query_id", "doc_id", "v", "rel", k=5, lam=0.5
+    ).collect()
+    order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["mmr_rank"])]
+    assert order == [1, 3, 4, 2]
+    # k exceeded the candidate count: exactly 4 picks, ranks 1..4
+    assert sorted(r["mmr_rank"] for r in rows) == [1, 2, 3, 4]
+    # rel rides through unchanged
+    assert {r["doc_id"]: r["rel"] for r in rows}[3] == 0.5
+
+
+def test_mmr_per_query_isolation(spark):
+    cand = spark.createDataFrame(
+        [
+            (0, 1, [1.0, 0.0], 0.9),
+            (0, 2, [0.0, 1.0], 0.5),
+            (1, 7, [1.0, 0.0], 0.4),
+        ],
+        "query_id bigint, doc_id bigint, v array<double>, rel double",
+    )
+    from end_to_end_etl_pipeline_spark.operators.retrieval import mmr_select
+
+    rows = mmr_select(cand, "query_id", "doc_id", "v", "rel", k=2).collect()
+    assert {(r["query_id"], r["doc_id"], r["mmr_rank"]) for r in rows} == {
+        (0, 1, 1), (0, 2, 2), (1, 7, 1),
+    }
