@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "winsorized_price_stats",
     # round 2e: value-RANGE trailing window anomaly scoring
     "daily_event_anomaly",
+    # round 5 (additive — the set above is stable for regression
+    # reads): hybrid RRF fusion (BM25 + cosine arms) and MMR
+    # diversified re-rank (k localCheckpointed greedy steps —
+    # measures the fixed per-step job latency that dominates it)
+    "hybrid_doc_retrieval",
+    "mmr_diverse_rerank",
 ]
 
 N_WARM_RUNS = 3

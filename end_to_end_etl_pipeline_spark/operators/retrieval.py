@@ -199,3 +199,85 @@ def mmr_select(
         "mmr_rank",
         F.col("__rel").alias(rel_col),
     )
+
+
+def overlap_f1_scorer(qtexts, dtexts):
+    """Deterministic stand-in scorer: token-overlap F1 between query
+    and document text (distinct whitespace tokens, 2·|Q∩D| /
+    (|Q|+|D|)).  Exactly replayable in SQL (list_intersect over
+    split words), which is what lets the conformance query carry a
+    full value oracle while exercising the REAL inference plumbing
+    (Arrow batch in, Arrow batch out)."""
+    import pandas as pd
+
+    out = []
+    for q, d in zip(qtexts, dtexts):
+        qw, dw = set(q.split()), set(d.split())
+        inter = len(qw & dw)
+        out.append(0.0 if not qw or not dw else 2.0 * inter / (len(qw) + len(dw)))
+    return pd.Series(out)
+
+
+def cross_encoder_rerank(
+    pairs: DataFrame,
+    query_col: str,
+    id_col: str,
+    qtext_col: str,
+    dtext_col: str,
+    scorer=None,
+    topk: int = 10,
+    out_col: str = "ce_score",
+) -> DataFrame:
+    """Model-inference rerank seam — the final stage of a retrieval
+    stack (retrieve → fuse → diversify → cross-encoder rerank).
+
+    ``pairs`` is a bounded candidate frame (query, doc, both texts —
+    an upstream arm's top-N, never corpus-scale).  ``scorer`` is a
+    vectorized callable ``(qtext_series, dtext_series) ->
+    float_series`` invoked once per Arrow batch inside
+    ``mapInPandas`` — the sanctioned Python escape: batch transfer is
+    Arrow-columnar, the model loads once per executor (closure
+    capture), and batch size follows
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.  A real
+    cross-encoder (e.g. a sentence-transformers model) drops in as
+    ``scorer`` unchanged; like the multimodal codec seam
+    (operators/multimodal.py) the heavy model is NOT in this
+    container, so the default raises with instructions and tests/
+    conformance use :func:`overlap_f1_scorer` — the PLUMBING (Arrow
+    batching, schema, per-query top-k) is real and oracle-gated.
+
+    Returns (query, id, out_col 6dp, rank) — per-query top-``topk``,
+    score desc, ties to lowest id."""
+    if scorer is None:
+        raise NotImplementedError(
+            "cross_encoder_rerank needs a scorer callable "
+            "(qtext_series, dtext_series) -> score_series; load your "
+            "model once per executor inside the callable's closure "
+            "(e.g. a module-level lazy singleton) and score one Arrow "
+            "batch per call. overlap_f1_scorer is the deterministic "
+            "test stand-in."
+        )
+    qc, ic = query_col, id_col
+    schema = ", ".join(
+        [
+            f"`{qc}` {pairs.schema[qc].dataType.simpleString()}",
+            f"`{ic}` {pairs.schema[ic].dataType.simpleString()}",
+            f"`{out_col}` double",
+        ]
+    )
+    qt, dt = qtext_col, dtext_col
+
+    def _score(batches):
+        for pdf in batches:
+            res = pdf[[qc, ic]].copy()
+            res[out_col] = scorer(pdf[qt], pdf[dt]).astype("float64")
+            yield res
+
+    scored = pairs.select(qc, ic, qt, dt).mapInPandas(_score, schema)
+    scored = scored.withColumn(out_col, F.round(F.col(out_col), 6))
+    w = Window.partitionBy(qc).orderBy(F.col(out_col).desc(), F.col(ic).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(qc, ic, out_col, "rank")
+    )

@@ -155,12 +155,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bm25_doc_search",
     "bm25_store_search",
     "hybrid_doc_retrieval",
-    # diversified retrieval (MMR re-rank) — NEW in r05, lands in its
-    # shipping round
+    # diversified retrieval (MMR re-rank) and the Arrow-batched
+    # cross-encoder rerank seam — both NEW in r05, landing in their
+    # shipping round (lang_id — green r04 — gives up its slot; the
+    # text-analysis family stays covered by doc_script_profile and
+    # doc_pii_redacted)
     "mmr_diverse_rerank",
+    "crossencoder_rerank_topk",
     # text analysis family — r05: doc_fingerprints, boilerplate_ratio,
-    # doc_normalized (green r04) rotate out; doc_script_profile in
-    "lang_id",
+    # doc_normalized, lang_id (green r04) rotate out;
+    # doc_script_profile in
     "doc_script_profile",
     "quality_classifier_scores",
     "word_heavy_hitters_cms",

@@ -3183,3 +3183,73 @@ def doc_shared_span_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.unpersist()
     cand.unpersist()
     return out
+
+
+@register(
+    "crossencoder_rerank_topk",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id - 100 AS query_id, text AS qtext FROM documents
+      WHERE doc_id BETWEEN 100 AND 104
+    ),
+    cand AS (
+      SELECT doc_id % 100 AS query_id, doc_id, text FROM documents
+      WHERE doc_id % 100 <= 4
+    ),
+    pairs AS (
+      SELECT c.query_id, c.doc_id,
+             list_distinct(list_filter(string_split(q.qtext, ' '),
+                                       w -> length(w) > 0)) AS qw,
+             list_distinct(list_filter(string_split(c.text, ' '),
+                                       w -> length(w) > 0)) AS dw
+      FROM cand c JOIN q USING (query_id)
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(2.0 * len(list_intersect(qw, dw)) / (len(qw) + len(dw)),
+                   6) AS ce_score
+      FROM pairs
+    )
+    SELECT query_id, doc_id, ce_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ce_score DESC, doc_id) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY ce_score DESC, doc_id) <= 10
+    """,
+    doc="Cross-encoder rerank seam (operators/retrieval."
+    "cross_encoder_rerank) - the final stage of the retrieval stack "
+    "(retrieve -> fuse -> diversify -> rerank): a bounded candidate "
+    "set (doc_id %% 100 routes ~1/100th of the corpus to each of 5 "
+    "queries; each query's text is its own doc's text so the top hit "
+    "is provably itself at F1=1.0) is scored query-text x doc-text "
+    "inside mapInPandas - Arrow batch in, Arrow batch out, model "
+    "loads once per executor via closure capture, the EXACT plumbing "
+    "a sentence-transformers cross-encoder drops into. The heavy "
+    "model is not in this container (same seam treatment as the "
+    "multimodal codecs), so the conformance scorer is deterministic "
+    "token-overlap F1 (2|Q n D|/(|Q|+|D|), distinct whitespace "
+    "tokens) - fully replayed by the DuckDB oracle via "
+    "list_intersect, making the Arrow plumbing value-gated, not just "
+    "smoke-tested. 6dp, per-query top-10, ties to lowest doc_id.",
+    tags=("north-star", "text", "search"),
+)
+def crossencoder_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        cross_encoder_rerank,
+        overlap_f1_scorer,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = docs.filter(F.col("doc_id").between(100, 104)).select(
+        (F.col("doc_id") - 100).alias("query_id"), F.col("text").alias("qtext")
+    )
+    cand = docs.withColumn("query_id", F.col("doc_id") % 100).filter(
+        F.col("query_id") <= 4
+    )
+    pairs = cand.join(F.broadcast(q), "query_id")
+    return cross_encoder_rerank(
+        pairs, "query_id", "doc_id", "qtext", "text",
+        scorer=overlap_f1_scorer, topk=10,
+    )

@@ -131,6 +131,7 @@ def test_driver_window_contract():
         "lexical-retrieval": {"bm25_doc_search", "bm25_store_search"},
         "hybrid-retrieval": {"hybrid_doc_retrieval"},
         "diversified-retrieval": {"mmr_diverse_rerank"},
+        "rerank-seam": {"crossencoder_rerank_topk"},
         "storage-engine": {"bloom_point_lookup", "orders_change_data_feed",
                            "orders_time_travel_vacuum", "zorder_range_read"},
         "kmeans-vectors": {"label_centroids", "embedding_int8_quantize"},

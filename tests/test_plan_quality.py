@@ -88,9 +88,11 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "winsorized_price_stats_sketch",
         "purchase_next_view_asof",
         "event_type_value_trend",
-        # round-5 additions
+        # round-5 additions (crossencoder_rerank_topk uses the
+        # sanctioned MapInPandas escape — still never BatchEvalPython)
         "hybrid_doc_retrieval",
         "mmr_diverse_rerank",
+        "crossencoder_rerank_topk",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
 

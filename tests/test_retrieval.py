@@ -117,3 +117,57 @@ def test_mmr_per_query_isolation(spark):
     assert {(r["query_id"], r["doc_id"], r["mmr_rank"]) for r in rows} == {
         (0, 1, 1), (0, 2, 2), (1, 7, 1),
     }
+
+
+def test_cross_encoder_default_scorer_is_documented_seam():
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        cross_encoder_rerank,
+    )
+
+    with pytest.raises(NotImplementedError, match="scorer"):
+        cross_encoder_rerank(None, "q", "d", "qt", "dt")
+
+
+def test_overlap_f1_scorer_values():
+    import pandas as pd
+
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        overlap_f1_scorer,
+    )
+
+    got = list(
+        overlap_f1_scorer(
+            pd.Series(["a b c", "a a b", "x y"]),
+            pd.Series(["a b c", "a c", "a b"]),
+        )
+    )
+    # identical sets -> 1.0; {a,b} vs {a,c} -> 2*1/4; disjoint -> 0.0
+    assert got == [1.0, 0.5, 0.0]
+
+
+def test_cross_encoder_rerank_plumbing(spark):
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        cross_encoder_rerank,
+        overlap_f1_scorer,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (0, 10, "a b c", "a b c"),   # F1 = 1.0
+            (0, 11, "a b c", "a x y"),   # F1 = 2/6
+            (0, 12, "a b c", "z z z"),   # F1 = 0.0
+            (1, 10, "q r", "q r"),
+        ],
+        "query_id bigint, doc_id bigint, qtext string, dtext string",
+    )
+    out = cross_encoder_rerank(
+        pairs, "query_id", "doc_id", "qtext", "dtext",
+        scorer=overlap_f1_scorer, topk=2,
+    )
+    rows = {(r["query_id"], r["rank"]): (r["doc_id"], r["ce_score"])
+            for r in out.collect()}
+    assert rows[(0, 1)] == (10, 1.0)
+    assert rows[(0, 2)] == (11, round(2 / 6, 6))
+    assert (1, 1) in rows and len(rows) == 3  # topk=2 dropped doc 12
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
