@@ -84,6 +84,63 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    anchor_id: str,
+    corpus_id: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor, the ``k`` nearest corpus vectors (cosine, 6dp, ties to
+    lowest id) whose ``label_col`` DIFFERS from the anchor's — the
+    near-miss negatives that carry the gradient signal random
+    negatives don't (in-batch negatives are mostly easy; hard ones
+    come from a neighbor search that crosses the label boundary).
+
+    Same plan shape as :func:`cosine_topk` — anchors broadcast
+    (query-batch-sized), corpus scanned once, label-mismatch filter
+    BEFORE scoring so no top-k slot is wasted on positives, per-
+    anchor top-k via WindowGroupLimit partial top-k.  The production
+    scale path swaps the exact scan for the IVF store's probed
+    search, exactly as for any other query batch.  Returns
+    (anchor_id→query_id, match_id, cosine, neg_label)."""
+    v = F.col(vec_col).cast("array<double>")
+    a = anchors.select(
+        F.col(anchor_id).alias("query_id"), v.alias("__qv"),
+        F.sqrt(dot(v, v)).alias("__qv_norm"),
+        F.col(label_col).alias("__albl"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"), v.alias("__cv"),
+        F.sqrt(dot(v, v)).alias("__cv_norm"),
+        F.col(label_col).alias("__clbl"),
+    )
+    scored = (
+        c.join(F.broadcast(a), F.lit(True))
+        .filter(F.col("__clbl") != F.col("__albl"))
+        .filter((F.col("__qv_norm") > 0) & (F.col("__cv_norm") > 0))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("__qv"), F.col("__cv"),
+                       F.col("__qv_norm"), F.col("__cv_norm")), 6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "match_id", "cosine",
+                F.col("__clbl").alias("neg_label"))
+    )
+
+
 def ensure_codegen_fields(spark, n: int) -> None:
     """Raise ``spark.sql.codegen.maxFields`` to at least ``n``.
 

@@ -167,7 +167,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # doc_script_profile in
     "doc_script_profile",
     "quality_classifier_scores",
-    "word_heavy_hitters_cms",
+    # (word_heavy_hitters_cms — green r04 — gives its slot to the NEW
+    # hard_negative_mining; the sketch family stays covered by
+    # daily_uniques_bitmap)
+    "hard_negative_mining",
     "doc_pii_redacted",
     # tokenizer training — r05: both sequential rows went green r04;
     # the batched SCALE path (one job per batch, proven ≡ sequential)
@@ -180,7 +183,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_funnel_audit",
     "doc_split_assign",
     "split_contamination",
-    "doc_chunks",
+    # (doc_chunks — green r04 AND benched every round — gives its
+    # slot to the NEW preference_pair_mining; packing-chunking stays
+    # covered by doc_packed_bins)
+    "preference_pair_mining",
     "doc_packed_bins",
     "curriculum_sample",
     "source_capped_docs",

@@ -3253,3 +3253,102 @@ def crossencoder_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, "query_id", "doc_id", "qtext", "text",
         scorer=overlap_f1_scorer, topk=10,
     )
+
+
+@register(
+    "preference_pair_mining",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words),
+                   6) AS q
+      FROM w WHERE len(words) > 0
+    ),
+    ch AS (
+      SELECT source, doc_id AS chosen_id, q AS chosen_q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS pair_rank
+      FROM s
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY q DESC, doc_id) <= 5
+    ),
+    rj AS (
+      SELECT source, doc_id AS rejected_id, q AS rejected_q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q ASC, doc_id) AS pair_rank
+      FROM s
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY q ASC, doc_id) <= 5
+    )
+    SELECT source, CAST(ch.pair_rank AS INT) AS pair_rank,
+           chosen_id, rejected_id,
+           round(chosen_q - rejected_q, 6) AS margin
+    FROM ch JOIN rj USING (source, pair_rank)
+    WHERE chosen_id <> rejected_id AND chosen_q - rejected_q > 0
+    """,
+    doc="Preference-pair construction for DPO/RLHF-style training - "
+    "per source, pair the 5 highest-quality documents (chosen) with "
+    "the 5 lowest (rejected), rank i to rank i, keeping only pairs "
+    "with positive quality margin and distinct docs. Quality here is "
+    "the deterministic distinct-word ratio (lexical diversity - a "
+    "stand-in with the same shape as any scored column; swap in "
+    "quality_classifier_scores' hashed-linear score for the "
+    "model-scored variant). Scale shape: two WindowGroupLimit "
+    "partial top-5s per source partition + one (source, rank) join "
+    "whose size is bounded by 5*n_sources - never corpus-quadratic; "
+    "the quality projection is one pass, no shuffle beyond the "
+    "per-source rank. 6dp scores, ties to lowest doc_id, margin "
+    "recomputed 6dp.",
+    tags=("north-star", "text"),
+)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    s = (
+        docs.select("doc_id", "source", words.alias("words"))
+        .filter(F.size("words") > 0)
+        .select(
+            "doc_id", "source",
+            F.round(
+                F.size(F.array_distinct("words")) / F.size("words"), 6
+            ).alias("q"),
+        )
+    )
+    wd = Window.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    wa = Window.partitionBy("source").orderBy(
+        F.col("q").asc(), F.col("doc_id").asc()
+    )
+    ch = (
+        s.withColumn("pair_rank", F.row_number().over(wd))
+        .filter(F.col("pair_rank") <= 5)
+        .select(
+            "source", "pair_rank", F.col("doc_id").alias("chosen_id"),
+            F.col("q").alias("chosen_q"),
+        )
+    )
+    rj = (
+        s.withColumn("pair_rank", F.row_number().over(wa))
+        .filter(F.col("pair_rank") <= 5)
+        .select(
+            "source", "pair_rank", F.col("doc_id").alias("rejected_id"),
+            F.col("q").alias("rejected_q"),
+        )
+    )
+    return (
+        ch.join(rj, ["source", "pair_rank"])
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_q") - F.col("rejected_q") > 0)
+        )
+        .select(
+            "source", "pair_rank", "chosen_id", "rejected_id",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), 6).alias("margin"),
+        )
+    )

@@ -1336,3 +1336,47 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("match_id").alias("doc_id"), "mmr_rank",
         F.col("cosine").alias("rel"),
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS albl
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv,
+                 label AS neg_label
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, match_id, {_COS.format(a="qv", b="cv")} AS cosine,
+             neg_label
+      FROM a, c
+      WHERE neg_label <> albl
+        AND list_dot_product(qv, qv) > 0 AND list_dot_product(cv, cv) > 0
+    )
+    SELECT query_id, match_id, cosine, neg_label FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id) <= 5
+    """,
+    doc="Hard-negative mining (operators/similarity.hard_negatives) "
+    "- contrastive-training data prep: for each anchor vector, the "
+    "5 nearest neighbors whose label DIFFERS - the near-miss "
+    "negatives that carry gradient signal random in-batch negatives "
+    "don't. Label-mismatch filter sits BEFORE scoring so positives "
+    "never waste a top-k slot; otherwise the exact cosine_topk plan "
+    "shape (anchors broadcast, corpus scanned once, WindowGroupLimit "
+    "partial top-k, 6dp, ties to lowest id). The production scale "
+    "path swaps the exact scan for the IVF store's probed search "
+    "like any other query batch.",
+    tags=("north-star", "vectors"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", "label", k=5,
+    )

@@ -93,6 +93,8 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "hybrid_doc_retrieval",
         "mmr_diverse_rerank",
         "crossencoder_rerank_topk",
+        "hard_negative_mining",
+        "preference_pair_mining",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
 

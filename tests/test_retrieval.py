@@ -171,3 +171,26 @@ def test_cross_encoder_rerank_plumbing(spark):
     assert (1, 1) in rows and len(rows) == 3  # topk=2 dropped doc 12
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from end_to_end_etl_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # anchor, label 1
+            (1, [1.0, 0.0], 1),   # identical vector, SAME label -> excluded
+            (2, [0.9, 0.1], 2),   # near, different label -> hardest negative
+            (3, [0.0, 1.0], 2),   # far, different label
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    rows = hard_negatives(
+        emb.filter("vec_id = 0"), emb, "vec_id", "vec_id",
+        "embedding", "label", k=2,
+    ).collect()
+    got = [(r["match_id"], r["neg_label"]) for r in
+           sorted(rows, key=lambda r: -r["cosine"])]
+    assert got == [(2, 2), (3, 2)]  # 1 excluded despite cosine 1.0
