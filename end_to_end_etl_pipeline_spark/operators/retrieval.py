@@ -34,6 +34,69 @@ from pyspark.sql import functions as F
 from end_to_end_etl_pipeline_spark.operators.similarity import dot
 
 
+def bm25_scores(
+    docs_words: DataFrame,
+    qterms: DataFrame,
+    doc_col: str = "doc_id",
+    words_col: str = "words",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Lucene-form BM25 (idf = ln((N−df+0.5)/(df+0.5)+1)) over an
+    in-plan inverted index — the single home of the scoring math
+    shared by the ad-hoc search query and the hybrid fusion arm (the
+    persisted-index path in operators/text_index.py reuses the same
+    constants against stored postings).
+
+    ``docs_words`` is (doc_col, words_col array<string>); ``qterms``
+    is (query_id, word).  Scale shape: postings are built ONLY for
+    query terms (left-semi before the tf aggregation — the index
+    never materializes for the full vocabulary), document length
+    rides the tokenization (no second doc-keyed join), df is a
+    window over the already-reduced postings (NOT a broadcast-joined
+    aggregate, which would re-run the corpus tokenization through
+    its own job), and terms with df > ``max_df_frac``·N are dropped
+    before scoring (the stopword cap that bounds every posting
+    list).  Returns (query_id, doc_col, bm25) rounded to 6dp.
+
+    Float-parity note: ``k1 + 1.0`` and ``1 − b`` are computed in
+    Python and injected as literals; for the defaults they are
+    EXACTLY the doubles 2.2 and 0.25 the DuckDB oracles spell out,
+    so scores replay bit-identically."""
+    dl = docs_words.select(doc_col, F.size(words_col).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    uniq = qterms.select("word").distinct()
+    toks = docs_words.select(
+        doc_col, F.size(words_col).alias("dl"),
+        F.explode(words_col).alias("word"),
+    )
+    tf = (
+        toks.join(F.broadcast(uniq), "word", "left_semi")
+        .groupBy(doc_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n"))
+        .join(F.broadcast(qterms), "word")
+        .withColumn(
+            "w",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * F.col("tf") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("query_id", doc_col).agg(
+        F.round(F.sum("w"), 6).alias("bm25")
+    )
+
+
 def topk_ranks(
     scored: DataFrame,
     query_col: str,
@@ -75,7 +138,14 @@ def rrf_fuse(
 
     A document missing from an arm's top-``arm_topk`` simply
     contributes nothing for that arm (the conventional RRF treatment
-    of truncated rankings) — no outer join, no sentinel ranks."""
+    of truncated rankings) — no outer join, no sentinel ranks.
+
+    Contract: each arm frame must be ONE ROW PER (query, id) — an
+    aggregated ranking, not e.g. a per-term match list.  Duplicate
+    rows would each receive a rank, inflating both ``n_arms`` and
+    the fused score for that document; the operator does not dedup
+    (a defensive groupBy would mask the upstream bug and pay an
+    extra exchange on every call)."""
     ranked = [
         topk_ranks(df, query_col, id_col, score_col, arm_topk)
         for df, score_col in arms
@@ -212,7 +282,13 @@ def overlap_f1_scorer(qtexts, dtexts):
 
     out = []
     for q, d in zip(qtexts, dtexts):
-        qw, dw = set(q.split()), set(d.split())
+        # split on single spaces + drop empties, NOT str.split():
+        # the repo-wide tokenization convention (F.split(text, ' ')
+        # with an empty filter) and the oracle's string_split(text,
+        # ' ') treat a tab/newline as part of a token — str.split()
+        # would tokenize any-whitespace and silently diverge
+        qw = {w for w in q.split(" ") if w}
+        dw = {w for w in d.split(" ") if w}
         inter = len(qw & dw)
         out.append(0.0 if not qw or not dw else 2.0 * inter / (len(qw) + len(dw)))
     return pd.Series(out)

@@ -39,12 +39,56 @@ def cosine(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
     return dot(a, b) / (a_norm * b_norm)
 
 
-def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, vec_out: str) -> DataFrame:
+def _prep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_out: str,
+    vec_out: str,
+    extra: tuple = (),
+) -> DataFrame:
+    """(id, vec as array<double>, norm[, extra...]) projection.
+    ``extra`` is (source_col, alias) pairs passed through — labels
+    and other per-row metadata ride the same single projection."""
     v = F.col(vec_col).cast("array<double>")
     return df.select(
         F.col(id_col).alias(id_out),
         v.alias(vec_out),
         F.sqrt(dot(v, v)).alias(f"{vec_out}_norm"),
+        *[F.col(src).alias(dst) for src, dst in extra],
+    )
+
+
+def _scored_pairs(q: DataFrame, c: DataFrame) -> DataFrame:
+    """Broadcast the (small) query side against the corpus side and
+    attach the 6dp cosine.  Zero-norm vectors have no defined cosine
+    (Spark yields NULL, DuckDB inf/nan): excluded on both sides
+    rather than letting NULL-scored rows occupy top-k slots.  The
+    single home of the determinism contract (6dp round) shared by
+    cosine_topk and hard_negatives."""
+    return (
+        c.join(F.broadcast(q), F.lit(True))
+        .filter((F.col("__qv_norm") > 0) & (F.col("__cv_norm") > 0))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("__qv"), F.col("__cv"),
+                       F.col("__qv_norm"), F.col("__cv_norm")), 6,
+            ),
+        )
+    )
+
+
+def _topk_by_cosine(scored: DataFrame, k: int, extra: tuple = ()) -> DataFrame:
+    """Per-query top-k on (cosine desc, match_id asc) — the single
+    home of the tie-break contract; plans as WindowGroupLimit."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "match_id", "cosine", *extra)
     )
 
 
@@ -61,27 +105,10 @@ def cosine_topk(
     6dp, deterministic (score desc, match_id asc) order."""
     q = _prep(queries, query_id, vec_col, "query_id", "__qv")
     c = _prep(corpus, corpus_id, vec_col, "match_id", "__cv")
-    scored = c.join(F.broadcast(q), F.lit(True))
+    scored = _scored_pairs(q, c)
     if exclude_self:
         scored = scored.filter(F.col("match_id") != F.col("query_id"))
-    # zero-norm vectors have no defined cosine (Spark yields NULL,
-    # DuckDB inf/nan): exclude them on both sides rather than letting
-    # NULL-scored rows occupy top-k slots
-    scored = scored.filter(
-        (F.col("__qv_norm") > 0) & (F.col("__cv_norm") > 0)
-    )
-    scored = scored.withColumn(
-        "cosine",
-        F.round(cosine(F.col("__qv"), F.col("__cv"), F.col("__qv_norm"), F.col("__cv_norm")), 6),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "match_id", "cosine")
-    )
+    return _topk_by_cosine(scored, k)
 
 
 def hard_negatives(
@@ -107,38 +134,14 @@ def hard_negatives(
     scale path swaps the exact scan for the IVF store's probed
     search, exactly as for any other query batch.  Returns
     (anchor_id→query_id, match_id, cosine, neg_label)."""
-    v = F.col(vec_col).cast("array<double>")
-    a = anchors.select(
-        F.col(anchor_id).alias("query_id"), v.alias("__qv"),
-        F.sqrt(dot(v, v)).alias("__qv_norm"),
-        F.col(label_col).alias("__albl"),
+    a = _prep(anchors, anchor_id, vec_col, "query_id", "__qv",
+              extra=((label_col, "__albl"),))
+    c = _prep(corpus, corpus_id, vec_col, "match_id", "__cv",
+              extra=((label_col, "neg_label"),))
+    scored = _scored_pairs(a, c).filter(
+        F.col("neg_label") != F.col("__albl")
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("match_id"), v.alias("__cv"),
-        F.sqrt(dot(v, v)).alias("__cv_norm"),
-        F.col(label_col).alias("__clbl"),
-    )
-    scored = (
-        c.join(F.broadcast(a), F.lit(True))
-        .filter(F.col("__clbl") != F.col("__albl"))
-        .filter((F.col("__qv_norm") > 0) & (F.col("__cv_norm") > 0))
-        .withColumn(
-            "cosine",
-            F.round(
-                cosine(F.col("__qv"), F.col("__cv"),
-                       F.col("__qv_norm"), F.col("__cv_norm")), 6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "match_id", "cosine",
-                F.col("__clbl").alias("neg_label"))
-    )
+    return _topk_by_cosine(scored, k, extra=("neg_label",))
 
 
 def ensure_codegen_fields(spark, n: int) -> None:

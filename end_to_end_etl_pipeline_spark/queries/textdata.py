@@ -2912,10 +2912,10 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
+    from end_to_end_etl_pipeline_spark.operators.retrieval import bm25_scores
+
     words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
     d = _spread(planted).select("doc_id", words.alias("words"))
-    dl = d.select("doc_id", F.size("words").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     qterms = spark.createDataFrame(
         [
             (i, w)
@@ -2924,36 +2924,7 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id bigint, word string",
     )
-    uniq = qterms.select("word").distinct()
-    toks = d.select(
-        "doc_id", F.size("words").alias("dl"), F.explode("words").alias("word")
-    )
-    # postings for query terms ONLY; doc length rides the agg
-    tf = (
-        toks.join(F.broadcast(uniq), "word", "left_semi")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
-    # df as a window over the postings, NOT a broadcast-joined
-    # aggregate: a broadcast side materializes through its own job,
-    # which would re-run the whole corpus tokenization — the window
-    # reshuffles only the query terms' postings (tiny), and skew per
-    # word is bounded by N
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("df") <= 0.5 * F.col("n"))
-        .join(F.broadcast(qterms), "word")
-        .withColumn(
-            "w",
-            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-            * F.col("tf") * 2.2
-            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
-        )
-    )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("w"), 6).alias("bm25")
-    )
+    agg = bm25_scores(d, qterms)
     wk = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
@@ -3229,7 +3200,7 @@ def doc_shared_span_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a sentence-transformers cross-encoder drops into. The heavy "
     "model is not in this container (same seam treatment as the "
     "multimodal codecs), so the conformance scorer is deterministic "
-    "token-overlap F1 (2|Q n D|/(|Q|+|D|), distinct whitespace "
+    "token-overlap F1 (2|Q n D|/(|Q|+|D|), distinct space-delimited "
     "tokens) - fully replayed by the DuckDB oracle via "
     "list_intersect, making the Arrow plumbing value-gated, not just "
     "smoke-tested. 6dp, per-query top-10, ties to lowest doc_id.",

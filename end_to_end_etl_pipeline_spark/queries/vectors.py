@@ -1166,8 +1166,6 @@ def ann_recall_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("north-star", "vectors", "search"),
 )
 def hybrid_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from end_to_end_etl_pipeline_spark.operators.retrieval import rrf_fuse
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1193,41 +1191,18 @@ def hybrid_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         qvecs, corpus, "query_id", "doc_id", "embedding", k=20,
         exclude_self=False,
     ).select("query_id", F.col("match_id").alias("doc_id"), "cosine")
-    # lexical arm: BM25 over the same corpus, postings built for the
-    # query terms only (left-semi before the tf agg), df as a window
-    # over those postings, doc length riding the tokenization
+    # lexical arm: the shared BM25 scorer (operators/retrieval.
+    # bm25_scores — single home of the k1/b/df-cap math, same
+    # constants the bm25_doc_search oracle spells out)
+    from end_to_end_etl_pipeline_spark.operators.retrieval import bm25_scores
+
     words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
     d = corpus.select("doc_id", words.alias("words"))
-    dl = d.select("doc_id", F.size("words").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     qterms = spark.createDataFrame(
         [(i, w) for i in range(5) for w in (f"zqh{i}", "batch", "scan")],
         "query_id bigint, word string",
     )
-    uniq = qterms.select("word").distinct()
-    toks = d.select(
-        "doc_id", F.size("words").alias("dl"), F.explode("words").alias("word")
-    )
-    tf = (
-        toks.join(F.broadcast(uniq), "word", "left_semi")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("df") <= 0.5 * F.col("n"))
-        .join(F.broadcast(qterms), "word")
-        .withColumn(
-            "w",
-            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-            * F.col("tf") * 2.2
-            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
-        )
-    )
-    lex = scored.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("w"), 6).alias("bm25")
-    )
+    lex = bm25_scores(d, qterms)
     return rrf_fuse(
         [(dense, "cosine"), (lex, "bm25")],
         query_col="query_id", id_col="doc_id", k=60, arm_topk=20, topk=10,
