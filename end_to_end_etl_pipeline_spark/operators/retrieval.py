@@ -127,6 +127,7 @@ def rrf_fuse(
     arm_topk: int = 20,
     topk: int = 10,
     out_col: str = "rrf",
+    weights: Iterable[float] | None = None,
 ) -> DataFrame:
     """Fuse retrieval arms with reciprocal-rank fusion.
 
@@ -135,6 +136,11 @@ def rrf_fuse(
     ``(query_col, id_col, out_col, n_arms)`` — the fused score
     (6dp) and how many arms retrieved the document — limited to the
     per-query fused top-``topk`` (ties to lowest id).
+
+    ``weights`` (optional, one per arm, default all 1.0) scales each
+    arm's contribution to ``w_i / (k + rank)`` — the conventional
+    weighted-RRF dial for boosting a trusted arm without score
+    calibration.
 
     A document missing from an arm's top-``arm_topk`` simply
     contributes nothing for that arm (the conventional RRF treatment
@@ -146,15 +152,21 @@ def rrf_fuse(
     the fused score for that document; the operator does not dedup
     (a defensive groupBy would mask the upstream bug and pay an
     extra exchange on every call)."""
-    ranked = [
-        topk_ranks(df, query_col, id_col, score_col, arm_topk)
-        for df, score_col in arms
-    ]
-    if not ranked:
+    arms = list(arms)
+    if not arms:
         raise ValueError("rrf_fuse needs at least one arm")
+    ws = [1.0] * len(arms) if weights is None else [float(w) for w in weights]
+    if len(ws) != len(arms):
+        raise ValueError(f"{len(ws)} weights for {len(arms)} arms")
+    ranked = [
+        topk_ranks(df, query_col, id_col, score_col, arm_topk).withColumn(
+            "__w", F.lit(w)
+        )
+        for (df, score_col), w in zip(arms, ws)
+    ]
     allranks = reduce(DataFrame.unionByName, ranked)
     fused = allranks.groupBy(query_col, id_col).agg(
-        F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("__rnk"))), 6).alias(out_col),
+        F.round(F.sum(F.col("__w") / (F.lit(k) + F.col("__rnk"))), 6).alias(out_col),
         F.count(F.lit(1)).alias("n_arms"),
     )
     w = Window.partitionBy(query_col).orderBy(

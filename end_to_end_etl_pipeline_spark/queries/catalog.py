@@ -98,8 +98,13 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # train-in-query rows, two r04-green near-dup rows, three r04-green
 # text-analysis rows, daily_uniques_hll, winsorized_price_stats,
 # weighted_doc_sample, and the two sequential-BPE rows make room).
-# After this round every one of the 145 registered queries has held at
-# least one driver-green row across r01-r05.
+# After this round every one of the 150 registered queries has held at
+# least one driver-green row across r01-r05 (the five families NEW in
+# r05 — hybrid RRF, MMR, cross-encoder seam, hard negatives,
+# preference pairs — all landed in the window their shipping round;
+# the five rows that made room, label_centroids / near_dup_pairs /
+# lang_id / word_heavy_hitters_cms / doc_chunks, are all r04-green
+# with their families still represented).
 #
 # r06 rotation guidance: no never-driver-run queue remains. Rotate to
 # refresh the OLDEST evidence — rows whose last green is r02/r03

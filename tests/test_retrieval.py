@@ -194,3 +194,17 @@ def test_hard_negatives_excludes_same_label(spark):
     got = [(r["match_id"], r["neg_label"]) for r in
            sorted(rows, key=lambda r: -r["cosine"])]
     assert got == [(2, 2), (3, 2)]  # 1 excluded despite cosine 1.0
+
+
+def test_rrf_weights_scale_arm_contributions(spark):
+    a = _arm(spark, [(0, 1, 0.9)])
+    b = _arm(spark, [(0, 2, 5.0)])
+    out = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse(
+            [(a, "score"), (b, "score")], weights=[2.0, 0.5]
+        ).collect()
+    }
+    assert out == {1: round(2.0 / 61, 6), 2: round(0.5 / 61, 6)}
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([(a, "score")], weights=[1.0, 2.0])
