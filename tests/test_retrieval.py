@@ -208,3 +208,61 @@ def test_rrf_weights_scale_arm_contributions(spark):
     assert out == {1: round(2.0 / 61, 6), 2: round(0.5 / 61, 6)}
     with pytest.raises(ValueError, match="weights"):
         rrf_fuse([(a, "score")], weights=[1.0, 2.0])
+
+
+def test_retrieval_stack_invariants_randomized(spark):
+    # fixed-seed randomized frames (no hypothesis: each Spark example
+    # costs seconds) pinning the cross-operator invariants:
+    #  - single-arm RRF preserves the arm's rank order exactly
+    #  - MMR picks are distinct, drawn from the candidates, and the
+    #    first pick per query is the relevance argmax (id tie-break)
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (q, d, round(rng.random(), 6))
+        for q in range(3)
+        for d in rng.sample(range(100), 12)
+    ]
+    arm = _arm(spark, rows)
+    fused = rrf_fuse([(arm, "score")], arm_topk=12, topk=12).collect()
+    by_rank = {}
+    for r in fused:
+        # rrf = 1/(60+rank) is strictly decreasing in rank: invert it
+        by_rank.setdefault(r["query_id"], []).append((r["rrf"], r["doc_id"]))
+    from end_to_end_etl_pipeline_spark.operators.retrieval import topk_ranks
+
+    expect = {
+        (r["query_id"], r["doc_id"]): r["__rnk"]
+        for r in topk_ranks(arm, "query_id", "doc_id", "score", 12).collect()
+    }
+    for q, lst in by_rank.items():
+        fused_order = [d for _, d in sorted(lst, key=lambda t: (-t[0], t[1]))]
+        arm_order = [d for (qq, d), rk in sorted(expect.items(), key=lambda kv: kv[1]) if qq == q]
+        assert fused_order == arm_order, f"query {q}"
+
+    from end_to_end_etl_pipeline_spark.operators.retrieval import mmr_select
+
+    dim = 4
+    cand = spark.createDataFrame(
+        [
+            (q, d, [round(rng.random(), 3) for _ in range(dim)], s)
+            for (q, d, s) in rows
+        ],
+        "query_id bigint, doc_id bigint, v array<double>, rel double",
+    )
+    picks = mmr_select(cand, "query_id", "doc_id", "v", "rel", k=4).collect()
+    cand_ids = {(q, d) for q, d, _ in rows}
+    best = {}
+    for q, d, s in rows:
+        if q not in best or (-s, d) < (-best[q][1], best[q][0]):
+            best[q] = (d, s)
+    seen = set()
+    for r in picks:
+        key = (r["query_id"], r["doc_id"])
+        assert key in cand_ids
+        assert key not in seen, "duplicate pick"
+        seen.add(key)
+        if r["mmr_rank"] == 1:
+            assert r["doc_id"] == best[r["query_id"]][0]
+    assert len(picks) == 3 * 4
