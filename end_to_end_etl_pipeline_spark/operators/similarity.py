@@ -220,12 +220,33 @@ def ivf_probe(
     rows, model-parameter scale. The centroid frame is cells × dim
     (broadcast); the ranking itself never touches the corpus beyond
     the one centroid-training aggregation."""
+    qcent = _ivf_cell_scores(queries, corpus, query_id, vec_col, label_col, dim)
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        qcent.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "label")
+    )
+
+
+def _ivf_cell_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    vec_col: str,
+    label_col: str,
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, label, score): 6dp query↔centroid cosine — the
+    shared ranking behind fixed-nprobe and adaptive probing."""
     cent = label_centroids_array(corpus, label_col, vec_col, dim=dim)
     qq = queries.select(
         F.col(query_id).alias("query_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
     ).select("query_id", (F.col("pos0") + 1).alias("pos"), "v")
-    qcent = (
+    return (
         qq.join(F.broadcast(cent), "pos")
         .groupBy("query_id", "label")
         .agg(
@@ -235,12 +256,49 @@ def ivf_probe(
         )
         .withColumn("score", F.round(F.col("d") / (F.col("qn") * F.col("cn")), 6))
     )
+
+
+def ivf_probe_adaptive(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    vec_col: str,
+    label_col: str,
+    min_candidates: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """Query-adaptive cell probing: instead of a fixed ``nprobe``,
+    each query probes its best-ranked cells (same 6dp cosine / label
+    asc contract as :func:`ivf_probe`) until the probed cells
+    TOGETHER hold at least ``min_candidates`` corpus vectors — the
+    recall guarantee becomes a candidate-count floor rather than a
+    cell-count guess.  With skewed cells (the realistic case: trained
+    quantizers produce uneven cells; a fixed nprobe either
+    under-probes hot queries or over-probes everyone) this reads
+    strictly the data needed per query.  Cell populations come from
+    one corpus aggregation — against a persisted IVF store the same
+    counts are already in the manifest's per-dir stats, so the probe
+    plan is metadata-only there.
+
+    Selection rule: cells in rank order while the cumulative count of
+    STRICTLY-PRECEDING cells is < ``min_candidates`` — the cell that
+    crosses the floor is included, everything after is not.  Returns
+    (query_id, label)."""
+    qcent = _ivf_cell_scores(queries, corpus, query_id, vec_col, label_col, dim)
+    counts = corpus.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("label").asc()
     )
+    prev_cum = F.coalesce(
+        F.sum("__cnt").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
     return (
-        qcent.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= nprobe)
+        qcent.join(F.broadcast(counts), "label")
+        .withColumn("__prev", prev_cum)
+        .filter(F.col("__prev") < min_candidates)
         .select("query_id", "label")
     )
 
@@ -256,6 +314,7 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     exclude_self: bool = True,
     dim: int | None = None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """IVF probe: rank cells by query↔centroid cosine (rounded 6dp,
     tie → label asc), exact-score the ``nprobe`` nearest cells only.
@@ -263,10 +322,21 @@ def cosine_topk_ivf(
     identical results whenever the true top-k lives in the probed
     cells (the recall/cost dial is ``nprobe``). Pass ``dim`` (the
     fixed embedding width) so the quantizer build avoids the
-    posexplode row inflation — see :func:`label_centroids_array`."""
-    probed = ivf_probe(
-        queries, corpus, query_id, vec_col, label_col, nprobe=nprobe, dim=dim
-    )
+    posexplode row inflation — see :func:`label_centroids_array`.
+
+    With ``min_candidates`` set, ``nprobe`` is ignored and the probe
+    is query-adaptive (:func:`ivf_probe_adaptive`): each query scans
+    exactly the cells needed to guarantee that many candidates."""
+    if min_candidates is not None:
+        probed = ivf_probe_adaptive(
+            queries, corpus, query_id, vec_col, label_col,
+            min_candidates=min_candidates, dim=dim,
+        )
+    else:
+        probed = ivf_probe(
+            queries, corpus, query_id, vec_col, label_col,
+            nprobe=nprobe, dim=dim,
+        )
     q = _prep(queries, query_id, vec_col, "query_id", "__qv")
     # carry the label in the same projection — joining the corpus back
     # to itself on match_id just to re-attach it would be a second

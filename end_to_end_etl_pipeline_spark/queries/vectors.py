@@ -1355,3 +1355,78 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb,
         "vec_id", "vec_id", "embedding", "label", k=5,
     )
+
+
+@register(
+    "cosine_topk_ivf_adaptive",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS match_id, label, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    cent AS (
+      SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS cv
+      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    qq AS (SELECT query_id, CAST(pos AS INT) AS pos, v
+           FROM (SELECT query_id, unnest(qv) AS v,
+                        unnest(generate_series(1, len(qv))) AS pos FROM q)),
+    qcent AS (
+      SELECT query_id, label,
+             round(sum(qq.v * cent.cv) /
+                   (sqrt(sum(qq.v * qq.v)) * sqrt(sum(cent.cv * cent.cv))), 6) AS score
+      FROM qq JOIN cent USING (pos) GROUP BY 1, 2
+    ),
+    counts AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1),
+    probed AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, qcent.label,
+               coalesce(sum(cnt) OVER (
+                 PARTITION BY query_id ORDER BY score DESC, qcent.label
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prev_cum
+        FROM qcent JOIN counts ON qcent.label = counts.label)
+      WHERE prev_cum < 100
+    ),
+    scored AS (
+      SELECT q.query_id, c.match_id, {_COS.format(a="q.qv", b="c.cv")} AS cosine
+      FROM probed p
+      JOIN q ON q.query_id = p.query_id
+      JOIN c ON c.label = p.label AND c.match_id <> q.query_id
+      WHERE list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(c.cv, c.cv) > 0
+    )
+    SELECT query_id, match_id, cosine FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) <= 5
+    """,
+    doc="Query-adaptive IVF probing (operators/similarity."
+    "ivf_probe_adaptive): instead of a fixed nprobe, each query "
+    "probes its best-ranked cells until they TOGETHER hold >= 100 "
+    "candidate vectors - the recall dial becomes a per-query "
+    "candidate-count floor. With skewed cells (trained quantizers "
+    "are never uniform) a fixed nprobe either under-probes queries "
+    "routed to small cells or over-probes everyone; the adaptive "
+    "rule reads exactly the data each query needs. Selection: cells "
+    "in (score desc, label asc) order while the cumulative count of "
+    "strictly-preceding cells < 100 (the crossing cell is included). "
+    "Cell populations are one corpus agg here; against the persisted "
+    "IVF store they're already in the manifest's per-dir stats, so "
+    "the probe decision is metadata-only. Same 6dp/tie contracts as "
+    "cosine_topk_ivf.",
+    tags=("north-star", "vectors"),
+)
+def cosine_topk_ivf_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "label",
+        k=5,
+        min_candidates=100,
+        dim=_dim(emb),
+    )
