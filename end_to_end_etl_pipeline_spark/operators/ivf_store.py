@@ -176,9 +176,33 @@ def _collect_probe(
         (r["query_id"], int(r["label"]))
         for r in qcent.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "label")
+        # rank-ordered per query, like the literal path — the
+        # adaptive cut consumes pairs in probe-rank order
+        .orderBy("query_id", "__rn")
+        .select("query_id", "label", "__rn")
         .collect()
     ]
+
+
+def _adaptive_cut(
+    probe_pairs: list[tuple], cell_counts: dict, min_candidates: int
+) -> list[tuple]:
+    """Trim per-query RANK-ORDERED (query, cell) pairs at the
+    candidate-count floor: keep a cell while the cumulative stored
+    count of the query's strictly-preceding cells is < the floor
+    (the crossing cell is included) — the same selection rule as
+    operators/similarity.ivf_probe_adaptive, applied driver-side
+    over the manifest's cell_counts.  Pure metadata arithmetic:
+    probe-pairs and counts are both model-parameter scale, the
+    corpus is never touched."""
+    out: list[tuple] = []
+    cum: dict = {}
+    for qid, cell in probe_pairs:
+        prev = cum.get(qid, 0)
+        if prev < min_candidates:
+            out.append((qid, cell))
+            cum[qid] = prev + int(cell_counts.get(str(cell), 0))
+    return out
 
 
 def ivf_store_topk(
@@ -294,6 +318,16 @@ def write_ivfpq_store(
     ).withColumn(BUCKET_COL, F.col("cell"))
     data_dir = catalog._new_data_dir(table)
     df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
+    # per-cell row counts ride the manifest (cells-scale metadata):
+    # the adaptive probe's candidate-count floor is then a pure
+    # driver-side arithmetic over the manifest — no corpus touch at
+    # query time. Counted from the written store, not the input plan,
+    # so the numbers are exactly what a reader will see.
+    cell_counts = {
+        str(int(r["cell"])): int(r["n"])
+        for r in catalog.spark.read.parquet(data_dir)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     bucket_dirs: dict[str, list[str]] = {}
     for p in catalog.fs.listdir(data_dir):
         base = p.rsplit("/", 1)[-1]
@@ -309,6 +343,7 @@ def write_ivfpq_store(
             "bucket_fn": "identity",
             "ivf_id_col": corpus_id,
             "ivf_vec_col": vec_col,
+            "cell_counts": cell_counts,
             # JSON round-trips tuples as lists; read back via
             # _codebook_from_manifest which restores the (code,
             # centroid) pairing
@@ -447,6 +482,21 @@ def append_ivfpq_store(
         vec_col,
         cb,
     )
+    # batch's per-cell counts, merged into the manifest's running
+    # cell_counts INSIDE the CAS loop (extras_fn) so concurrent
+    # appends can't clobber each other's increments — keeps the
+    # adaptive probe's metadata exact across any append interleaving
+    batch_counts = {
+        str(int(r["cell"])): int(r["n"])
+        for r in df.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def _merge_counts(cur: dict | None) -> dict:
+        base = dict((cur or {}).get("cell_counts") or {})
+        for cell, n in batch_counts.items():
+            base[cell] = base.get(cell, 0) + n
+        return {"cell_counts": base}
+
     catalog.append_bucketed(
         df,
         table,
@@ -457,6 +507,7 @@ def append_ivfpq_store(
         extras_update=(
             {"ann_last_batch_id": int(batch_id)} if batch_id is not None else None
         ),
+        extras_fn=_merge_counts,
     )
     return True
 
@@ -479,6 +530,7 @@ def ivfpq_store_topk(
     shortlist_factor: int = 5,
     round_dp: int = 6,
     exclude_self: bool = True,
+    min_candidates: int | None = None,
 ) -> tuple[DataFrame, list[int]]:
     """IVFADC over the persisted index: coarse-route against the
     stored centroids, read ONLY the probed cells' bucket dirs, ADC on
@@ -487,6 +539,15 @@ def ivfpq_store_topk(
     ``(result, probed_cells)`` — result is (query_id, match_id, l2sq)
     like `operators/pq.ivfpq_topk`, and matches it exactly whenever
     the probe sets agree (same codebook, same rounding).
+
+    With ``min_candidates`` set, ``nprobe`` is ignored and each query
+    probes its best-ranked cells until they together hold at least
+    that many stored vectors (same selection rule as operators/
+    similarity.ivf_probe_adaptive).  The counts come from the
+    manifest's ``cell_counts`` — maintained exactly by write and by
+    every CAS append — so the probe decision is METADATA-ONLY: no
+    corpus scan, no count query, just driver arithmetic over
+    kilobytes.
 
     The 100 TB shape this proves: the candidate scan is a
     storage-level dir prune (nprobe/cells of the BYTES), the scanned
@@ -504,7 +565,20 @@ def ivfpq_store_topk(
     cb = _codebook_from_manifest(manifest)
     id_col = manifest["ivf_id_col"]
     cent = catalog.read(f"{table}__centroids")
-    probed_rows = _collect_probe(cent, queries, query_id, vec_col, nprobe)
+    if min_candidates is not None:
+        counts = manifest.get("cell_counts")
+        if not counts:
+            raise ValueError(
+                f"table {table} has no cell_counts in its manifest "
+                "(written before adaptive probing existed) — rewrite "
+                "the store or query with a fixed nprobe"
+            )
+        ranked = _collect_probe(
+            cent, queries, query_id, vec_col, nprobe=manifest["n_buckets"]
+        )
+        probed_rows = _adaptive_cut(ranked, counts, min_candidates)
+    else:
+        probed_rows = _collect_probe(cent, queries, query_id, vec_col, nprobe)
     spark = queries.sparkSession
     from pyspark.sql.types import IntegerType, StructField, StructType
 

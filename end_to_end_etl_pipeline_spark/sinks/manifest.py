@@ -617,6 +617,7 @@ class ManifestCatalog:
         bucket_keys: Sequence[str],
         bucket_fn: str = "hash_pmod",
         extras_update: dict | None = None,
+        extras_fn=None,
     ) -> None:
         """K2 for BUCKETED tables: write the batch partitioned by its
         bucket id and CAS-merge the new per-bucket subdirs into
@@ -634,7 +635,15 @@ class ManifestCatalog:
         manifest ATOMICALLY with the dir merge — the hook streaming
         bridges use to ride a replay marker (e.g. last applied batch
         id) on the same commit as the data, so a crash between data
-        and marker cannot happen."""
+        and marker cannot happen.
+
+        ``extras_fn`` is the read-modify-write form of the same hook:
+        ``extras_fn(manifest_or_None) -> dict``, called INSIDE the
+        CAS loop with the manifest the commit will be attempted
+        against, so keys whose new value depends on the previous one
+        (e.g. merging per-cell row counts) stay correct under
+        concurrent appends — a dict computed outside would go stale
+        on CAS retry.  Applied after ``extras_update``."""
         data_dir = self._new_data_dir(name)
         (
             df.withColumn(BUCKET_COL, bucket_expr.cast("int"))
@@ -660,7 +669,8 @@ class ManifestCatalog:
                         "bucket_keys": list(bucket_keys),
                         "bucket_fn": bucket_fn,
                     }
-                    | (extras_update or {}),
+                    | (extras_update or {})
+                    | (extras_fn(None) if extras_fn else {}),
                     0,
                 )
                 if committed:
@@ -693,7 +703,8 @@ class ManifestCatalog:
                 name,
                 extras
                 | {"dirs": None, "bucket_dirs": bucket_dirs}
-                | (extras_update or {}),
+                | (extras_update or {})
+                | (extras_fn(manifest) if extras_fn else {}),
                 manifest["version"],
             ):
                 return

@@ -75,3 +75,78 @@ def test_adaptive_probe_small_floor_probes_one_cell(spark):
         queries, corpus, "vec_id", "embedding", "label", min_candidates=1
     ).collect()
     assert len(probed) == 1  # prev_cum 0 < 1 only for the best cell
+
+
+def test_store_cell_counts_metadata_and_adaptive_probe(spark, tmp_path):
+    """The persisted IVFADC store keeps exact per-cell counts in the
+    manifest (write + every CAS append), and min_candidates probing
+    consumes ONLY that metadata: floor satisfied per query, and with
+    a corpus-sized floor the adaptive query equals the probe-all
+    fixed-nprobe query exactly."""
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        append_ivfpq_store,
+        ivfpq_store_topk,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    cb = pq_train(emb, "vec_id", "embedding", num_subspaces=8, num_centroids=8)
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    write_ivfpq_store(cat, even, "vec_id", "embedding", "label", cb,
+                      "ann.pq", dim=dim)
+    m0 = cat.latest_manifest("ann.pq")
+    want_even = {str(r["label"]): r["n"] for r in
+                 even.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert m0["cell_counts"] == want_even
+    # append folds the batch counts in exactly
+    append_ivfpq_store(cat, odd, "ann.pq", cell_col="label")
+    m1 = cat.latest_manifest("ann.pq")
+    want_all = {str(r["label"]): r["n"] for r in
+                emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert m1["cell_counts"] == want_all
+
+    queries = emb.orderBy("vec_id").limit(3)
+    total = emb.count()
+    got, probed = ivfpq_store_topk(
+        cat, "ann.pq", queries, "vec_id", "embedding", k=3,
+        min_candidates=total,
+    )
+    want, probed_all = ivfpq_store_topk(
+        cat, "ann.pq", queries, "vec_id", "embedding", k=3,
+        nprobe=m1["n_buckets"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert sorted(probed) == sorted(probed_all)
+    # small floor: probed cells per query satisfy the floor by counts
+    floor = 60
+    _, probed_small = ivfpq_store_topk(
+        cat, "ann.pq", queries, "vec_id", "embedding", k=3,
+        min_candidates=floor,
+    )
+    assert len(probed_small) < m1["n_buckets"]
+
+    # a store written before counts existed fails loudly, not wrongly
+    legacy = {k: v for k, v in m1.items() if k not in ("cell_counts", "version")}
+    cat._commit("ann.pq", legacy)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cell_counts"):
+        ivfpq_store_topk(cat, "ann.pq", queries, "vec_id", "embedding",
+                         k=3, min_candidates=10)
+
+
+def test_adaptive_cut_rule():
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import _adaptive_cut
+
+    pairs = [(0, 5), (0, 2), (0, 9), (1, 2), (1, 5)]
+    counts = {"5": 40, "2": 30, "9": 100}
+    # q0: prev 0<60 -> take 5 (cum 40); 40<60 -> take 2 (cum 70); stop
+    # q1: prev 0<60 -> take 2 (cum 30); 30<60 -> take 5 (cum 70)
+    assert _adaptive_cut(pairs, counts, 60) == [(0, 5), (0, 2), (1, 2), (1, 5)]
+    # unknown cell counts as 0 (never blocks later cells)
+    assert _adaptive_cut([(0, 7), (0, 5)], counts, 10) == [(0, 7), (0, 5)]
