@@ -187,7 +187,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_token_freqs",
     # corpus curation: cleaning, splits, sampling, packing, chunking,
     # lineage (funnel audit), quality-tiered sampling
-    "clean_corpus",
+    # (clean_corpus — green r04 AND benched every round — gives its
+    # slot to the NEW priority_target_encoding; curation-lineage
+    # stays covered by corpus_funnel_audit)
+    "priority_target_encoding",
     "corpus_funnel_audit",
     "doc_split_assign",
     "split_contamination",

@@ -3559,3 +3559,69 @@ def orders_time_travel_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.vacuum("tt.o", keep_versions=1, min_age_seconds=0)
     post = agg(cat.read("tt.o"), "post_vacuum").localCheckpoint(eager=True)
     return v1.unionByName(latest).unionByName(post)
+
+
+@register(
+    "priority_target_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS priority, o_orderkey % 5 AS fold,
+             CAST(o_totalprice AS DECIMAL(20, 8)) AS y
+      FROM orders
+    ),
+    cf AS (SELECT priority, fold, sum(y) AS s, count(*) AS c
+           FROM base GROUP BY 1, 2),
+    ct AS (SELECT priority, sum(s) AS st, CAST(sum(c) AS BIGINT) AS ctot
+           FROM cf GROUP BY 1),
+    gf AS (SELECT fold, sum(s) AS gs, CAST(sum(c) AS BIGINT) AS gc
+           FROM cf GROUP BY 1),
+    g AS (SELECT sum(s) AS gst, CAST(sum(c) AS BIGINT) AS gct FROM cf),
+    enc AS (
+      SELECT cf.priority, cf.fold,
+             CAST(ct.st - cf.s AS DOUBLE) AS s_excl,
+             ct.ctot - cf.c AS c_excl,
+             CAST(g.gst - gf.gs AS DOUBLE) / CAST(g.gct - gf.gc AS DOUBLE)
+               AS prior
+      FROM cf JOIN ct USING (priority) JOIN gf USING (fold) CROSS JOIN g
+    )
+    SELECT priority, fold,
+           round(CASE WHEN c_excl = 0 THEN prior
+                      ELSE (s_excl + 20.0 * prior)
+                           / (CAST(c_excl AS DOUBLE) + 20.0) END, 6) AS te,
+           c_excl AS n_oof
+    FROM enc
+    """,
+    doc="Out-of-fold smoothed target encoding (operators/features."
+    "target_encode_oof) - the leakage-free categorical->numeric "
+    "feature prep every tabular model stage needs: each fold's "
+    "encoding for a category is (sum_excl + 20*prior)/(n_excl + 20) "
+    "computed ONLY from the other folds (its own rows' targets never "
+    "leak into it), prior = other-folds global mean, unseen-in-"
+    "other-folds categories fall back to the prior. Deterministic "
+    "fold = o_orderkey %% 5 (not an engine-specific hash). All sums "
+    "run in the EXACT decimal domain and convert to double only at "
+    "the final division (float sums would be partition-order-"
+    "dependent; the operator rejects double targets outright). One "
+    "corpus-scale groupBy(category, fold); everything after is "
+    "category x fold sized. The output IS the deployable encoder "
+    "table - persist + broadcast-join at train time.",
+    tags=("north-star", "features"),
+)
+def priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.features import (
+        target_encode_oof,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        # the synthetic orders table stores price as double — route
+        # it through the exact-decimal domain (the repo's standard
+        # cross-engine cast; see tests/oracle round() notes) so the
+        # encoder's sums are partition-order-independent
+        F.col("o_totalprice").cast("decimal(20,8)").alias("price_dec"),
+    )
+    return target_encode_oof(
+        orders, "priority", "price_dec",
+        fold_expr=F.col("o_orderkey") % 5, n_folds=5, smoothing=20.0,
+    )

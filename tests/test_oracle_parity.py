@@ -134,6 +134,7 @@ def test_driver_window_contract():
         "rerank-seam": {"crossencoder_rerank_topk"},
         "hard-negatives": {"hard_negative_mining"},
         "preference-pairs": {"preference_pair_mining"},
+        "feature-prep": {"priority_target_encoding"},
         "storage-engine": {"bloom_point_lookup", "orders_change_data_feed",
                            "orders_time_travel_vacuum", "zorder_range_read"},
         "kmeans-vectors": {"label_centroids", "embedding_int8_quantize"},

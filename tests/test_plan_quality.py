@@ -95,6 +95,8 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "crossencoder_rerank_topk",
         "hard_negative_mining",
         "preference_pair_mining",
+        "priority_target_encoding",
+        "cosine_topk_ivf_adaptive",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
 
