@@ -136,6 +136,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_change_data_feed",
     "orders_time_travel_vacuum",
     "zorder_range_read",
+    # targeted DELETE (bloom-pruned dir rewrite + time travel) — NEW
+    # in r05; doc_split_assign (green r04; splits-contamination stays
+    # covered by split_contamination) gives up its slot
+    "orders_targeted_delete",
     # dedup family — r05: ngram_jaccard_topk + embedding_near_dup
     # (green r04) rotate out; the zero-shuffle within-doc line dedup
     # and the winnowing shared-span extent take their slots
@@ -192,7 +196,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stays covered by corpus_funnel_audit)
     "priority_target_encoding",
     "corpus_funnel_audit",
-    "doc_split_assign",
     "split_contamination",
     # (doc_chunks — green r04 AND benched every round — gives its
     # slot to the NEW preference_pair_mining; packing-chunking stays

@@ -3625,3 +3625,84 @@ def priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "priority", "price_dec",
         fold_expr=F.col("o_orderkey") % 5, n_folds=5, smoothing=20.0,
     )
+
+
+@register(
+    "orders_targeted_delete",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_custkey FROM orders ORDER BY 1 LIMIT 3),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    kr AS (SELECT CAST(count(*) AS BIGINT) AS nk
+           FROM orders JOIN keys USING (o_custkey))
+    SELECT 'pre' AS phase, tot.n AS n_rows, kr.nk AS n_key_rows,
+           CAST(0 AS BIGINT) AS n_deleted
+    FROM tot, kr
+    UNION ALL
+    SELECT 'post', tot.n - kr.nk, CAST(0 AS BIGINT), kr.nk FROM tot, kr
+    """,
+    doc="Targeted row delete, driver-gated end to end (sinks/"
+    "manifest.delete_where - the GDPR / right-to-be-forgotten path, "
+    "Delta's DELETE WHERE key IN (...)): orders lands in a scratch "
+    "ManifestCatalog as three date-interleaved appends with per-dir "
+    "Bloom bitmaps on o_custkey; deleting 3 customers' rows rewrites "
+    "ONLY the dirs whose blooms might hold those keys (every other "
+    "dir survives byte-for-byte - pruning proven separately in "
+    "tests/test_manifest.py), commits atomically, and returns the "
+    "deleted-row count (gated via the n_deleted column). The PRIOR "
+    "version still reads the pre-delete rows (time travel until "
+    "vacuum - the audit-trail-vs-erasure-deadline dial): the 'pre' "
+    "row aggregates a versioned read AFTER the delete committed. "
+    "NULL keys survive by three-valued IN semantics.",
+    tags=("parity", "storage", "north-star"),
+)
+def orders_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_targeted_delete"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cat = ManifestCatalog(spark, f"file://{root}")
+    # three interleaved appends: each dir's custkey RANGE spans the
+    # table, so only the blooms can localize a customer's rows
+    for m in range(3):
+        cat.append(
+            orders.filter(F.month("o_orderdate") % 3 == m)
+            .select("o_orderkey", "o_custkey"),
+            "del.o",
+            bloom_cols=["o_custkey"],
+        )
+    keys = [
+        r[0]
+        for r in orders.select("o_custkey").distinct().orderBy("o_custkey")
+        .limit(3).collect()
+    ]
+    v_pre = cat.latest_manifest("del.o")["version"]
+    n_del = cat.delete_where("del.o", "o_custkey", keys)
+    pre_df = cat.read("del.o", version=v_pre)
+    post_df = cat.read("del.o")
+    key_col = F.col("o_custkey").isin(keys)
+    pre = pre_df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(key_col.cast("bigint")).cast("bigint").alias("n_key_rows"),
+    ).select(
+        F.lit("pre").alias("phase"), "n_rows", "n_key_rows",
+        F.lit(0).cast("bigint").alias("n_deleted"),
+    )
+    post = post_df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(key_col.cast("bigint")).cast("bigint").alias("n_key_rows"),
+    ).select(
+        F.lit("post").alias("phase"), "n_rows", "n_key_rows",
+        F.lit(int(n_del)).cast("bigint").alias("n_deleted"),
+    )
+    return pre.unionByName(post).localCheckpoint(eager=True)

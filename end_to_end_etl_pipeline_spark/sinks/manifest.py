@@ -712,6 +712,103 @@ class ManifestCatalog:
     def drop(self, name: str) -> None:
         self.fs.delete(self.table_dir(name))
 
+    def delete_where(self, name: str, col: str, values: Sequence) -> int:
+        """Targeted row delete (the GDPR / right-to-be-forgotten path,
+        Delta's ``DELETE WHERE key IN (...)``): rewrite ONLY the data
+        dirs that might contain the keys — bloom-pruned per value,
+        with stats/bloom-less dirs conservatively included — leave
+        every other dir untouched byte-for-byte, and commit the swap
+        atomically.  At scale this is the difference between
+        rewriting the one append that holds a user's rows and
+        rewriting a year of table.
+
+        Versioning: the PRIOR manifest still references the
+        pre-delete dirs, so time-travel reads keep working until
+        :meth:`vacuum` reclaims them — the vacuum retention window is
+        the audit-trail-vs-erasure-deadline dial, exactly as in
+        Delta/Iceberg.  Stats and blooms for untouched dirs carry
+        forward verbatim; the rewritten dir gets fresh ones over the
+        same column sets (a deleted key's bits may linger in other
+        dirs' blooms — blooms overapprove, never skip wrongly).
+
+        Plain (dir-listed) tables only; CAS-retried against
+        concurrent appends (each retry re-prunes against the new
+        manifest; an abandoned rewrite dir is a crash orphan that
+        :meth:`vacuum` collects).  Returns rows deleted."""
+        values = list(values)
+        if not values:
+            return 0
+        while True:
+            manifest = self.latest_manifest(name)
+            if manifest is None:
+                raise FileNotFoundError(f"table {name} has no committed manifest")
+            if manifest.get("bucket_dirs") is not None:
+                raise ValueError(
+                    f"table {name} is bucketed — delete via a bucket "
+                    "rewrite is not implemented"
+                )
+            affected_set: set[str] = set()
+            for v in values:
+                affected_set |= set(
+                    self.bloom_pruned_dirs(name, col, v, version=manifest["version"])
+                )
+            all_dirs = self._dirs(manifest)
+            affected = [d for d in all_dirs if d in affected_set]
+            if not affected:
+                return 0
+            keep = [d for d in all_dirs if d not in affected_set]
+            reader = self.spark.read
+            if len(affected) > 1:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*affected)
+            before = df.count()
+            # NULL keys survive: DELETE WHERE col IN (...) is
+            # three-valued — NULL IN (...) is NULL, not TRUE, so a
+            # bare ~isin would silently drop NULL-keyed rows
+            kept_rows = df.filter(
+                F.col(col).isNull() | ~F.col(col).isin(values)
+            )
+            after = kept_rows.count()
+            if after == before:
+                return 0  # blooms overapproved; nothing actually matched
+            new_dirs = list(keep)
+            stats = dict(manifest.get("stats") or {})
+            blooms = dict(manifest.get("blooms") or {})
+            old_stat_cols = sorted(
+                {c for d in affected for c in (stats.get(d) or {})}
+            )
+            old_bloom_cols = sorted(
+                {c for d in affected for c in (blooms.get(d) or {})}
+            )
+            for d in affected:
+                stats.pop(d, None)
+                blooms.pop(d, None)
+            if after > 0:
+                data_dir = self._new_data_dir(name)
+                kept_rows.write.mode("overwrite").parquet(data_dir)
+                new_dirs.append(data_dir)
+                if old_stat_cols:
+                    stats[data_dir] = self._dir_stats(data_dir, old_stat_cols)
+                if old_bloom_cols:
+                    blooms[data_dir] = self._dir_blooms(data_dir, old_bloom_cols)
+            extras = {
+                k: v
+                for k, v in manifest.items()
+                if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
+            }
+            if self._commit_if(
+                name,
+                extras
+                | {
+                    "dirs": new_dirs,
+                    "bucket_dirs": None,
+                    "stats": stats or None,
+                    "blooms": blooms or None,
+                },
+                manifest["version"],
+            ):
+                return before - after
+
     # -- maintenance ----------------------------------------------------
     def optimize(
         self,

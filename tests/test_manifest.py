@@ -859,3 +859,50 @@ def test_append_bucketed_cas_rebase_keeps_concurrent_commit(spark, cat):
     assert m["ann_last_batch_id"] == 7  # winner's marker survived the rebase
     got = sorted(r.v for r in cat.read("cas.t").collect())
     assert got == ["a", "b", "c", "d"]
+
+
+def test_delete_where_rewrites_only_bloomed_dirs(spark, tmp_path):
+    """Targeted delete: dirs whose blooms exclude every key survive
+    byte-for-byte (same path objects in the new manifest); the delete
+    count is exact; NULL keys survive three-valued IN; the prior
+    version still time-travels to the pre-delete rows."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    # three appends with DISJOINT key groups so pruning is decisive
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(10)]
+            + ([(None, "null-row")] if lo == 0 else []),
+            "k bigint, v string",
+        )
+        cat.append(df, "t", bloom_cols=["k"])
+    m0 = cat.latest_manifest("t")
+    dirs0 = list(m0["dirs"])
+    assert len(dirs0) == 3
+    v_pre = m0["version"]
+
+    n = cat.delete_where("t", "k", [105, 107])
+    assert n == 2
+    m1 = cat.latest_manifest("t")
+    dirs1 = list(m1["dirs"])
+    # the two unaffected dirs carry forward verbatim
+    untouched = [d for d in dirs0 if d in dirs1]
+    assert len(untouched) == 2
+    # their stats/bloom entries carried too
+    for d in untouched:
+        assert d in (m1.get("blooms") or {})
+    # rows: 31 - 2 deleted, NULL row intact
+    rows = cat.read("t").collect()
+    assert len(rows) == 29
+    assert sum(1 for r in rows if r["k"] is None) == 1
+    assert not any(r["k"] in (105, 107) for r in rows if r["k"] is not None)
+    # time travel to pre-delete
+    assert cat.read("t", version=v_pre).count() == 31
+    # point-reads on survivors still bloom-prune to one dir
+    assert len(cat.bloom_pruned_dirs("t", "k", 5)) == 1
+
+    # deleting an absent key is a no-op at version level
+    v_now = m1["version"]
+    assert cat.delete_where("t", "k", [99999]) == 0
+    assert cat.latest_manifest("t")["version"] == v_now

@@ -136,7 +136,8 @@ def test_driver_window_contract():
         "preference-pairs": {"preference_pair_mining"},
         "feature-prep": {"priority_target_encoding"},
         "storage-engine": {"bloom_point_lookup", "orders_change_data_feed",
-                           "orders_time_travel_vacuum", "zorder_range_read"},
+                           "orders_time_travel_vacuum", "zorder_range_read",
+                           "orders_targeted_delete"},
         "kmeans-vectors": {"label_centroids", "embedding_int8_quantize"},
         "sketch": {"word_heavy_hitters_cms", "bloom_seen_docs",
                    "daily_uniques_hll", "daily_uniques_bitmap"},

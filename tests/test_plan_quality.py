@@ -97,6 +97,7 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "preference_pair_mining",
         "priority_target_encoding",
         "cosine_topk_ivf_adaptive",
+        "orders_targeted_delete",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
 
