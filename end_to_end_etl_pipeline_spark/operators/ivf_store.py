@@ -637,3 +637,32 @@ def ivfpq_store_topk(
         .select("query_id", "match_id", "l2sq")
     )
     return result, cells
+
+
+def delete_from_ivfpq_store(
+    catalog: ManifestCatalog, table: str, ids: list
+) -> int:
+    """Remove vectors from the persisted IVFADC index — the delete
+    leg of index maintenance (write → append → compact → DELETE):
+    a change-proportional bucket rewrite via
+    :meth:`ManifestCatalog.delete_bucketed_where` (deleting k ids
+    rewrites at most k cells' dirs; untouched cells survive
+    byte-for-byte), with the manifest's ``cell_counts`` decremented
+    in the SAME commit so the adaptive probe's metadata stays exact.
+    Centroids and codebook stay frozen, like append — the quantizer
+    never moves under existing rows.  Returns vectors removed."""
+    manifest = catalog.latest_manifest(table)
+    if manifest is None or manifest.get("bucket_fn") != "identity":
+        raise ValueError(
+            f"table {table} is not an IVF store (write_ivfpq_store first)"
+        )
+    id_col = manifest["ivf_id_col"]
+
+    def _dec(cur: dict, deleted_by_bucket: dict) -> dict:
+        counts = dict(cur.get("cell_counts") or {})
+        for b, c in deleted_by_bucket.items():
+            k = str(b)
+            counts[k] = max(0, int(counts.get(k, 0)) - int(c))
+        return {"cell_counts": counts}
+
+    return catalog.delete_bucketed_where(table, id_col, ids, extras_fn=_dec)

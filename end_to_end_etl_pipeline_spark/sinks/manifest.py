@@ -809,6 +809,117 @@ class ManifestCatalog:
             ):
                 return before - after
 
+    def delete_bucketed_where(
+        self, name: str, col: str, values: Sequence, extras_fn=None
+    ) -> int:
+        """Targeted row delete on a BUCKETED table (the index-
+        maintenance counterpart of :meth:`delete_where` — e.g.
+        removing vectors from the IVF store or signatures from the
+        dedup store): rewrite ONLY the buckets that actually hold
+        matching rows, replacing each affected bucket's dir list with
+        one compacted dir; every other bucket's dirs survive
+        byte-for-byte.
+
+        Discovery is one column-pruned scan (key columns only) that
+        recomputes each row's bucket from the manifest's bucket
+        contract (``identity`` / ``hash_pmod`` over ``bucket_keys``),
+        so affected buckets and exact per-bucket delete counts come
+        from a single job — deleting k rows then rewrites at most k
+        buckets, change-proportional like every other maintenance op
+        here.
+
+        ``extras_fn(manifest, deleted_by_bucket) -> dict`` merges
+        store-specific metadata into the SAME commit (the IVF store
+        decrements its ``cell_counts`` this way) and is evaluated
+        inside the CAS loop against the current manifest.  If a
+        concurrent append lands in an AFFECTED bucket between read
+        and commit, the whole delete restarts against the new state
+        (replacing that bucket's dirs would silently drop the
+        concurrent rows); appends to other buckets merge fine.
+        Returns rows deleted."""
+        values = list(values)
+        if not values:
+            return 0
+        while True:
+            manifest = self.latest_manifest(name)
+            if manifest is None:
+                raise FileNotFoundError(f"table {name} has no committed manifest")
+            if manifest.get("bucket_dirs") is None:
+                raise ValueError(
+                    f"table {name} is unbucketed — use delete_where"
+                )
+            n = manifest["n_buckets"]
+            keys = list(manifest.get("bucket_keys") or [])
+            fn = manifest.get("bucket_fn", "hash_pmod")
+            if fn == "identity":
+                bucket_expr = F.col(keys[0]).cast("int")
+            elif fn == "hash_pmod":
+                bucket_expr = F.pmod(
+                    F.hash(*[F.col(k) for k in keys]), F.lit(n)
+                ).cast("int")
+            else:
+                raise ValueError(f"unknown bucket_fn {fn!r}")
+            matches = self.read(name).filter(F.col(col).isin(values))
+            per_bucket = {
+                int(r["b"]): int(r["c"])
+                for r in matches.groupBy(bucket_expr.alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            if not per_bucket:
+                return 0
+            affected = sorted(per_bucket)
+            base_lists = {
+                str(b): list(manifest["bucket_dirs"].get(str(b), []))
+                for b in affected
+            }
+            kept = self.read(name, buckets=affected).filter(
+                F.col(col).isNull() | ~F.col(col).isin(values)
+            )
+            data_dir = self._new_data_dir(name)
+            (
+                kept.withColumn(BUCKET_COL, bucket_expr)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(data_dir)
+            )
+            new_subdirs: dict[str, str] = {}
+            for p in self.fs.listdir(data_dir):
+                base = p.rsplit("/", 1)[-1]
+                if base.startswith(f"{BUCKET_COL}="):
+                    new_subdirs[base.split("=", 1)[1]] = p
+            restart = False
+            while True:
+                cur = self.latest_manifest(name)
+                stale = any(
+                    list(cur["bucket_dirs"].get(b, [])) != ds
+                    for b, ds in base_lists.items()
+                )
+                if stale:
+                    restart = True  # an affected bucket moved under us
+                    break
+                bucket_dirs = {
+                    b: list(ds) for b, ds in cur["bucket_dirs"].items()
+                }
+                for b in affected:
+                    sub = new_subdirs.get(str(b))
+                    bucket_dirs[str(b)] = [sub] if sub else []
+                extras = {
+                    k: v
+                    for k, v in cur.items()
+                    if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
+                }
+                if self._commit_if(
+                    name,
+                    extras
+                    | {"dirs": None, "bucket_dirs": bucket_dirs}
+                    | (extras_fn(cur, per_bucket) if extras_fn else {}),
+                    cur["version"],
+                ):
+                    return sum(per_bucket.values())
+            if restart:
+                continue
+
     # -- maintenance ----------------------------------------------------
     def optimize(
         self,

@@ -150,3 +150,58 @@ def test_adaptive_cut_rule():
     assert _adaptive_cut(pairs, counts, 60) == [(0, 5), (0, 2), (1, 2), (1, 5)]
     # unknown cell counts as 0 (never blocks later cells)
     assert _adaptive_cut([(0, 7), (0, 5)], counts, 10) == [(0, 7), (0, 5)]
+
+
+def test_ivf_store_delete_is_change_proportional_and_exact(spark, tmp_path):
+    """Deleting vectors from the IVFADC store rewrites only the cells
+    that held them (other cells' dirs survive verbatim), decrements
+    cell_counts in the same commit, and the store then answers
+    queries exactly like a write-once store built without those
+    vectors (same frozen quantizer)."""
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        delete_from_ivfpq_store,
+        ivfpq_store_topk,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    cb = pq_train(emb, "vec_id", "embedding", num_subspaces=8, num_centroids=8)
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    write_ivfpq_store(cat, emb, "vec_id", "embedding", "label", cb,
+                      "ann.pq", dim=dim)
+    m0 = cat.latest_manifest("ann.pq")
+    # ids from exactly two cells
+    victims = [r["vec_id"] for r in
+               emb.filter(F.col("label").isin(0, 1)).orderBy("vec_id")
+               .limit(4).collect()]
+    victim_cells = {r["label"] for r in
+                    emb.filter(F.col("vec_id").isin(victims)).collect()}
+    n = delete_from_ivfpq_store(cat, "ann.pq", victims)
+    assert n == len(victims)
+    m1 = cat.latest_manifest("ann.pq")
+    for b, ds in m0["bucket_dirs"].items():
+        if int(b) not in victim_cells:
+            assert m1["bucket_dirs"][b] == ds, f"cell {b} rewritten needlessly"
+    # counts decremented exactly
+    per_cell = {str(r["label"]): r["n"] for r in
+                emb.filter(F.col("vec_id").isin(victims))
+                .groupBy("label").agg(F.count("*").alias("n")).collect()}
+    for b, c in per_cell.items():
+        assert m1["cell_counts"][b] == m0["cell_counts"][b] - c
+    # equivalence to a write-once store without the victims, same
+    # frozen quantizer (pin the centroids side table)
+    once = ManifestCatalog(spark, f"file://{tmp_path}/once")
+    write_ivfpq_store(once, emb.filter(~F.col("vec_id").isin(victims)),
+                      "vec_id", "embedding", "label", cb, "ann.pq", dim=dim)
+    once.replace_atomic(cat.read("ann.pq__centroids"), "ann.pq__centroids")
+    queries = emb.orderBy("vec_id").limit(3)
+    got, _ = ivfpq_store_topk(cat, "ann.pq", queries, "vec_id", "embedding",
+                              k=3, nprobe=3)
+    want, _ = ivfpq_store_topk(once, "ann.pq", queries, "vec_id", "embedding",
+                               k=3, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # deleted ids never come back
+    assert not set(r["match_id"] for r in got.collect()) & set(victims)
