@@ -205,3 +205,54 @@ def test_ivf_store_delete_is_change_proportional_and_exact(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # deleted ids never come back
     assert not set(r["match_id"] for r in got.collect()) & set(victims)
+
+
+def test_text_index_tombstone_delete_and_purge(spark, tmp_path):
+    """Mark-then-purge deletion on the inverted index: after the mark,
+    search scores equal a fresh index built WITHOUT the docs (stats
+    decremented + read-time filter); after the purge the postings are
+    physically gone, the tombstone list is empty, and results are
+    unchanged."""
+    from end_to_end_etl_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        purge_text_index_tombstones,
+        text_index_search,
+        write_text_index,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data fast"),
+            (2, "spark caches data"),
+            (3, "ducks swim on water"),
+            (4, "spark spark spark streams"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame([(0, "spark")], "query_id bigint, word string")
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/a")
+    write_text_index(cat, docs, "doc_id", "text", "idx", n_buckets=8)
+    n = delete_from_text_index(cat, "idx", [2, 999])
+    assert n == 1  # 999 absent
+    m = cat.latest_manifest("idx")
+    assert m["ti_deleted_ids"] == [2]
+    assert m["ti_n_docs"] == 3 and m["ti_sum_dl"] == 4 + 4 + 4  # doc2's 3 gone
+
+    fresh = ManifestCatalog(spark, f"file://{tmp_path}/b")
+    write_text_index(fresh, docs.filter("doc_id <> 2"), "doc_id", "text",
+                     "idx", n_buckets=8)
+    got, _ = text_index_search(cat, "idx", queries, k=10)
+    want, _ = text_index_search(fresh, "idx", queries, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    purged = purge_text_index_tombstones(cat, "idx")
+    assert purged > 0
+    m2 = cat.latest_manifest("idx")
+    assert m2["ti_deleted_ids"] == []
+    assert cat.read("idx").filter("doc_id = 2").count() == 0
+    got2, _ = text_index_search(cat, "idx", queries, k=10)
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want.collect()))
+    # idempotent re-delete is a no-op
+    assert delete_from_text_index(cat, "idx", [2]) == 0
