@@ -209,6 +209,29 @@ class MinHashDedupStore:
         sig_new.unpersist()
         return accepted, rejected
 
+    def delete(self, ids) -> int:
+        """Un-ingest documents (takedowns, re-licensing, GDPR): remove
+        their signature rows — and, in bucketed mode, their band rows
+        (change-proportional: one doc touches ≤ ``bands`` buckets) —
+        so the store no longer remembers them and a future near-dup
+        of a deleted doc is ACCEPTED again.  The signature table
+        holds no raw text (the sketch is one-way), but erasure
+        removes even the sketch.  Rides the catalog's targeted-delete
+        CAS commits (`delete_where` / `delete_bucketed_where`), so
+        prior versions stay time-travelable until vacuum.  Returns
+        signatures removed."""
+        ids = list(ids)
+        if not ids or not self.catalog.exists(self.table):
+            return 0
+        n = self.catalog.delete_where(self.table, self.id_col, ids)
+        if self.band_buckets is not None and self.catalog.exists(
+            self.bands_table
+        ):
+            self.catalog.delete_bucketed_where(
+                self.bands_table, self.id_col, ids
+            )
+        return n
+
     def _decide(
         self, docs: DataFrame, text_col: str, cache: bool = True
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
