@@ -285,3 +285,22 @@ def purge_text_index_tombstones(catalog: ManifestCatalog, table: str) -> int:
         table, "doc_id", deleted,
         extras_fn=lambda cur, _by_bucket: {"ti_deleted_ids": []},
     )
+
+
+def maybe_purge_text_index(
+    catalog: ManifestCatalog, table: str, max_tombstones: int = 1024
+) -> int:
+    """Tombstone-pressure policy, the deletion counterpart of
+    ``ManifestCatalog.maybe_optimize``: purge only once the tombstone
+    list exceeds ``max_tombstones`` — below that, the read-time
+    filter is cheaper than a full-bucket rewrite, and the manifest
+    stays model-parameter-sized.  Call at the same cadence as
+    compaction (e.g. from a streaming bridge after N batches).
+    Returns posting rows purged (0 = below threshold or nothing
+    marked)."""
+    manifest = catalog.latest_manifest(table)
+    if manifest is None or "ti_n_docs" not in manifest:
+        raise ValueError(f"table {table} is not a text index (write first)")
+    if len(manifest.get("ti_deleted_ids") or []) <= max_tombstones:
+        return 0
+    return purge_text_index_tombstones(catalog, table)

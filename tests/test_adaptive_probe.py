@@ -297,3 +297,28 @@ def test_dedup_store_delete_unremembers_docs(spark, tmp_path):
         assert acc3.count() == 1 and rej3.count() == 0
         # absent id delete is a no-op
         assert store.delete([999]) == 0
+
+
+def test_maybe_purge_text_index_threshold(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        maybe_purge_text_index,
+        write_text_index,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common text") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    write_text_index(cat, docs, "doc_id", "text", "idx", n_buckets=4)
+    delete_from_text_index(cat, "idx", [0, 1])
+    # under threshold: no rewrite, tombstones remain
+    assert maybe_purge_text_index(cat, "idx", max_tombstones=5) == 0
+    assert cat.latest_manifest("idx")["ti_deleted_ids"] == [0, 1]
+    # over threshold: physical purge, list cleared
+    assert maybe_purge_text_index(cat, "idx", max_tombstones=1) > 0
+    m = cat.latest_manifest("idx")
+    assert m["ti_deleted_ids"] == []
+    assert cat.read("idx").filter("doc_id in (0, 1)").count() == 0
