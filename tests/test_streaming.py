@@ -767,3 +767,69 @@ def test_foreach_batch_bitmap_uniques_exact_and_replay(spark, tmp_path):
     b2 = spark.read.schema(SCHEMA).json(os.path.join(d, "b2.json"))
     assert apply_bitmap_batch(cat, "g.bm", "user_id", "ts", b2, 1) is False
     assert sorted(map(tuple, cat.read("g.bm").collect())) == before
+
+
+def test_foreach_batch_takedown_deletes_across_batches(spark, tmp_path):
+    """A streamed feed of takedown requests tombstones the docs in the
+    text index batch by batch; results afterwards equal an index built
+    without them, and the bounded-collect guard fails loudly on a
+    corpus-scale mis-wire."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from end_to_end_etl_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        text_index_search,
+        write_text_index,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_takedown,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} spark shared words") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    write_text_index(cat, docs, "doc_id", "text", "idx.t", n_buckets=4)
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    for fname, ids in (("b1.json", [1, 2]), ("b2.json", [2, 5])):
+        with open(os.path.join(d, fname), "w") as f:
+            f.write("\n".join(_json.dumps({"doc_id": i}) for i in ids))
+    stream = read_stream_files(
+        spark, d, "doc_id bigint", max_files_per_trigger=1
+    )
+    q = foreach_batch_takedown(
+        stream, str(tmp_path / "ck"),
+        apply_delete=lambda ids: delete_from_text_index(cat, "idx.t", ids),
+    )
+    q.awaitTermination(120)
+
+    m = cat.latest_manifest("idx.t")
+    assert m["ti_deleted_ids"] == [1, 2, 5]  # overlap converged (idempotent)
+    assert m["ti_n_docs"] == 5
+    queries = spark.createDataFrame([(0, "spark")], "query_id bigint, word string")
+    got, _ = text_index_search(cat, "idx.t", queries, k=10)
+    fresh = ManifestCatalog(spark, f"file://{tmp_path}/fresh")
+    write_text_index(fresh, docs.filter(~F.col("doc_id").isin(1, 2, 5)),
+                     "doc_id", "text", "idx.t", n_buckets=4)
+    want, _ = text_index_search(fresh, "idx.t", queries, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # corpus-scale mis-wire fails loudly, not silently truncated
+    big = str(tmp_path / "big")
+    os.makedirs(big)
+    with open(os.path.join(big, "b.json"), "w") as f:
+        f.write("\n".join(_json.dumps({"doc_id": i}) for i in range(50)))
+    stream2 = read_stream_files(spark, big, "doc_id bigint")
+    q2 = foreach_batch_takedown(
+        stream2, str(tmp_path / "ck2"),
+        apply_delete=lambda ids: 0, max_ids_per_batch=10,
+    )
+    with _pytest.raises(Exception, match="request-scale"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
