@@ -809,6 +809,109 @@ class ManifestCatalog:
             ):
                 return before - after
 
+    def delete_range(self, name: str, col: str, lo, hi) -> int:
+        """Range-targeted delete — retention enforcement ("drop
+        everything with ``col`` in [lo, hi]", typically an age
+        cutoff): the range sibling of :meth:`delete_where`, pruned by
+        the per-dir min/max STATS instead of blooms.  Dirs entirely
+        inside the range are dropped WITHOUT being read or rewritten
+        (the common case for time-ordered appends — expiring a month
+        means unlinking that month's dirs from the manifest); dirs
+        straddling a boundary are rewritten filtered; dirs outside,
+        and stat-less dirs' complement, survive byte-for-byte.  NULLs
+        survive (BETWEEN is three-valued).  Prior versions stay
+        time-travelable until vacuum.  Returns rows deleted."""
+        while True:
+            manifest = self.latest_manifest(name)
+            if manifest is None:
+                raise FileNotFoundError(f"table {name} has no committed manifest")
+            if manifest.get("bucket_dirs") is not None:
+                raise ValueError(
+                    f"table {name} is bucketed — range delete is for "
+                    "plain (dir-listed) tables"
+                )
+            stats = dict(manifest.get("stats") or {})
+            blooms = dict(manifest.get("blooms") or {})
+            all_dirs = self._dirs(manifest)
+            drop, rewrite, keep = [], [], []
+            for d in all_dirs:
+                rng = (stats.get(d) or {}).get(col)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    rewrite.append(d)  # unknown range: must look
+                elif rng[1] < lo or rng[0] > hi:
+                    keep.append(d)  # disjoint: untouched
+                elif lo <= rng[0] and rng[1] <= hi:
+                    drop.append(d)  # wholly inside: unlink, no read
+                else:
+                    rewrite.append(d)  # straddles a boundary
+            if not drop and not rewrite:
+                return 0
+            deleted = 0
+            new_dirs = list(keep)
+            if drop:
+                # min/max stats ignore NULLs, so a "wholly inside" dir
+                # can still hold NULL rows that must SURVIVE (BETWEEN
+                # is three-valued) — one column-pruned probe decides
+                # between pure unlink and demotion to the rewrite path
+                reader = self.spark.read
+                if len(drop) > 1:
+                    reader = reader.option("mergeSchema", "true")
+                df_drop = reader.parquet(*drop)
+                if df_drop.filter(F.col(col).isNull()).limit(1).count() > 0:
+                    rewrite = rewrite + drop
+                    drop = []
+                else:
+                    deleted += df_drop.count()
+            old_stat_cols = sorted(
+                {c for d in drop + rewrite for c in (stats.get(d) or {})}
+            )
+            old_bloom_cols = sorted(
+                {c for d in drop + rewrite for c in (blooms.get(d) or {})}
+            )
+            for d in drop + rewrite:
+                stats.pop(d, None)
+                blooms.pop(d, None)
+            if rewrite:
+                reader = self.spark.read
+                if len(rewrite) > 1:
+                    reader = reader.option("mergeSchema", "true")
+                df = reader.parquet(*rewrite)
+                before = df.count()
+                kept_rows = df.filter(
+                    F.col(col).isNull() | ~F.col(col).between(lo, hi)
+                )
+                after = kept_rows.count()
+                deleted += before - after
+                if after > 0:
+                    data_dir = self._new_data_dir(name)
+                    kept_rows.write.mode("overwrite").parquet(data_dir)
+                    new_dirs.append(data_dir)
+                    if old_stat_cols:
+                        stats[data_dir] = self._dir_stats(data_dir, old_stat_cols)
+                    if old_bloom_cols:
+                        blooms[data_dir] = self._dir_blooms(
+                            data_dir, old_bloom_cols
+                        )
+            if deleted == 0:
+                return 0  # stats overapproved; nothing matched
+            extras = {
+                k: v
+                for k, v in manifest.items()
+                if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
+            }
+            if self._commit_if(
+                name,
+                extras
+                | {
+                    "dirs": new_dirs,
+                    "bucket_dirs": None,
+                    "stats": stats or None,
+                    "blooms": blooms or None,
+                },
+                manifest["version"],
+            ):
+                return deleted
+
     def delete_bucketed_where(
         self, name: str, col: str, values: Sequence, extras_fn=None
     ) -> int:

@@ -906,3 +906,64 @@ def test_delete_where_rewrites_only_bloomed_dirs(spark, tmp_path):
     v_now = m1["version"]
     assert cat.delete_where("t", "k", [99999]) == 0
     assert cat.latest_manifest("t")["version"] == v_now
+
+
+def test_delete_range_retention_unlinks_whole_dirs(spark, tmp_path):
+    """Retention enforcement: dirs wholly inside the expired range
+    are unlinked WITHOUT a rewrite (no new dir replaces them),
+    straddling dirs are rewritten filtered, disjoint dirs survive
+    verbatim, NULLs survive, and the prior version time-travels."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    # dir A: days 1-10 (wholly expired), dir B: days 8-20 would
+    # straddle — make B days 11-20 disjoint and C straddle 5-15
+    for lo, hi in ((1, 10), (11, 20), (5, 15)):
+        rows = [(d, f"r{d}") for d in range(lo, hi + 1)]
+        if lo == 5:  # NULL rides the straddling dir; dir A stays
+            rows.append((None, "null-day"))  # NULL-free -> pure unlink
+        cat.append(
+            spark.createDataFrame(rows, "day int, v string"),
+            "t", stats_cols=["day"],
+        )
+    m0 = cat.latest_manifest("t")
+    dirs0 = list(m0["dirs"])
+    v_pre = m0["version"]
+    total0 = cat.read("t").count()
+
+    # expire days 1..10: dir A dropped whole, dir C rewritten, B kept
+    n = cat.delete_range("t", "day", 1, 10)
+    # deleted: A's 10 real rows (NULL survives) + C's days 5..10 (6)
+    assert n == 16
+    m1 = cat.latest_manifest("t")
+    dirs1 = list(m1["dirs"])
+    assert dirs0[1] in dirs1          # disjoint dir untouched
+    assert dirs0[0] not in dirs1      # expired dir unlinked
+    assert dirs0[2] not in dirs1      # straddler replaced
+    rows = cat.read("t").collect()
+    assert len(rows) == total0 - 16
+    assert sum(1 for r in rows if r["day"] is None) == 1
+    assert all(r["day"] is None or r["day"] > 10 for r in rows)
+    # stats carried/recomputed: range reads still prune
+    assert dirs0[1] in cat.pruned_dirs("t", "day", 12, 13)
+    assert cat.read("t", version=v_pre).count() == total0
+    # disjoint range is a no-op at version level
+    assert cat.delete_range("t", "day", 100, 200) == 0
+    assert cat.latest_manifest("t")["version"] == m1["version"]
+
+
+def test_delete_range_null_in_expired_dir_survives(spark, tmp_path):
+    """A dir wholly inside the expired range but holding NULL rows is
+    demoted to a rewrite (NULLs survive) instead of being unlinked."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    cat.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "keep-me")], "day int, v string"
+        ),
+        "t", stats_cols=["day"],
+    )
+    assert cat.delete_range("t", "day", 1, 10) == 2
+    rows = cat.read("t").collect()
+    assert len(rows) == 1 and rows[0]["v"] == "keep-me"
