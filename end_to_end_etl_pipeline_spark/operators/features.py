@@ -25,7 +25,6 @@ def target_encode_oof(
     category_col: str,
     target_col: str,
     fold_expr: Column,
-    n_folds: int = 5,
     smoothing: float = 20.0,
     out_col: str = "te",
 ) -> DataFrame:

@@ -321,8 +321,10 @@ def write_ivfpq_store(
     # per-cell row counts ride the manifest (cells-scale metadata):
     # the adaptive probe's candidate-count floor is then a pure
     # driver-side arithmetic over the manifest — no corpus touch at
-    # query time. Counted from the written store, not the input plan,
-    # so the numbers are exactly what a reader will see.
+    # query time. Counted from the written store, not the input plan:
+    # the numbers are exactly what a reader will see, AND a columnar
+    # cell-only scan of the just-written files is far cheaper than
+    # re-running the PQ-encode projection over the corpus.
     cell_counts = {
         str(int(r["cell"])): int(r["n"])
         for r in catalog.spark.read.parquet(data_dir)
@@ -486,6 +488,11 @@ def append_ivfpq_store(
     # cell_counts INSIDE the CAS loop (extras_fn) so concurrent
     # appends can't clobber each other's increments — keeps the
     # adaptive probe's metadata exact across any append interleaving
+    # persist the encoded batch: it is consumed twice (the count
+    # collect below, then the parquet write inside append_bucketed) —
+    # without the cache the PQ-encode projection would run twice per
+    # micro-batch
+    df = df.persist()
     batch_counts = {
         str(int(r["cell"])): int(r["n"])
         for r in df.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -497,18 +504,21 @@ def append_ivfpq_store(
             base[cell] = base.get(cell, 0) + n
         return {"cell_counts": base}
 
-    catalog.append_bucketed(
-        df,
-        table,
-        F.col("cell"),
-        manifest["n_buckets"],
-        ["cell"],
-        bucket_fn="identity",
-        extras_update=(
-            {"ann_last_batch_id": int(batch_id)} if batch_id is not None else None
-        ),
-        extras_fn=_merge_counts,
-    )
+    try:
+        catalog.append_bucketed(
+            df,
+            table,
+            F.col("cell"),
+            manifest["n_buckets"],
+            ["cell"],
+            bucket_fn="identity",
+            extras_update=(
+                {"ann_last_batch_id": int(batch_id)} if batch_id is not None else None
+            ),
+            extras_fn=_merge_counts,
+        )
+    finally:
+        df.unpersist()
     return True
 
 

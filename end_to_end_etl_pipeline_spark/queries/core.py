@@ -3623,7 +3623,7 @@ def priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return target_encode_oof(
         orders, "priority", "price_dec",
-        fold_expr=F.col("o_orderkey") % 5, n_folds=5, smoothing=20.0,
+        fold_expr=F.col("o_orderkey") % 5, smoothing=20.0,
     )
 
 

@@ -242,6 +242,15 @@ class ManifestCatalog:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
+    def _read_dirs(self, dirs: Sequence[str]) -> DataFrame:
+        """Scan an explicit dir list with the catalog's footer-merge
+        convention (mergeSchema only when >1 dir — single-dir reads
+        skip the footer-merge job)."""
+        reader = self.spark.read
+        if len(dirs) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
+
     def _dir_stats(self, data_dir: str, stats_cols: Sequence[str]) -> dict:
         """Per-data-dir min/max column stats for manifest-level data
         skipping (the file-stats half of Iceberg/Delta pruning,
@@ -361,6 +370,16 @@ class ManifestCatalog:
         )
         if manifest is None:
             raise FileNotFoundError(f"table {name} has no committed manifest")
+        col_type = self.read(name).schema[col].dataType
+        return self._bloom_pruned_dirs_resolved(manifest, col, value, col_type)
+
+    def _bloom_pruned_dirs_resolved(
+        self, manifest: dict, col: str, value, col_type
+    ) -> list[str]:
+        """:meth:`bloom_pruned_dirs` after manifest/column-type
+        resolution — batch callers (``delete_where`` probing many
+        values) resolve ONCE and loop here instead of paying a
+        manifest read + schema resolution per value."""
         blooms = manifest.get("blooms") or {}
         if value is None:
             return self._dirs(manifest)
@@ -377,7 +396,6 @@ class ManifestCatalog:
             ByteType, IntegerType, LongType, ShortType, StringType,
         )
 
-        col_type = self.read(name).schema[col].dataType
         fast = (
             isinstance(value, str) and isinstance(col_type, StringType)
         ) or (
@@ -735,7 +753,12 @@ class ManifestCatalog:
         concurrent appends (each retry re-prunes against the new
         manifest; an abandoned rewrite dir is a crash orphan that
         :meth:`vacuum` collects).  Returns rows deleted."""
-        values = list(values)
+        # NULL values cannot match by equality, but a NULL inside an
+        # IN-list poisons the KEEP filter: for every non-matching row
+        # ``x IN (ids..., NULL)`` is NULL, ``~NULL`` is NULL, and the
+        # rewrite would silently drop (nearly) the whole table — so
+        # strip them up front
+        values = [v for v in values if v is not None]
         if not values:
             return 0
         while True:
@@ -747,20 +770,21 @@ class ManifestCatalog:
                     f"table {name} is bucketed — delete via a bucket "
                     "rewrite is not implemented"
                 )
+            # resolve the column type ONCE for the whole key batch —
+            # a per-value bloom_pruned_dirs call would re-read the
+            # manifest and re-resolve the parquet schema per key
+            col_type = self.read(name).schema[col].dataType
             affected_set: set[str] = set()
             for v in values:
                 affected_set |= set(
-                    self.bloom_pruned_dirs(name, col, v, version=manifest["version"])
+                    self._bloom_pruned_dirs_resolved(manifest, col, v, col_type)
                 )
             all_dirs = self._dirs(manifest)
             affected = [d for d in all_dirs if d in affected_set]
             if not affected:
                 return 0
             keep = [d for d in all_dirs if d not in affected_set]
-            reader = self.spark.read
-            if len(affected) > 1:
-                reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(*affected)
+            df = self._read_dirs(affected)
             before = df.count()
             # NULL keys survive: DELETE WHERE col IN (...) is
             # three-valued — NULL IN (...) is NULL, not TRUE, so a
@@ -853,15 +877,29 @@ class ManifestCatalog:
                 # can still hold NULL rows that must SURVIVE (BETWEEN
                 # is three-valued) — one column-pruned probe decides
                 # between pure unlink and demotion to the rewrite path
-                reader = self.spark.read
-                if len(drop) > 1:
-                    reader = reader.option("mergeSchema", "true")
-                df_drop = reader.parquet(*drop)
+                df_drop = self._read_dirs(drop)
                 if df_drop.filter(F.col(col).isNull()).limit(1).count() > 0:
                     rewrite = rewrite + drop
                     drop = []
                 else:
                     deleted += df_drop.count()
+            if rewrite:
+                df = self._read_dirs(rewrite)
+                before = df.count()
+                kept_rows = df.filter(
+                    F.col(col).isNull() | ~F.col(col).between(lo, hi)
+                )
+                after = kept_rows.count()
+                if after == before:
+                    # stats overapproved (stat-less dirs, or a
+                    # straddling range holding no rows): the rewrite
+                    # dirs are byte-identical — keep them, write
+                    # NOTHING (an unconditional rewrite would orphan a
+                    # full copy of the table on every no-op call)
+                    new_dirs.extend(rewrite)
+                    rewrite = []
+                else:
+                    deleted += before - after
             old_stat_cols = sorted(
                 {c for d in drop + rewrite for c in (stats.get(d) or {})}
             )
@@ -871,29 +909,16 @@ class ManifestCatalog:
             for d in drop + rewrite:
                 stats.pop(d, None)
                 blooms.pop(d, None)
-            if rewrite:
-                reader = self.spark.read
-                if len(rewrite) > 1:
-                    reader = reader.option("mergeSchema", "true")
-                df = reader.parquet(*rewrite)
-                before = df.count()
-                kept_rows = df.filter(
-                    F.col(col).isNull() | ~F.col(col).between(lo, hi)
-                )
-                after = kept_rows.count()
-                deleted += before - after
-                if after > 0:
-                    data_dir = self._new_data_dir(name)
-                    kept_rows.write.mode("overwrite").parquet(data_dir)
-                    new_dirs.append(data_dir)
-                    if old_stat_cols:
-                        stats[data_dir] = self._dir_stats(data_dir, old_stat_cols)
-                    if old_bloom_cols:
-                        blooms[data_dir] = self._dir_blooms(
-                            data_dir, old_bloom_cols
-                        )
+            if rewrite and after > 0:
+                data_dir = self._new_data_dir(name)
+                kept_rows.write.mode("overwrite").parquet(data_dir)
+                new_dirs.append(data_dir)
+                if old_stat_cols:
+                    stats[data_dir] = self._dir_stats(data_dir, old_stat_cols)
+                if old_bloom_cols:
+                    blooms[data_dir] = self._dir_blooms(data_dir, old_bloom_cols)
             if deleted == 0:
-                return 0  # stats overapproved; nothing matched
+                return 0  # nothing matched anywhere; state unchanged
             extras = {
                 k: v
                 for k, v in manifest.items()
@@ -940,7 +965,12 @@ class ManifestCatalog:
         (replacing that bucket's dirs would silently drop the
         concurrent rows); appends to other buckets merge fine.
         Returns rows deleted."""
-        values = list(values)
+        # NULL values cannot match by equality, but a NULL inside an
+        # IN-list poisons the KEEP filter: for every non-matching row
+        # ``x IN (ids..., NULL)`` is NULL, ``~NULL`` is NULL, and the
+        # rewrite would silently drop (nearly) the whole table — so
+        # strip them up front
+        values = [v for v in values if v is not None]
         if not values:
             return 0
         while True:

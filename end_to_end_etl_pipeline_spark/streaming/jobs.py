@@ -850,8 +850,13 @@ def foreach_batch_takedown(
     (caller awaits)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # a malformed request with a NULL id must not reach the
+        # delete APIs (deletes strip NULLs defensively too, but the
+        # feed is where the malformation is diagnosable)
         rows = (
-            batch_df.select(F.col(id_col)).distinct()
+            batch_df.select(F.col(id_col))
+            .filter(F.col(id_col).isNotNull())
+            .distinct()
             .limit(max_ids_per_batch + 1).collect()
         )
         if not rows:

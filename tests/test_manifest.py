@@ -967,3 +967,38 @@ def test_delete_range_null_in_expired_dir_survives(spark, tmp_path):
     assert cat.delete_range("t", "day", 1, 10) == 2
     rows = cat.read("t").collect()
     assert len(rows) == 1 and rows[0]["v"] == "keep-me"
+
+
+def test_delete_where_null_value_in_list_is_stripped(spark, tmp_path):
+    """A NULL inside the delete-values list must not poison the
+    three-valued keep filter (`~col.isin([.., NULL])` is NULL for
+    every non-matching row) — the round-5 review's mass-deletion
+    hole: only the named keys go, everything else survives."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    cat.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)] + [(None, "nullk")],
+            "k bigint, v string",
+        ),
+        "t", bloom_cols=["k"],
+    )
+    assert cat.delete_where("t", "k", [3, None, 7]) == 2
+    rows = cat.read("t").collect()
+    assert len(rows) == 9  # 11 - 2; NULL row and the other 8 survive
+    assert {r["k"] for r in rows if r["k"] is not None} == {0, 1, 2, 4, 5, 6, 8, 9}
+    # all-NULL list is a no-op
+    assert cat.delete_where("t", "k", [None]) == 0
+
+
+def test_delete_bucketed_null_value_stripped(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    )
+    cat.append_bucketed(df, "t", F.pmod(F.hash("k"), F.lit(4)), 4, ["k"])
+    assert cat.delete_bucketed_where("t", "k", [2, None]) == 1
+    assert cat.read("t").count() == 9
