@@ -115,8 +115,9 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # keeping every family represented (test-asserted below). Any NEW
 # operator family lands in the window the round it ships.
 # cosine_topk_ivf_adaptive (new r05 VARIANT of the existing ann
-# family, pytest-parity-green) is a natural r06 rotation candidate
-# for one of the ann slots.
+# family) and orders_retention_expiry (delete_range gate, storage
+# family) are pytest-parity-green and natural r06 rotation
+# candidates for an ann / storage slot respectively.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + medallion e2e (scan→DQ→SCD2→gold KPIs in one row)
     "customer_master",

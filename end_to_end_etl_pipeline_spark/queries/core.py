@@ -3706,3 +3706,72 @@ def orders_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(n_del)).cast("bigint").alias("n_deleted"),
     )
     return pre.unionByName(post).localCheckpoint(eager=True)
+
+
+@register(
+    "orders_retention_expiry",
+    oracle="""
+    WITH m AS (SELECT CAST(month(o_orderdate) AS INT) AS mo FROM orders),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS nx FROM m WHERE mo BETWEEN 1 AND 4)
+    SELECT 'pre' AS phase, tot.n AS n_rows, ex.nx AS n_expired,
+           CAST(0 AS BIGINT) AS n_deleted
+    FROM tot, ex
+    UNION ALL
+    SELECT 'post', tot.n - ex.nx, CAST(0 AS BIGINT), ex.nx FROM tot, ex
+    """,
+    doc="Retention enforcement, end to end (sinks/manifest."
+    "delete_range): orders lands in a scratch ManifestCatalog as "
+    "three appends grouped by order month (months 1-4 / 5-8 / 9-12), "
+    "each dir carrying min/max stats on the month column; expiring "
+    "months 1-4 then UNLINKS the wholly-expired dir from the "
+    "manifest without reading or rewriting it (after a NULL-presence "
+    "probe - min/max can't prove NULL absence and BETWEEN is "
+    "three-valued), leaves the disjoint dirs byte-for-byte, and "
+    "returns the exact expired-row count (gated via n_deleted). "
+    "The prior version still reads the pre-expiry rows (time travel "
+    "until vacuum). Expiring a month of time-ordered appends is a "
+    "manifest edit, not a rewrite - the 100-TB retention story.",
+    tags=("parity", "storage", "north-star"),
+)
+def orders_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_retention"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.month("o_orderdate").cast("int").alias("mo")
+    )
+    cat = ManifestCatalog(spark, f"file://{root}")
+    for lo, hi in ((1, 4), (5, 8), (9, 12)):
+        cat.append(
+            orders.filter(F.col("mo").between(lo, hi)),
+            "ret.o",
+            stats_cols=["mo"],
+        )
+    v_pre = cat.latest_manifest("ret.o")["version"]
+    n_del = cat.delete_range("ret.o", "mo", 1, 4)
+    expired = F.col("mo").between(1, 4)
+    pre = cat.read("ret.o", version=v_pre).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(expired.cast("bigint")).cast("bigint").alias("n_expired"),
+    ).select(
+        F.lit("pre").alias("phase"), "n_rows", "n_expired",
+        F.lit(0).cast("bigint").alias("n_deleted"),
+    )
+    post = cat.read("ret.o").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(expired.cast("bigint")).cast("bigint").alias("n_expired"),
+    ).select(
+        F.lit("post").alias("phase"), "n_rows", "n_expired",
+        F.lit(int(n_del)).cast("bigint").alias("n_deleted"),
+    )
+    return pre.unionByName(post).localCheckpoint(eager=True)
