@@ -279,6 +279,47 @@ def scd2_next_state(
     return history.unionByName(unchanged).unionByName(expired).unionByName(inserts)
 
 
+def scd2_close_keys(
+    target: DataFrame,
+    delete_keys: DataFrame,
+    keys: Sequence[str],
+    as_of: _dt.datetime | str | None = None,
+) -> DataFrame:
+    """Logical member deletion for an SCD2 dimension — the DELETE leg
+    of the MERGE (``WHEN MATCHED AND source.deleted THEN`` in Delta
+    terms, which the reference's two-pass pipeline cannot express):
+    close the CURRENT row of every key in ``delete_keys``
+    (effective_to = ``as_of``, is_current = False) with NO
+    replacement version.  The dimension remembers the member existed
+    — point-in-time joins before ``as_of`` still resolve — but has
+    no current row after.  Keys without a current row are no-ops, so
+    a replayed delete feed converges (idempotent).  History rows pass
+    through untouched.  One join on the business key; pure
+    DataFrame → DataFrame like :func:`scd2_next_state`, bindable to
+    any catalog."""
+    keys = list(keys)
+    as_of_ts = _as_ts(as_of)
+    k = (
+        delete_keys.select(*keys)
+        .distinct()
+        .withColumn("__close", F.lit(True))
+    )
+    cond = F.col("is_current") & F.col("__close").isNotNull()
+    return (
+        target.join(k, keys, "left")
+        .withColumn(
+            "effective_to",
+            F.when(cond, F.lit(as_of_ts).cast("timestamp")).otherwise(
+                F.col("effective_to")
+            ),
+        )
+        .withColumn(
+            "is_current", F.when(cond, F.lit(False)).otherwise(F.col("is_current"))
+        )
+        .drop("__close")
+    )
+
+
 def _as_ts(as_of) -> str:
     if as_of is None:
         return _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")

@@ -115,9 +115,10 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # keeping every family represented (test-asserted below). Any NEW
 # operator family lands in the window the round it ships.
 # cosine_topk_ivf_adaptive (new r05 VARIANT of the existing ann
-# family) and orders_retention_expiry (delete_range gate, storage
+# family), orders_retention_expiry (delete_range gate, storage
+# family), and scd2_member_delete (the MERGE's DELETE leg, scd
 # family) are pytest-parity-green and natural r06 rotation
-# candidates for an ann / storage slot respectively.
+# candidates for an ann / storage / scd slot respectively.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + medallion e2e (scan→DQ→SCD2→gold KPIs in one row)
     "customer_master",

@@ -182,3 +182,56 @@ def orders_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_spent",
         dim.custkey.isNotNull().alias("matched"),
     )
+
+
+_T3 = "1997-07-01 00:00:00"
+
+
+@register(
+    "scd2_member_delete",
+    oracle=f"""
+    WITH {_SQL_DIM_STATE},
+    state AS (
+      SELECT custkey, order_cnt, total_spent, effective_from,
+             effective_to,
+             effective_to = TIMESTAMP '{MAX_TS}' AS is_current
+      FROM dim
+    )
+    SELECT custkey, order_cnt, total_spent, effective_from,
+           CASE WHEN is_current AND custkey % 7 = 0
+                THEN TIMESTAMP '{_T3}' ELSE effective_to END AS effective_to,
+           CASE WHEN is_current AND custkey % 7 = 0
+                THEN FALSE ELSE is_current END AS is_current
+    FROM state
+    """,
+    doc="SCD2 logical member deletion (operators/scd."
+    "scd2_close_keys) - the DELETE leg of the MERGE the reference's "
+    "two-pass pipeline cannot express: after the two-batch "
+    "transition, every 7th customer is deleted from the dimension - "
+    "their CURRENT row closes at the delete timestamp with NO "
+    "replacement version, so point-in-time joins before the delete "
+    "still resolve while the member has no current row after. Keys "
+    "without a current row are no-ops (idempotent - a replayed "
+    "delete feed converges). History rows untouched; one key join.",
+    tags=("parity", "scd"),
+)
+def scd2_member_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.scd import scd2_close_keys
+
+    orders = load(spark, sf_dir, "orders")
+    state1 = scd2_next_state(
+        None, _batch(orders, *_W1), ["custkey"], ["order_cnt", "total_spent"], _T1
+    )
+    state2 = scd2_next_state(
+        state1, _batch(orders, *_W2), ["custkey"], ["order_cnt", "total_spent"], _T2
+    )
+    delete_keys = (
+        orders.select(F.col("o_custkey").alias("custkey"))
+        .filter(F.col("custkey") % 7 == 0)
+        .distinct()
+    )
+    state3 = scd2_close_keys(state2, delete_keys, ["custkey"], _T3)
+    return state3.select(
+        "custkey", "order_cnt", "total_spent",
+        "effective_from", "effective_to", "is_current",
+    )

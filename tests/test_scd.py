@@ -148,3 +148,31 @@ def test_scd3_previous_value_carry(spark, catalog):
 def test_current_snapshot_guarded(spark):
     df = spark.createDataFrame([(1,)], schema="x int")
     assert current_snapshot(df).count() == 1  # no is_current col → pass-through
+
+
+def test_scd2_close_keys_contract(spark):
+    """Member deletion: current row closes at as_of with no
+    replacement; history untouched; absent/closed keys are no-ops
+    (idempotent replay)."""
+    from end_to_end_etl_pipeline_spark.operators.scd import (
+        scd2_close_keys,
+        scd2_next_state,
+    )
+
+    src1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, attr string")
+    src2 = spark.createDataFrame([(1, "a2"), (3, "c")], "k int, attr string")
+    s1 = scd2_next_state(None, src1, ["k"], ["attr"], "2026-01-01 00:00:00")
+    s2 = scd2_next_state(s1, src2, ["k"], ["attr"], "2026-02-01 00:00:00")
+    del_keys = spark.createDataFrame([(2,), (99,)], "k int")
+    s3 = scd2_close_keys(s2, del_keys, ["k"], "2026-03-01 00:00:00")
+    rows = {(r["k"], r["attr"]): (str(r["effective_to"]), r["is_current"])
+            for r in s3.collect()}
+    # key 2's current row closed, no replacement
+    assert rows[(2, "b")] == ("2026-03-01 00:00:00", False)
+    assert not any(k == 2 and cur for (k, _), (_, cur) in rows.items())
+    # untouched members keep current rows; history intact
+    assert rows[(1, "a2")][1] is True and rows[(3, "c")][1] is True
+    assert rows[(1, "a")][1] is False  # expired by the merge, not the delete
+    # replay converges: closing again changes nothing
+    s4 = scd2_close_keys(s3, del_keys, ["k"], "2026-04-01 00:00:00")
+    assert sorted(map(tuple, s4.collect())) == sorted(map(tuple, s3.collect()))
