@@ -116,6 +116,7 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # operator family lands in the window the round it ships.
 # cosine_topk_ivf_adaptive (new r05 VARIANT of the existing ann
 # family), orders_retention_expiry (delete_range gate, storage
+# family), orders_targeted_update (update_where gate, storage
 # family), and scd2_member_delete (the MERGE's DELETE leg, scd
 # family) are pytest-parity-green and natural r06 rotation
 # candidates for an ann / storage / scd slot respectively.

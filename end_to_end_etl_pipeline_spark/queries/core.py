@@ -3775,3 +3775,88 @@ def orders_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(n_del)).cast("bigint").alias("n_deleted"),
     )
     return pre.unionByName(post).localCheckpoint(eager=True)
+
+
+@register(
+    "orders_targeted_update",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_custkey FROM orders ORDER BY 1 LIMIT 3),
+    k AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(CAST(o_totalprice AS DECIMAL(20, 8))), 2) AS sum_pre,
+             round(sum(CAST(o_totalprice * 1.1 AS DECIMAL(20, 8))), 2)
+               AS sum_post
+      FROM orders JOIN keys USING (o_custkey)
+      GROUP BY 1
+    )
+    SELECT 'pre' AS phase, o_custkey AS custkey, n_rows,
+           CAST(sum_pre AS DOUBLE) AS sum_price
+    FROM k
+    UNION ALL
+    SELECT 'post', o_custkey, n_rows, CAST(sum_post AS DOUBLE) FROM k
+    """,
+    doc="Targeted row UPDATE, end to end (sinks/manifest."
+    "update_where - Delta's UPDATE ... WHERE key IN, completing the "
+    "catalog's CRUD surface): orders lands in a scratch "
+    "ManifestCatalog as three date-interleaved appends with Blooms "
+    "on o_custkey; a 10%% price uplift for 3 customers rewrites ONLY "
+    "the dirs whose blooms might hold those keys, applying the set-"
+    "expression (which reads the row's own column) to matching rows "
+    "while everything else passes through byte-for-byte. The 'pre' "
+    "row aggregates a versioned read AFTER the update committed "
+    "(time travel); sums route through DECIMAL(20,8) so they are "
+    "partition-order-independent on both engines.",
+    tags=("parity", "storage", "north-star"),
+)
+def orders_targeted_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_targeted_update"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cat = ManifestCatalog(spark, f"file://{root}")
+    for m in range(3):
+        cat.append(
+            orders.filter(F.month("o_orderdate") % 3 == m)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+            "upd.o",
+            bloom_cols=["o_custkey"],
+        )
+    keys = [
+        r[0]
+        for r in orders.select("o_custkey").distinct().orderBy("o_custkey")
+        .limit(3).collect()
+    ]
+    v_pre = cat.latest_manifest("upd.o")["version"]
+    cat.update_where(
+        "upd.o", "o_custkey", keys,
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+
+    def _agg(df, phase):
+        return (
+            df.filter(F.col("o_custkey").isin(keys))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(20,8)")), 2
+                ).cast("double").alias("sum_price"),
+            )
+            .select(F.lit(phase).alias("phase"), "custkey", "n_rows", "sum_price")
+        )
+
+    out = _agg(cat.read("upd.o", version=v_pre), "pre").unionByName(
+        _agg(cat.read("upd.o"), "post")
+    )
+    return out.localCheckpoint(eager=True)

@@ -833,6 +833,99 @@ class ManifestCatalog:
             ):
                 return before - after
 
+    def update_where(
+        self, name: str, col: str, values: Sequence, set_exprs: dict
+    ) -> int:
+        """Targeted row UPDATE (Delta's ``UPDATE ... WHERE key IN``,
+        completing the catalog's CRUD surface next to append /
+        delete_where / the SCD MERGEs): rewrite ONLY the dirs whose
+        blooms might hold the keys, applying ``set_exprs``
+        ({column: Column expression}) to the MATCHING rows — all
+        other rows in those dirs, and every other dir byte-for-byte,
+        pass through unchanged.  Set expressions may reference the
+        row's own columns (``{"price": F.col("price") * 1.1}``).
+        NULL keys never match (three-valued IN).  Stats/blooms for
+        rewritten dirs are recomputed over the same column sets, so
+        data skipping stays correct when an updated column IS a
+        stats/bloom column.  Prior versions stay time-travelable
+        until vacuum.  Returns rows updated."""
+        values = [v for v in values if v is not None]
+        if not values or not set_exprs:
+            return 0
+        bad = [c for c in set_exprs if c == col]
+        if bad:
+            raise ValueError(
+                f"update_where cannot rewrite the match column {col!r} "
+                "itself — delete + append expresses a key change "
+                "without ambiguity"
+            )
+        while True:
+            manifest = self.latest_manifest(name)
+            if manifest is None:
+                raise FileNotFoundError(f"table {name} has no committed manifest")
+            if manifest.get("bucket_dirs") is not None:
+                raise ValueError(
+                    f"table {name} is bucketed — update via the bucketed "
+                    "MERGE (BucketedSCD2) instead"
+                )
+            col_type = self.read(name).schema[col].dataType
+            affected_set: set[str] = set()
+            for v in values:
+                affected_set |= set(
+                    self._bloom_pruned_dirs_resolved(manifest, col, v, col_type)
+                )
+            all_dirs = self._dirs(manifest)
+            affected = [d for d in all_dirs if d in affected_set]
+            if not affected:
+                return 0
+            keep = [d for d in all_dirs if d not in affected_set]
+            df = self._read_dirs(affected)
+            match = F.col(col).isin(values)
+            updated = df.filter(match).count()
+            if updated == 0:
+                return 0  # blooms overapproved; nothing matched
+            out = df.withColumns(
+                {
+                    c: F.when(match, expr).otherwise(F.col(c))
+                    for c, expr in set_exprs.items()
+                }
+            )
+            stats = dict(manifest.get("stats") or {})
+            blooms = dict(manifest.get("blooms") or {})
+            old_stat_cols = sorted(
+                {c for d in affected for c in (stats.get(d) or {})}
+            )
+            old_bloom_cols = sorted(
+                {c for d in affected for c in (blooms.get(d) or {})}
+            )
+            for d in affected:
+                stats.pop(d, None)
+                blooms.pop(d, None)
+            data_dir = self._new_data_dir(name)
+            out.write.mode("overwrite").parquet(data_dir)
+            new_dirs = keep + [data_dir]
+            if old_stat_cols:
+                stats[data_dir] = self._dir_stats(data_dir, old_stat_cols)
+            if old_bloom_cols:
+                blooms[data_dir] = self._dir_blooms(data_dir, old_bloom_cols)
+            extras = {
+                k: v
+                for k, v in manifest.items()
+                if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
+            }
+            if self._commit_if(
+                name,
+                extras
+                | {
+                    "dirs": new_dirs,
+                    "bucket_dirs": None,
+                    "stats": stats or None,
+                    "blooms": blooms or None,
+                },
+                manifest["version"],
+            ):
+                return updated
+
     def delete_range(self, name: str, col: str, lo, hi) -> int:
         """Range-targeted delete — retention enforcement ("drop
         everything with ``col`` in [lo, hi]", typically an age

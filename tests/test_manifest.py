@@ -1002,3 +1002,53 @@ def test_delete_bucketed_null_value_stripped(spark, tmp_path):
     cat.append_bucketed(df, "t", F.pmod(F.hash("k"), F.lit(4)), 4, ["k"])
     assert cat.delete_bucketed_where("t", "k", [2, None]) == 1
     assert cat.read("t").count() == 9
+
+
+def test_update_where_rewrites_only_bloomed_dirs(spark, tmp_path):
+    """Targeted UPDATE: matching rows get the set-expressions (which
+    may reference the row's own columns), non-matching rows and
+    unaffected dirs pass through byte-for-byte, NULL keys never
+    match, stats/blooms recompute on the rewritten dir, and the
+    prior version time-travels."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    for lo in (0, 100, 200):
+        rows = [(lo + i, float(lo + i)) for i in range(10)]
+        if lo == 0:
+            rows.append((None, -1.0))
+        cat.append(
+            spark.createDataFrame(rows, "k bigint, price double"),
+            "t", bloom_cols=["k"], stats_cols=["price"],
+        )
+    m0 = cat.latest_manifest("t")
+    dirs0 = list(m0["dirs"])
+    v_pre = m0["version"]
+
+    n = cat.update_where(
+        "t", "k", [105, 107, None], {"price": F.col("price") * 2}
+    )
+    assert n == 2
+    m1 = cat.latest_manifest("t")
+    untouched = [d for d in dirs0 if d in m1["dirs"]]
+    assert len(untouched) == 2  # only the 100s dir rewritten
+    rows = {r["k"]: r["price"] for r in cat.read("t").collect() if r["k"] is not None}
+    assert rows[105] == 210.0 and rows[107] == 214.0
+    assert rows[106] == 106.0  # same dir, unmatched: unchanged
+    assert rows[5] == 5.0      # other dir: untouched
+    null_rows = [r for r in cat.read("t").collect() if r["k"] is None]
+    assert null_rows and null_rows[0]["price"] == -1.0
+    # stats recomputed on the rewritten dir: a range read for the new
+    # price still finds it
+    assert any(
+        r["k"] == 107 for r in cat.read_range("t", "price", 213.0, 215.0).collect()
+    )
+    assert cat.read("t", version=v_pre).count() == 31
+    # updating the match column itself is refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="match column"):
+        cat.update_where("t", "k", [1], {"k": F.lit(9)})
+    # absent keys: no-op at version level
+    v_now = m1["version"]
+    assert cat.update_where("t", "k", [99999], {"price": F.lit(0.0)}) == 0
+    assert cat.latest_manifest("t")["version"] == v_now
