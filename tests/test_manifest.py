@@ -1052,3 +1052,42 @@ def test_update_where_rewrites_only_bloomed_dirs(spark, tmp_path):
     v_now = m1["version"]
     assert cat.update_where("t", "k", [99999], {"price": F.lit(0.0)}) == 0
     assert cat.latest_manifest("t")["version"] == v_now
+
+
+def test_delete_then_vacuum_completes_erasure(spark, tmp_path):
+    """The GDPR end-state: delete_where removes the rows from the
+    LIVE version, and vacuum(keep_versions=1) then physically
+    reclaims every pre-delete data dir — after which no retained
+    version can produce the deleted keys and the bytes are gone from
+    disk. (Until vacuum, the prior version deliberately still reads
+    them — that window IS the audit-trail dial.)"""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    for lo in (0, 100):
+        cat.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(5)], "k bigint, v string"
+            ),
+            "t", bloom_cols=["k"],
+        )
+    m0 = cat.latest_manifest("t")
+    v_pre, dirs0 = m0["version"], list(m0["dirs"])
+    assert cat.delete_where("t", "k", [101, 103]) == 2
+    # audit window: prior version still reads the deleted rows
+    assert cat.read("t", version=v_pre).filter("k in (101, 103)").count() == 2
+
+    deleted_dirs = cat.vacuum("t", keep_versions=1, min_age_seconds=0)
+    # the rewritten dir (which held 101/103) was reclaimed; the
+    # untouched dir survives
+    rewritten = [d for d in dirs0 if d not in cat.latest_manifest("t")["dirs"]]
+    assert rewritten and all(
+        any(cat.fs.qualified(d) == cat.fs.qualified(x) for x in deleted_dirs)
+        for d in rewritten
+    )
+    for d in rewritten:
+        assert not cat.fs.exists(d)
+    # only the post-delete version remains; the keys are unreachable
+    assert cat._versions("t") == [cat.latest_manifest("t")["version"]]
+    assert cat.read("t").filter("k in (101, 103)").count() == 0
+    assert cat.read("t").count() == 8
