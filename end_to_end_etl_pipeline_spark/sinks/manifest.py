@@ -833,6 +833,37 @@ class ManifestCatalog:
             ):
                 return before - after
 
+    def shallow_clone(
+        self, src: str, dst: str, version: int | None = None
+    ) -> int:
+        """Zero-copy snapshot publication (Delta's ``SHALLOW CLONE``):
+        commit a new table whose manifest references the SOURCE's
+        data dirs at ``version`` (default latest) — no bytes move, so
+        cloning a 100-TB table is one JSON write.  The clone then
+        evolves independently (appends/deletes land in its own dirs;
+        the shared dirs are immutable by design).
+
+        The standard shallow-clone caveat applies here exactly as in
+        Delta: the clone's manifest references dirs under the
+        SOURCE's table path, and :meth:`vacuum` is per-table — a
+        vacuum of the source that drops the cloned version's dirs
+        breaks the clone.  Pin the source's retention to cover live
+        clones, or re-materialize (``replace_atomic(read(clone),
+        ...)``) to sever the dependency — the deep-clone equivalent.
+        Returns the committed clone version (always 1)."""
+        manifest = (
+            self.manifest_at(src, version)
+            if version is not None
+            else self.latest_manifest(src)
+        )
+        if manifest is None:
+            raise FileNotFoundError(f"table {src} has no committed manifest")
+        if self.latest_manifest(dst) is not None:
+            raise ValueError(f"table {dst} already exists")
+        clone = {k: v for k, v in manifest.items() if k != "version"}
+        clone["cloned_from"] = {"table": src, "version": manifest["version"]}
+        return self._commit(dst, clone)
+
     def update_where(
         self, name: str, col: str, values: Sequence, set_exprs: dict
     ) -> int:

@@ -1091,3 +1091,33 @@ def test_delete_then_vacuum_completes_erasure(spark, tmp_path):
     assert cat._versions("t") == [cat.latest_manifest("t")["version"]]
     assert cat.read("t").filter("k in (101, 103)").count() == 0
     assert cat.read("t").count() == 8
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """Shallow clone: no data moves (the clone's manifest references
+    the source's dirs), reads agree at clone time, and the two tables
+    then diverge independently — the source's later appends/deletes
+    never leak into the clone and vice versa."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    cat.append(_df(spark, [(1, "a"), (2, "b")]), "src", bloom_cols=["k"])
+    cat.append(_df(spark, [(3, "c")]), "src")
+    v = cat.shallow_clone("src", "snap")
+    assert v == 1
+    m = cat.latest_manifest("snap")
+    assert m["cloned_from"] == {"table": "src", "version": 2}
+    # zero-copy: identical dir references, blooms carried
+    assert m["dirs"] == cat.latest_manifest("src")["dirs"]
+    assert sorted(r.k for r in cat.read("snap").collect()) == [1, 2, 3]
+    # divergence both ways
+    cat.append(_df(spark, [(4, "d")]), "src")
+    cat.delete_where("snap", "k", [1])
+    assert sorted(r.k for r in cat.read("src").collect()) == [1, 2, 3, 4]
+    assert sorted(r.k for r in cat.read("snap").collect()) == [2, 3]
+    # cloning onto an existing table is refused; versioned clone works
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exists"):
+        cat.shallow_clone("src", "snap")
+    cat.shallow_clone("src", "snap_v1", version=1)
+    assert sorted(r.k for r in cat.read("snap_v1").collect()) == [1, 2]
