@@ -833,3 +833,58 @@ def test_foreach_batch_takedown_deletes_across_batches(spark, tmp_path):
     with _pytest.raises(Exception, match="request-scale"):
         q2.awaitTermination(120)
         q2.processAllAvailable()
+
+
+def test_takedown_bridge_wired_to_scd2_member_deletion(spark, tmp_path):
+    """The generic takedown bridge composes with the SCD2 dimension:
+    each streamed batch of member-deletion requests closes the keys'
+    current rows through scd2_close_keys + an atomic state replace —
+    point-in-time history preserved, replays convergent (closing a
+    closed key is a no-op)."""
+    import json as _json
+
+    from end_to_end_etl_pipeline_spark.operators.scd import (
+        scd2_close_keys,
+        scd2_next_state,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_takedown,
+    )
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k bigint, attr string"
+    )
+    cat.replace_atomic(
+        scd2_next_state(None, src, ["k"], ["attr"], "2026-01-01 00:00:00"),
+        "dim.k",
+    )
+
+    def _close(ids):
+        state = cat.read("dim.k")
+        keys_df = spark.createDataFrame([(int(i),) for i in ids], "k bigint")
+        cat.replace_atomic(
+            scd2_close_keys(state, keys_df, ["k"], "2026-02-01 00:00:00"),
+            "dim.k",
+        )
+        return len(ids)
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    for fname, ids in (("b1.json", [1, 3]), ("b2.json", [3, 5])):
+        with open(os.path.join(d, fname), "w") as f:
+            f.write("\n".join(_json.dumps({"k": i}) for i in ids))
+    stream = read_stream_files(spark, d, "k bigint", max_files_per_trigger=1)
+    q = foreach_batch_takedown(
+        stream, str(tmp_path / "ck"), apply_delete=_close, id_col="k"
+    )
+    q.awaitTermination(120)
+
+    rows = {r["k"]: (r["is_current"], str(r["effective_to"]))
+            for r in cat.read("dim.k").collect()}
+    for k in (1, 3, 5):
+        assert rows[k] == (False, "2026-02-01 00:00:00")
+    for k in (0, 2, 4):
+        assert rows[k][0] is True
+    assert len(rows) == 6  # no rows lost, none duplicated
