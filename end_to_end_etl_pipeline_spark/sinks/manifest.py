@@ -1282,6 +1282,32 @@ class ManifestCatalog:
             if self._commit_if(name, new, base):
                 return
 
+    def maybe_vacuum(
+        self,
+        name: str,
+        max_versions: int = 32,
+        keep_versions: int = 4,
+        min_age_seconds: int = 3600,
+    ) -> list[str]:
+        """Garbage-collection POLICY, completing the maintenance-
+        policy family (:meth:`maybe_optimize`, the text index's
+        ``maybe_purge_text_index``): run :meth:`vacuum` only once the
+        manifest log exceeds ``max_versions`` — every commit
+        (append, delete, optimize, streaming trigger) adds a version,
+        so a long-running table's log and its superseded data dirs
+        grow without bound unless something GCs, while an
+        every-commit vacuum would pay listing cost and shrink the
+        time-travel window needlessly.  Call at the same cadence as
+        ``maybe_optimize`` (e.g. from a streaming bridge).  Returns
+        the deleted dirs ([] = below threshold); ``keep_versions`` /
+        ``min_age_seconds`` pass through with vacuum's usual
+        reader/writer-safety semantics."""
+        if len(self._versions(name)) <= max_versions:
+            return []
+        return self.vacuum(
+            name, keep_versions=keep_versions, min_age_seconds=min_age_seconds
+        )
+
     def maybe_optimize(
         self,
         name: str,

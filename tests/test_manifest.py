@@ -1121,3 +1121,31 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
         cat.shallow_clone("src", "snap")
     cat.shallow_clone("src", "snap_v1", version=1)
     assert sorted(r.k for r in cat.read("snap_v1").collect()) == [1, 2]
+
+
+def test_maybe_vacuum_version_pressure_policy(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    for i in range(6):
+        cat.append(_df(spark, [(i, f"v{i}")]), "t")
+    # below threshold: nothing happens, full log retained
+    assert cat.maybe_vacuum("t", max_versions=10, min_age_seconds=0) == []
+    assert len(cat._versions("t")) == 6
+    # over threshold: GC runs with the given retention
+    deleted = cat.maybe_vacuum(
+        "t", max_versions=5, keep_versions=2, min_age_seconds=0
+    )
+    assert deleted == []  # appends share no superseded dirs...
+    assert len(cat._versions("t")) == 2  # ...but the log is trimmed
+    # data intact
+    assert cat.read("t").count() == 6
+    # compaction then delete leaves superseded dirs for the GC
+    cat.optimize("t", target_partitions=1)
+    for i in range(6, 10):
+        cat.append(_df(spark, [(i, f"v{i}")]), "t")
+    deleted = cat.maybe_vacuum(
+        "t", max_versions=3, keep_versions=1, min_age_seconds=0
+    )
+    assert deleted  # pre-compaction dirs reclaimed
+    assert cat.read("t").count() == 10
