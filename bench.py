@@ -104,6 +104,13 @@ BENCH_QUERIES = [
     # measures the fixed per-step job latency that dominates it)
     "hybrid_doc_retrieval",
     "mmr_diverse_rerank",
+    # its grouped-map twin (same oracle): the whole greedy loop runs
+    # per query group in ONE cogrouped-Arrow job instead of k
+    # plan-flat steps x eager localCheckpoint barriers — the A/B
+    # quantifies what the fixed per-job latency costs the iterative
+    # strategy (the pq_topk/ivfpq_store_topk pattern, applied to
+    # driver-coordinated iteration instead of index amortization)
+    "mmr_diverse_rerank_grouped",
 ]
 
 N_WARM_RUNS = 3

@@ -179,6 +179,46 @@ def rrf_fuse(
     )
 
 
+def _mmr_frames(
+    candidates: DataFrame,
+    query_col: str,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+) -> Tuple[DataFrame, DataFrame]:
+    """Shared prep for both MMR execution strategies: the normalized
+    candidate frame (``__q,__id,__rel,__v,__n``) and the per-query
+    pairwise cosine frame (``__q,__ida,__idb,__sim`` — 6dp-rounded,
+    self-pairs excluded).  One home for the similarity expressions so
+    the plan-flat and grouped-map paths are bit-identical by
+    construction."""
+    v = F.col(vec_col).cast("array<double>")
+    base = candidates.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).alias("__rel"),
+        v.alias("__v"),
+        F.sqrt(dot(v, v)).alias("__n"),
+    )
+    a = base.select("__q", F.col("__id").alias("__ida"),
+                    F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = base.select("__q", F.col("__id").alias("__idb"),
+                    F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    sim = (
+        a.join(b, "__q")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            "__q", "__ida", "__idb",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("__sim"),
+        )
+    )
+    return base, sim
+
+
 def mmr_select(
     candidates: DataFrame,
     query_col: str,
@@ -211,31 +251,8 @@ def mmr_select(
     covers step 1 — a constant per-query offset that cannot change
     the argmax — which lets a DuckDB unrolled-CTE oracle replay every
     pick exactly.  Returns (query, id, mmr_rank 1..k, rel)."""
-    v = F.col(vec_col).cast("array<double>")
-    base = candidates.select(
-        F.col(query_col).alias("__q"),
-        F.col(id_col).alias("__id"),
-        F.col(rel_col).alias("__rel"),
-        v.alias("__v"),
-        F.sqrt(dot(v, v)).alias("__n"),
-    )
-    a = base.select("__q", F.col("__id").alias("__ida"),
-                    F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    b = base.select("__q", F.col("__id").alias("__idb"),
-                    F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    sim = (
-        a.join(b, "__q")
-        .filter(F.col("__ida") != F.col("__idb"))
-        .select(
-            "__q", "__ida", "__idb",
-            F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            ).alias("__sim"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    base, sim = _mmr_frames(candidates, query_col, id_col, vec_col, rel_col)
+    sim = sim.localCheckpoint(eager=True)
     om = 1.0 - lam
     rem = base.select(
         "__q", "__id", "__rel", F.lit(-1.0).alias("__bs")
@@ -275,6 +292,116 @@ def mmr_select(
                 .localCheckpoint(eager=True)
             )
     out = reduce(DataFrame.unionByName, picked)
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.col("__id").alias(id_col),
+        "mmr_rank",
+        F.col("__rel").alias(rel_col),
+    )
+
+
+def mmr_select_grouped(
+    candidates: DataFrame,
+    query_col: str,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """``mmr_select`` with the greedy loop executed per query group in
+    an Arrow cogrouped-map (``cogroup(...).applyInPandas``) instead of
+    ``k`` driver-coordinated plan-flat steps.
+
+    Same semantics, different execution strategy — and the one that is
+    right at scale: MMR is embarrassingly parallel BY QUERY (each
+    query's greedy selection touches only its own bounded candidate
+    list), so with millions of in-flight queries the plan-flat path's
+    ``k`` global jobs — each an eager ``localCheckpoint`` barrier over
+    ALL queries — pay ``~2k`` fixed job latencies for no cross-query
+    benefit.  Here the candidate frame and the ONCE-materialized
+    pairwise-cosine frame (both produced by the exact expressions of
+    ``_mmr_frames`` — the heavy float math never leaves the JVM)
+    cogroup on the query key, and the per-query selection loop runs
+    in-process over the two small pandas frames: ONE shuffle, one job,
+    per-group memory bounded by the candidate cap (N + N² rows).
+
+    Bit-parity with ``mmr_select``: the inputs to the greedy loop (rel
+    and 6dp-rounded sims) are the same JVM-computed doubles; the step
+    score replays Spark's ``round(lam·rel − (1−lam)·bs, 6)`` exactly —
+    ``java.math.BigDecimal.valueOf(double).setScale(6, HALF_UP)`` ≡
+    ``Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP)`` (both round the
+    SHORTEST decimal rendering of the double, not its exact binary
+    expansion), and IEEE evaluation order matches the plan-flat
+    expression tree.  Ties break on lowest id; ``best_sim`` seeds at
+    −1.0; picking stops when candidates run out (k may exceed N).
+    Zero-norm vectors (NaN cosine) are outside the contract of both
+    paths — candidates arrive from a cosine-scored arm.
+    Proven equivalent on real data by tests/test_retrieval.py's
+    differential sweep.  Returns (query, id, mmr_rank 1..k, rel)."""
+    import pandas as pd
+
+    base, sim = _mmr_frames(candidates, query_col, id_col, vec_col, rel_col)
+    # LAZY lineage break (plan becomes a LogicalRDD, materialized
+    # inside the same action): cand and sim share `candidates`'
+    # attribute ids, which trips the ambiguous-self-join check when
+    # both sides cogroup on __q. No eager job — unlike the plan-flat
+    # path there is no iteration here, so lineage depth is not the
+    # concern, only attribute identity.
+    sim = sim.localCheckpoint(eager=False)
+    cand = base.select("__q", "__id", "__rel")
+    q_t = candidates.schema[query_col].dataType.simpleString()
+    id_t = candidates.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`__q` {q_t}, `__id` {id_t}, mmr_rank int, `__rel` double"
+    )
+    om = 1.0 - lam
+    empty = pd.DataFrame(
+        {"__q": [], "__id": [], "mmr_rank": [], "__rel": []}
+    )
+
+    def greedy(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if left.empty:
+            return empty
+        quantum = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(
+                Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP)
+            )
+
+        q = left["__q"].iloc[0]
+        rel = dict(zip(left["__id"], left["__rel"]))
+        simm = dict(
+            zip(zip(right["__ida"], right["__idb"]), right["__sim"])
+        )
+        bs = {i: -1.0 for i in rel}
+        remaining = set(rel)
+        rows = []
+        for step in range(1, k + 1):
+            if not remaining:
+                break
+            pick = min(
+                remaining,
+                key=lambda i: (-r6(lam * rel[i] - om * bs[i]), i),
+            )
+            rows.append((q, pick, step, rel[pick]))
+            remaining.discard(pick)
+            for i in remaining:
+                s = simm[(i, pick)]
+                if s is not None and s > bs[i]:
+                    bs[i] = s
+        return pd.DataFrame(
+            rows, columns=["__q", "__id", "mmr_rank", "__rel"]
+        )
+
+    out = (
+        cand.groupBy("__q")
+        .cogroup(sim.groupBy("__q"))
+        .applyInPandas(greedy, schema=out_schema)
+    )
     return out.select(
         F.col("__q").alias(query_col),
         F.col("__id").alias(id_col),

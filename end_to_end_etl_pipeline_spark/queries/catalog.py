@@ -117,9 +117,11 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # cosine_topk_ivf_adaptive (new r05 VARIANT of the existing ann
 # family), orders_retention_expiry (delete_range gate, storage
 # family), orders_targeted_update (update_where gate, storage
-# family), and scd2_member_delete (the MERGE's DELETE leg, scd
-# family) are pytest-parity-green and natural r06 rotation
-# candidates for an ann / storage / scd slot respectively.
+# family), scd2_member_delete (the MERGE's DELETE leg, scd
+# family), and mmr_diverse_rerank_grouped (the cogrouped-Arrow
+# execution twin of the diversified-retrieval row — same oracle)
+# are pytest-parity-green and natural r06 rotation candidates for
+# an ann / storage / scd / retrieval slot respectively.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + medallion e2e (scan→DQ→SCD2→gold KPIs in one row)
     "customer_master",

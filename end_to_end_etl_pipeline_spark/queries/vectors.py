@@ -1249,9 +1249,10 @@ def _mmr_ctes(k: int, lam: float) -> str:
     return ",\n    ".join(parts)
 
 
-@register(
-    "mmr_diverse_rerank",
-    oracle=f"""
+#: shared by the plan-flat query and its grouped-map twin — ONE
+#: oracle, two execution strategies, so a result divergence between
+#: them cannot hide behind oracle drift.
+_MMR_ORACLE = f"""
     WITH qv AS (SELECT vec_id - 100 AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                 FROM embeddings WHERE vec_id BETWEEN 100 AND 104),
     c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1274,7 +1275,28 @@ def _mmr_ctes(k: int, lam: float) -> str:
     ),
     {{mmr}}
     SELECT query_id, doc_id, mmr_rank, rel FROM mmr_sel
-    """.format(mmr=_mmr_ctes(5, 0.7)),
+    """.format(mmr=_mmr_ctes(5, 0.7))
+
+
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate build for both MMR conformance queries: 5
+    query vectors, exact-cosine top-20 each, vectors re-joined for
+    the pairwise-sim step."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id").between(100, 104)).select(
+        (F.col("vec_id") - 100).alias("query_id"), "embedding"
+    )
+    cand = cosine_topk(
+        qvecs, emb, "query_id", "vec_id", "embedding", k=20, exclude_self=False
+    )
+    return cand.join(
+        emb.select(F.col("vec_id").alias("match_id"), "embedding"), "match_id"
+    )
+
+
+@register(
+    "mmr_diverse_rerank",
+    oracle=_MMR_ORACLE,
     doc="Maximal-marginal-relevance diversified re-rank (operators/"
     "retrieval.mmr_select, Carbonell/Goldstein 1998) - the context-"
     "window diversification step of a RAG stack: from each query's "
@@ -1294,17 +1316,41 @@ def _mmr_ctes(k: int, lam: float) -> str:
 def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_etl_pipeline_spark.operators.retrieval import mmr_select
 
-    emb = load(spark, sf_dir, "embeddings")
-    qvecs = emb.filter(F.col("vec_id").between(100, 104)).select(
-        (F.col("vec_id") - 100).alias("query_id"), "embedding"
-    )
-    cand = cosine_topk(
-        qvecs, emb, "query_id", "vec_id", "embedding", k=20, exclude_self=False
-    )
-    candv = cand.join(
-        emb.select(F.col("vec_id").alias("match_id"), "embedding"), "match_id"
-    )
+    candv = _mmr_candidates(spark, sf_dir)
     out = mmr_select(
+        candv, "query_id", "match_id", "embedding", "cosine", k=5, lam=0.7
+    )
+    return out.select(
+        "query_id", F.col("match_id").alias("doc_id"), "mmr_rank",
+        F.col("cosine").alias("rel"),
+    )
+
+
+@register(
+    "mmr_diverse_rerank_grouped",
+    oracle=_MMR_ORACLE,
+    doc="The SAME maximal-marginal-relevance re-rank as "
+    "mmr_diverse_rerank, executed by the scale-right strategy "
+    "(operators/retrieval.mmr_select_grouped): MMR is parallel BY "
+    "QUERY — each query's greedy loop touches only its own bounded "
+    "top-20 — so instead of k global plan-flat steps (each an eager "
+    "localCheckpoint barrier over all queries, ~2k fixed job "
+    "latencies), the JVM-computed candidates and pairwise 6dp "
+    "cosines cogroup on the query key and the selection loop runs "
+    "in an Arrow cogrouped-map: ONE shuffle, one job, per-group "
+    "memory <= N + N^2. Both twins answer to the identical unrolled-"
+    "CTE DuckDB oracle, so the strategies are provably "
+    "interchangeable; the step-score replays Spark's "
+    "BigDecimal-HALF_UP rounding exactly.",
+    tags=("vectors", "search"),
+)
+def mmr_diverse_rerank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        mmr_select_grouped,
+    )
+
+    candv = _mmr_candidates(spark, sf_dir)
+    out = mmr_select_grouped(
         candv, "query_id", "match_id", "embedding", "cosine", k=5, lam=0.7
     )
     return out.select(

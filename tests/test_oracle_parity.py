@@ -130,7 +130,8 @@ def test_driver_window_contract():
         },
         "lexical-retrieval": {"bm25_doc_search", "bm25_store_search"},
         "hybrid-retrieval": {"hybrid_doc_retrieval"},
-        "diversified-retrieval": {"mmr_diverse_rerank"},
+        "diversified-retrieval": {"mmr_diverse_rerank",
+                                  "mmr_diverse_rerank_grouped"},
         "rerank-seam": {"crossencoder_rerank_topk"},
         "hard-negatives": {"hard_negative_mining"},
         "preference-pairs": {"preference_pair_mining"},

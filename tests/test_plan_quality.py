@@ -92,6 +92,8 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         # sanctioned MapInPandas escape — still never BatchEvalPython)
         "hybrid_doc_retrieval",
         "mmr_diverse_rerank",
+        # grouped-map twin: cogrouped Arrow (FlatMapCoGroupsInPandas)
+        "mmr_diverse_rerank_grouped",
         "crossencoder_rerank_topk",
         "hard_negative_mining",
         "preference_pair_mining",

@@ -266,3 +266,65 @@ def test_retrieval_stack_invariants_randomized(spark):
         if r["mmr_rank"] == 1:
             assert r["doc_id"] == best[r["query_id"]][0]
     assert len(picks) == 3 * 4
+
+
+def test_mmr_grouped_differential_matches_plan_flat(spark):
+    """The grouped-map strategy must replay the plan-flat picks
+    EXACTLY — same ids, ranks, and rel doubles — on a randomized
+    fixed-seed candidate set big enough to exercise real greedy
+    interaction (3 queries x 25 candidates, k=6 > some tie room)."""
+    import random
+
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        mmr_select,
+        mmr_select_grouped,
+    )
+
+    rng = random.Random(13)
+    dim = 8
+    rows = [
+        (q, d, [round(rng.random(), 3) for _ in range(dim)],
+         round(rng.random(), 6))
+        for q in range(3)
+        for d in rng.sample(range(200), 25)
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id bigint, doc_id bigint, v array<double>, rel double"
+    )
+    flat = mmr_select(cand, "query_id", "doc_id", "v", "rel", k=6, lam=0.7)
+    grp = mmr_select_grouped(
+        cand, "query_id", "doc_id", "v", "rel", k=6, lam=0.7
+    )
+    f = sorted(map(tuple, flat.collect()))
+    g = sorted(map(tuple, grp.collect()))
+    assert f == g
+    assert len(f) == 3 * 6
+
+
+def test_mmr_grouped_handles_k_past_candidates_and_plan(spark):
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        mmr_select_grouped,
+    )
+
+    cand = spark.createDataFrame(
+        [
+            (0, 1, [1.0, 0.0], 0.9),
+            (0, 2, [1.0, 0.0], 0.8),
+            (0, 3, [0.0, 1.0], 0.5),
+            (0, 4, [0.6, 0.8], 0.7),
+            (1, 7, [1.0, 0.0], 0.4),
+        ],
+        "query_id bigint, doc_id bigint, v array<double>, rel double",
+    )
+    out = mmr_select_grouped(cand, "query_id", "doc_id", "v", "rel", k=5, lam=0.5)
+    rows = out.collect()
+    # query 0: same hand-computed order as the plan-flat unit test;
+    # query 1: a single candidate, no sim pairs at all
+    order = [r["doc_id"] for r in sorted(
+        (r for r in rows if r["query_id"] == 0), key=lambda r: r["mmr_rank"])]
+    assert order == [1, 3, 4, 2]
+    assert [(r["doc_id"], r["mmr_rank"]) for r in rows
+            if r["query_id"] == 1] == [(7, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
