@@ -165,3 +165,95 @@ def group_capped_sample(
     rk = F.row_number().over(w)
     out = df.withColumn(out_rank or "__rk", rk).filter(F.col(out_rank or "__rk") <= cap)
     return out if out_rank else out.drop("__rk")
+
+
+def dsir_logratio_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    dim: int = 1024,
+    round_dp: int = 4,
+) -> DataFrame:
+    """DSIR-style importance scoring for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): fit two hashed bag-of-ngram unigram models — one on
+    the rows where ``target`` is true (the domain you want more of),
+    one on the WHOLE raw corpus — and score every document by its
+    mean per-feature log-likelihood ratio ``ln p_target(f) −
+    ln p_raw(f)``. Documents that look like the target domain score
+    positive; resampling by these weights (e.g. feeding them to the
+    Efraimidis–Spirakis draw in :func:`weighted_doc_sample`'s shape)
+    tilts a raw crawl toward the target distribution.
+
+    Features are unigrams + word bigrams hashed into ``dim`` buckets
+    (md5, deterministic — any engine replays the bucketing), each
+    model is add-one smoothed over the ``dim``-bucket space, and the
+    two models collapse into ONE ``dim``-row table holding
+    (bucket, raw_count, target_count): a single map-side-partial
+    aggregation over the feature stream, then the log-ratio table —
+    model-parameter scale, like the PQ codebooks — broadcasts back
+    into a second feature pass for scoring. Two scans of the corpus
+    total (train + score, exactly DSIR's own shape), no shuffle that
+    grows with vocabulary, no Python rows.
+
+    Returns (id, n_feats, dsir_avg_logratio, keep) — the per-feature
+    MEAN ratio (decimal-routed, ``round_dp``) so long documents don't
+    dominate by length alone; ``keep`` is the sign. Documents with no
+    tokens have no features and are absent."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    n = F.size(words)
+    bigrams = F.when(
+        n < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        )
+    )
+    feats = df.select(
+        F.col(id_col),
+        target.alias("__t"),
+        F.explode(F.concat(words, bigrams)).alias("__gram"),
+    ).select(
+        id_col,
+        "__t",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("d:"), F.col("__gram"))), 1, 8),
+                16, 10,
+            ).cast("long") % dim
+        ).cast("int").alias("__bucket"),
+    )
+    model = feats.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.count(F.when(F.col("__t"), F.lit(1))).alias("__ct"),
+    )
+    totals = model.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    lr = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "__bucket",
+            (
+                F.log((F.col("__ct") + F.lit(1.0)) / (F.col("__nt") + dim))
+                - F.log((F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + dim))
+            ).alias("__lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lr), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("__lr").cast("decimal(20,10)"), round_dp)
+            .cast("double")
+            .alias("dsir_avg_logratio"),
+        )
+        # keep derives from the ROUNDED score, so any engine that
+        # reproduces the score reproduces the decision bit-for-bit
+        .withColumn("keep", F.col("dsir_avg_logratio") > 0)
+    )

@@ -207,7 +207,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # covered by doc_packed_bins)
     "preference_pair_mining",
     "doc_packed_bins",
-    "curriculum_sample",
+    # DSIR importance scoring (hashed-ngram log-likelihood-ratio data
+    # selection) is NEW late in r05 and lands in its shipping round;
+    # curriculum_sample (green r04) gives up its slot and the
+    # sampling family stays covered by source_capped_docs
+    "dsir_importance_scores",
     "source_capped_docs",
     "vocab_oov_rates",
     # multimodal binary

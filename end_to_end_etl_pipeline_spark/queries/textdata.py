@@ -3323,3 +3323,71 @@ def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("chosen_q") - F.col("rejected_q"), 6).alias("margin"),
         )
     )
+
+
+@register(
+    "dsir_importance_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_t, unnest(ws) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, is_t,
+             ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS gram
+      FROM (SELECT doc_id, is_t, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM toks)
+    ),
+    feats AS (
+      SELECT doc_id, is_t,
+             ({_nibble_int("md5('d:' || gram)", 1)} % 1024) AS bucket
+      FROM grams
+    ),
+    model AS (
+      SELECT bucket, count(*) AS cr,
+             count(*) FILTER (WHERE is_t) AS ct
+      FROM feats GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+                   CAST(sum(ct) AS DOUBLE) AS nt
+            FROM model),
+    lr AS (
+      SELECT bucket,
+             ln((ct + 1.0) / (nt + 1024)) - ln((cr + 1.0) / (nr + 1024))
+               AS lr
+      FROM model CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_feats,
+           CAST(round(CAST(avg(lr) AS DECIMAL(20,10)), 4) AS DOUBLE)
+             AS dsir_avg_logratio,
+           CAST(round(CAST(avg(lr) AS DECIMAL(20,10)), 4) AS DOUBLE) > 0
+             AS keep
+    FROM feats JOIN lr USING (bucket)
+    GROUP BY doc_id
+    """,
+    doc="DSIR-style importance scoring for data selection (operators/"
+    "sampling.dsir_logratio_scores; Xie et al. 2023): hashed "
+    "bag-of-ngram models (unigrams + word bigrams, md5 into 1024 "
+    "buckets) fit on the TARGET slice (here lang='en' stands in for "
+    "the quality domain) and on the raw corpus, then every document "
+    "scores by its mean per-feature log-likelihood ratio "
+    "ln p_target - ln p_raw. Positive = target-like; feeding the "
+    "weights to the content-addressed weighted draw tilts a raw "
+    "crawl toward the target distribution. Two corpus scans (train + "
+    "score - DSIR's own shape), the 1024-row ratio table broadcasts, "
+    "no shuffle grows with vocabulary.",
+    tags=("north-star", "sampling", "text"),
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import (
+        dsir_logratio_scores,
+    )
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    return dsir_logratio_scores(
+        docs, "doc_id", "text", target=F.col("lang") == "en", dim=1024
+    )

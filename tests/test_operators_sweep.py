@@ -856,3 +856,40 @@ def test_asof_join_tolerance_bounds_the_gap(spark):
     got_f = {r.t: r.v for r in fwd.collect()}
     assert got_f["2026-01-20 00:00:00"] == 1.0  # next day: within 2d
     assert got_f["2026-01-10 00:00:00"] is None  # 11 days ahead: nulled
+
+
+def test_dsir_logratio_separates_target_like_docs(spark):
+    """A hand-built corpus where target docs share a vocabulary
+    disjoint from the off-target docs: every target doc must score
+    positive (target-like), every off-target doc negative, and an
+    unseen doc mixing both vocabularies must land between the two
+    extremes. Also pins the plan JVM-side (no Python rows)."""
+    from end_to_end_etl_pipeline_spark.operators.sampling import (
+        dsir_logratio_scores,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", True),
+        (2, "beta gamma alpha gamma beta alpha", True),
+        (3, "delta epsilon zeta delta epsilon", False),
+        (4, "zeta epsilon delta zeta delta", False),
+        (5, "alpha beta delta epsilon", False),  # mixed, scored only
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string, is_t boolean")
+    out = dsir_logratio_scores(
+        df, "id", "text", target=F.col("is_t"), dim=64
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["keep"] and got[2]["keep"]
+    assert not got[3]["keep"] and not got[4]["keep"]
+    assert (
+        got[3]["dsir_avg_logratio"]
+        < got[5]["dsir_avg_logratio"]
+        < got[1]["dsir_avg_logratio"]
+    )
+    # n_feats = unigrams + bigrams = (2n - 1) for an n-token doc
+    assert got[1]["n_feats"] == 2 * 5 - 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the ratio table rides a broadcast join, model-parameter scale
+    assert "BroadcastHashJoin" in plan

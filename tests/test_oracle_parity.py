@@ -152,6 +152,7 @@ def test_driver_window_contract():
         "curation-lineage": {"corpus_funnel_audit", "clean_corpus"},
         "sampling": {"curriculum_sample", "weighted_doc_sample",
                      "source_capped_docs"},
+        "importance-selection": {"dsir_importance_scores"},
         "packing-chunking": {"doc_packed_bins", "doc_chunks"},
         "splits-contamination": {"doc_split_assign", "split_contamination"},
         "vocab": {"vocab_oov_rates"},

@@ -100,6 +100,7 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "priority_target_encoding",
         "cosine_topk_ivf_adaptive",
         "orders_targeted_delete",
+        "dsir_importance_scores",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
 
