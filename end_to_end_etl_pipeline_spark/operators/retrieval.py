@@ -496,3 +496,77 @@ def cross_encoder_rerank(
         .filter(F.col("rank") <= topk)
         .select(qc, ic, out_col, "rank")
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality evaluation: per-query nDCG@k (binary
+    relevance) — the metric step that closes the retrieval stack
+    (retrieve → fuse → diversify → rerank → EVALUATE).
+
+    ``ranked`` is a per-query ranking (query_col, id_col, rank_col
+    with rank 1-based; rows past ``k`` are ignored); ``relevant`` is
+    the ground-truth set (query_col, id_col), one row per relevant
+    doc.  DCG = Σ hit/log2(rank+1) over the retrieved list; IDCG
+    normalizes by the ideal list — min(|relevant|, k) hits packed at
+    the top — so nDCG is comparable across queries with different
+    ground-truth sizes.  Queries with empty ground truth score 0.
+
+    Returns (query_col, n_rel, n_rel_retrieved, ndcg) with ndcg
+    rounded to 6dp.  The discount sums have ≤ k irrational terms, so
+    engine summation-order ulps sit ~1e-15 below the rounding grid —
+    a SQL oracle replays them exactly.
+
+    Scale shape: every frame here is evaluation-sized — ranked is
+    ≤ k rows per query, relevant is the labeled ground truth — so
+    nothing grows with corpus size; the hit join keys on (query, id)
+    and the per-query rollup is a bounded aggregation.  The ideal
+    discount is an in-row ``aggregate`` fold over ``sequence(1,
+    min(n_rel, k))`` — no join against a numbers table."""
+    rel = (
+        relevant.select(
+            F.col(query_col), F.col(id_col), F.lit(1).alias("__hit")
+        ).distinct()
+    )
+    n_rel = rel.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    hits = (
+        ranked.filter(F.col(rank_col) <= k)
+        .join(rel, [query_col, id_col], "left")
+        .withColumn("__hit", F.coalesce(F.col("__hit"), F.lit(0)))
+    )
+    dcg = hits.groupBy(query_col).agg(
+        F.sum("__hit").cast("bigint").alias("n_rel_retrieved"),
+        F.sum(
+            F.col("__hit") / F.log2(F.col(rank_col).cast("double") + 1.0)
+        ).alias("__dcg"),
+    )
+    ideal = n_rel.withColumn(
+        "__idcg",
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1.0),
+        ),
+    )
+    return (
+        dcg.join(F.broadcast(ideal), query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")).alias("n_rel"),
+            "n_rel_retrieved",
+            F.round(
+                F.when(
+                    F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )

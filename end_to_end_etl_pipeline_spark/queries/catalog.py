@@ -150,8 +150,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # and the winnowing shared-span extent take their slots
     # (near_dup_pairs — green r03+r04 AND benched cold+warm every
     # round — gives its slot to the NEW mmr_diverse_rerank below;
-    # doc_shared_span_extent keeps the near-dedup family covered)
-    "dedup_exact_text",
+    # doc_shared_span_extent keeps the near-dedup family covered;
+    # late-r05: dedup_exact_text — green r03+r04 AND benched every
+    # round — gives its slot to the NEW customer_kanonymity below,
+    # with exact-dedup staying covered by within_doc_line_dedup)
     "within_doc_line_dedup",
     "doc_shared_span_extent",
     # similarity / ANN family — r05: pq_topk + cosine_topk_ivf (green
@@ -159,9 +161,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rotates in alongside the persisted-store composite
     "ann_store_incremental_topk",
     "ann_recall_at_k",
-    # embedding transforms + semantic dedup
+    # embedding transforms + semantic dedup — late-r05: the NEW
+    # semantic_split_contamination (same within-cluster cosine
+    # machinery, applied cross-split — the semantic half of eval
+    # decontamination) takes the semantic-dedup slot from
+    # semantic_pruned_corpus (green r04)
     "embedding_int8_quantize",
-    "semantic_pruned_corpus",
+    "semantic_split_contamination",
     # incremental dedup store (O(batch) corpus dedup)
     "incremental_dedup_ingest",
     # lexical retrieval: BM25 ad-hoc + persisted inverted index;
@@ -191,9 +197,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_pii_redacted",
     # tokenizer training — r05: both sequential rows went green r04;
     # the batched SCALE path (one job per batch, proven ≡ sequential)
-    # takes the merge-rules slot, bpe_token_freqs keeps the apply path
+    # takes the merge-rules slot. Late-r05: bpe_token_freqs (green
+    # r04, apply path) gives its slot to the NEW bm25_ndcg_eval —
+    # the retrieval-quality metric closing the retrieval stack
     "bpe_merge_rules_batched",
-    "bpe_token_freqs",
+    "bm25_ndcg_eval",
+    # privacy: k-anonymity generalize-then-suppress over quasi-
+    # identifiers (operators/privacy.py) — NEW late-r05 family,
+    # landing in its shipping round
+    "customer_kanonymity",
     # corpus curation: cleaning, splits, sampling, packing, chunking,
     # lineage (funnel audit), quality-tiered sampling
     # (clean_corpus — green r04 AND benched every round — gives its

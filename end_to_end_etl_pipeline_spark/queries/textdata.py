@@ -3391,3 +3391,144 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logratio_scores(
         docs, "doc_id", "text", target=F.col("lang") == "en", dim=1024
     )
+
+
+@register(
+    "bm25_ndcg_eval",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 6000000,
+             'zqtopic' || CAST(doc_id % 5 AS VARCHAR) || ' zqterm'
+               || CAST(doc_id % 5 AS VARCHAR) || ' ' || text
+      FROM documents WHERE doc_id % 37 < 5
+    ),
+    d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+      FROM corpus
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl FROM d),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    qterms AS (
+      SELECT i AS query_id, 'zqtopic' || CAST(i AS VARCHAR) AS word
+      FROM generate_series(0, 4) t(i)
+      UNION ALL
+      SELECT i, 'zqterm' || CAST((i + 1) % 5 AS VARCHAR)
+      FROM generate_series(0, 4) t(i)
+      UNION ALL
+      SELECT i, 'batch' FROM generate_series(0, 4) t(i)
+      UNION ALL
+      SELECT i, 'scan' FROM generate_series(0, 4) t(i)
+    ),
+    uniq AS (SELECT DISTINCT word FROM qterms),
+    tf AS (
+      SELECT t.doc_id, t.word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(words) AS word FROM d) t
+      JOIN uniq USING (word)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    eligible AS (
+      SELECT word, df FROM df, stats WHERE df <= 0.5 * n
+    ),
+    part AS (
+      SELECT qt.query_id, tf.doc_id,
+             ln((s.n - e.df + 0.5) / (e.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS w
+      FROM qterms qt
+      JOIN eligible e USING (word)
+      JOIN tf ON tf.word = qt.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scores AS (
+      SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+      FROM part GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scores
+      QUALIFY rk <= 10
+    ),
+    rel AS (
+      SELECT doc_id % 5 AS query_id, doc_id FROM corpus
+      WHERE doc_id >= 6000000
+    ),
+    nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+    hits AS (
+      SELECT r.query_id, r.rk,
+             CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ranked r
+      LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+    ),
+    dcg AS (
+      SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_rel_retrieved,
+             sum(hit / log2(rk + 1.0)) AS dcg
+      FROM hits GROUP BY 1
+    ),
+    idcg AS (
+      SELECT query_id, sum(1.0 / log2(i + 1.0)) AS idcg
+      FROM (SELECT query_id, unnest(generate_series(1, LEAST(n_rel, 10))) AS i
+            FROM nrel)
+      GROUP BY 1
+    )
+    SELECT d.query_id, n.n_rel, d.n_rel_retrieved,
+           round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0 END, 6) AS ndcg
+    FROM dcg d JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
+    """,
+    doc="Retrieval-quality evaluation: per-query nDCG@10 of the BM25 "
+    "arm (operators/retrieval.ndcg_at_k) - the metric step closing "
+    "the retrieval stack (retrieve -> fuse -> diversify -> rerank -> "
+    "EVALUATE). Same planted corpus as bm25_doc_search, but each "
+    "query mixes its OWN topic tag (zqtopic_i - the relevant docs) "
+    "with the NEXT topic's zqterm - a deliberate distractor arm, so "
+    "the retrieved top-10 interleaves relevant and irrelevant docs "
+    "and nDCG lands strictly between 0 and 1 (a discriminative "
+    "metric, not a vacuous 1.0). Ground truth = the planted docs of "
+    "the query's topic; IDCG normalizes by min(|rel|, 10). Scale "
+    "shape: ranked is 10 rows/query, ground truth is label-sized, "
+    "the ideal discount is an in-row sequence fold - nothing in the "
+    "eval grows with corpus size; the BM25 arm itself keeps "
+    "bm25_doc_search's semi-join postings plan.",
+    tags=("north-star", "text", "search", "eval"),
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+        ndcg_at_k,
+        topk_ranks,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 37 < 5).select(
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            F.concat(
+                F.lit("zqtopic"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(" zqterm"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(" "), F.col("text"),
+            ).alias("text"),
+        )
+    )
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = _spread(planted).select("doc_id", words.alias("words"))
+    qterms = spark.createDataFrame(
+        [
+            (i, w)
+            for i in range(5)
+            for w in (f"zqtopic{i}", f"zqterm{(i + 1) % 5}", "batch", "scan")
+        ],
+        "query_id bigint, word string",
+    )
+    ranked = topk_ranks(
+        bm25_scores(d, qterms), "query_id", "doc_id", "bm25", 10
+    )
+    relevant = planted.filter(F.col("doc_id") >= 6000000).select(
+        (F.col("doc_id") % 5).alias("query_id"), "doc_id"
+    )
+    return ndcg_at_k(ranked, relevant, 10, rank_col="__rnk")

@@ -1476,3 +1476,95 @@ def cosine_topk_ivf_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_candidates=100,
         dim=_dim(emb),
     )
+
+
+@register(
+    "semantic_split_contamination",
+    oracle=None,  # assembled below (needs textdata's md5-hash macro)
+    doc="Semantic train/test contamination audit - the embedding-"
+    "space counterpart of the 8-gram split_contamination: paraphrase-"
+    "level leaks share no n-grams but sit at near-1 cosine, so eval "
+    "decontamination needs BOTH audits. Same content-addressed 80/20 "
+    "split as every split query (md5 bucket on the id - stable under "
+    "rebuilds), exact copies of every 10th vector planted (id+1M, "
+    "label preserved) so cross-split leaks exist to catch. Pairing "
+    "is bounded by the cluster key (label here; trained k-means "
+    "cells on unlabeled corpora - the SemDeDup discipline): "
+    "test x train joins WITHIN a cell only, never corpus x corpus, "
+    "and the split filters land BEFORE the join so each side ships "
+    "only its split's rows. Cosine >= 0.9999 after 6dp rounding; "
+    "zero-norm vectors excluded (no defined cosine). Output: the "
+    "leaked (test, train) pairs with their cell and score.",
+    tags=("north-star", "vectors", "dedup", "sampling"),
+)
+def semantic_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.sampling import split_assign
+    from end_to_end_etl_pipeline_spark.operators.similarity import cosine, dot
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "label", "embedding"
+        )
+    )
+    assigned = split_assign(
+        corpus, "vec_id", [("train", 8000), ("test", 2000)]
+    )
+    v = F.col("embedding").cast("array<double>")
+    prep = assigned.select(
+        "vec_id", "label", "split", v.alias("__v"),
+        F.sqrt(dot(v, v)).alias("__n"),
+    )
+    t = prep.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("test_vec_id"), "label",
+        F.col("__v").alias("__tv"), F.col("__n").alias("__tn"),
+    )
+    r = prep.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_vec_id"), "label",
+        F.col("__v").alias("__rv"), F.col("__n").alias("__rn"),
+    )
+    return (
+        t.join(r, "label")
+        .filter((F.col("__tn") > 0) & (F.col("__rn") > 0))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("__tv"), F.col("__rv"),
+                       F.col("__tn"), F.col("__rn")), 6,
+            ),
+        )
+        .filter(F.col("cosine") >= 0.9999)
+        .select("test_vec_id", "train_vec_id", "label", "cosine")
+    )
+
+
+def _semantic_split_contamination_oracle() -> str:
+    from end_to_end_etl_pipeline_spark.queries.textdata import _SQL_H32
+
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, label, v,
+             CASE WHEN {_SQL_H32.format(c="vec_id")} % 10000 < 8000
+                  THEN 'train' ELSE 'test' END AS split
+      FROM corpus
+    ),
+    t AS (SELECT vec_id, label, v FROM assigned
+          WHERE split = 'test' AND list_dot_product(v, v) > 0),
+    r AS (SELECT vec_id, label, v FROM assigned
+          WHERE split = 'train' AND list_dot_product(v, v) > 0)
+    SELECT t.vec_id AS test_vec_id, r.vec_id AS train_vec_id, t.label,
+           {_COS.format(a="t.v", b="r.v")} AS cosine
+    FROM t JOIN r ON t.label = r.label
+    WHERE {_COS.format(a="t.v", b="r.v")} >= 0.9999
+    """
+
+
+from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY as _REG  # noqa: E402
+
+_REG["semantic_split_contamination"].oracle = _semantic_split_contamination_oracle()

@@ -121,7 +121,8 @@ def test_driver_window_contract():
             "near_dup_clusters", "doc_span_overlap", "embedding_near_dup",
             "doc_shared_span_extent",
         },
-        "semantic-dedup": {"semantic_pruned_corpus"},
+        "semantic-dedup": {"semantic_pruned_corpus",
+                           "semantic_split_contamination"},
         "incremental-dedup": {"incremental_dedup_ingest"},
         "ann": {
             "cosine_topk", "ivfpq_topk", "pq_topk", "cosine_topk_ivf",
@@ -134,6 +135,8 @@ def test_driver_window_contract():
                                   "mmr_diverse_rerank_grouped"},
         "rerank-seam": {"crossencoder_rerank_topk"},
         "hard-negatives": {"hard_negative_mining"},
+        "retrieval-eval": {"bm25_ndcg_eval"},
+        "privacy": {"customer_kanonymity"},
         "preference-pairs": {"preference_pair_mining"},
         "feature-prep": {"priority_target_encoding"},
         "storage-engine": {"bloom_point_lookup", "orders_change_data_feed",

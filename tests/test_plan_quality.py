@@ -101,8 +101,23 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "cosine_topk_ivf_adaptive",
         "orders_targeted_delete",
         "dsir_importance_scores",
+        # late-round-5 additions
+        "customer_kanonymity",
+        "bm25_ndcg_eval",
+        "semantic_split_contamination",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
+
+
+def test_kanonymity_grouped_counts_no_windows(spark):
+    """Class sizes must come from grouped (map-side-partial) counts,
+    never a window over the QI partition — a window ships every fact
+    row of a hot class to one task; the grouped form ships bounded
+    partials. Also fully JVM-side."""
+    plan = _plan(spark, "customer_kanonymity")
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_dedup_store_probe_plan_lazy_and_jvm_side(spark, tmp_path):

@@ -328,3 +328,33 @@ def test_mmr_grouped_handles_k_past_candidates_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ndcg_hand_computed(spark):
+    import math
+
+    from end_to_end_etl_pipeline_spark.operators.retrieval import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3), (1, 40, 4),
+         (2, 10, 1), (2, 20, 2),
+         (3, 50, 1)],
+        "query_id bigint, doc_id bigint, rank bigint",
+    )
+    relevant = spark.createDataFrame(
+        # q1: docs 10 & 30 relevant (hit ranks 1, 3); doc 40 is
+        # relevant but at rank 4 — PAST k=3, so it must not count in
+        # DCG while still counting in n_rel (and hence IDCG's cap).
+        # q2: perfect top-2. q3: no ground truth at all.
+        [(1, 10), (1, 30), (1, 40), (2, 10), (2, 20)],
+        "query_id bigint, doc_id bigint",
+    )
+    out = {
+        r["query_id"]: (r["n_rel"], r["n_rel_retrieved"], r["ndcg"])
+        for r in ndcg_at_k(ranked, relevant, k=3).collect()
+    }
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert out[1] == (3, 2, round(dcg / idcg, 6))
+    assert out[2] == (2, 2, 1.0)
+    assert out[3] == (0, 0, 0.0)
