@@ -215,10 +215,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_funnel_audit",
     "split_contamination",
     # (doc_chunks — green r04 AND benched every round — gives its
-    # slot to the NEW preference_pair_mining; packing-chunking stays
-    # covered by doc_packed_bins)
+    # slot to the NEW preference_pair_mining; late-r05:
+    # doc_packed_bins — green r04 — gives its slot to the NEW
+    # rag_context_pack, which keeps the packing-chunking family
+    # covered from the retrieval side: dense top-5 → sliding chunks
+    # → greedy token-budget context cut)
     "preference_pair_mining",
-    "doc_packed_bins",
+    "rag_context_pack",
     # DSIR importance scoring (hashed-ngram log-likelihood-ratio data
     # selection) is NEW late in r05 and lands in its shipping round;
     # curriculum_sample (green r04) gives up its slot and the

@@ -1568,3 +1568,100 @@ def _semantic_split_contamination_oracle() -> str:
 from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY as _REG  # noqa: E402
 
 _REG["semantic_split_contamination"].oracle = _semantic_split_contamination_oracle()
+
+
+@register(
+    "rag_context_pack",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, match_id, {{cos}} AS cosine
+      FROM q JOIN c ON match_id <> query_id
+      WHERE list_dot_product(qv, qv) > 0 AND list_dot_product(cv, cv) > 0
+    ),
+    top AS (
+      SELECT query_id, match_id, cosine FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, match_id) <= 5
+    ),
+    words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 5, 1), 25)) AS i
+      FROM words
+    ),
+    chunks AS (
+      SELECT doc_id, CAST((i - 1) // 25 AS INT) AS chunk_idx,
+             CAST(len(list_slice(w, CAST(i AS INT), CAST(i + 29 AS INT)))
+                  AS INT) AS n_tokens
+      FROM starts
+    ),
+    cand AS (
+      SELECT t.query_id, t.match_id, t.cosine, ch.chunk_idx, ch.n_tokens
+      FROM top t JOIN chunks ch ON ch.doc_id = t.match_id
+    ),
+    packed AS (
+      SELECT query_id, match_id, chunk_idx, n_tokens,
+             CAST(sum(n_tokens) OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, match_id, chunk_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM cand
+    )
+    SELECT query_id, match_id, chunk_idx, n_tokens, cum_tokens
+    FROM packed WHERE cum_tokens <= 120
+    """.format(cos=_COS.format(a="qv", b="cv")),
+    doc="RAG context assembly - the step AFTER retrieval: each "
+    "query's dense top-5 docs (exact cosine; the IVF store is the "
+    "scale swap-in) are chunked (sliding_chunks, 30/5 - the same "
+    "chunker as doc_chunks) and greedily packed into a 120-token "
+    "context budget in relevance order (cosine desc, doc, chunk "
+    "position) via a running-sum window cut - the deterministic "
+    "version of 'fill the prompt until it is full'. Scale shape: "
+    "everything after the arm is evaluation-sized (<= 5 docs x "
+    "their chunks per query); the budget cut is ONE prefix-sum "
+    "window per query over tens of rows; chunking stays map-side. "
+    "Output: the per-query context manifest (doc, chunk, token "
+    "counts, running total) a prompt builder consumes verbatim.",
+    tags=("north-star", "vectors", "text", "search"),
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        sliding_chunks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    top = cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "vec_id",
+        "embedding", k=5,
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = top.join(docs, top["match_id"] == docs["doc_id"]).select(
+        "query_id", "match_id", "cosine",
+        F.posexplode(sliding_chunks("text", chunk_words=30, overlap_words=5))
+        .alias("chunk_idx", "ch"),
+    )
+    chunked = cand.select(
+        "query_id", "match_id", "cosine",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("ch.toks").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), "match_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunked.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= 120)
+        .select("query_id", "match_id", "chunk_idx", "n_tokens", "cum_tokens")
+    )

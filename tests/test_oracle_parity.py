@@ -156,7 +156,8 @@ def test_driver_window_contract():
         "sampling": {"curriculum_sample", "weighted_doc_sample",
                      "source_capped_docs"},
         "importance-selection": {"dsir_importance_scores"},
-        "packing-chunking": {"doc_packed_bins", "doc_chunks"},
+        "packing-chunking": {"doc_packed_bins", "doc_chunks",
+                             "rag_context_pack"},
         "splits-contamination": {"doc_split_assign", "split_contamination"},
         "vocab": {"vocab_oov_rates"},
         "profiling": {"orders_column_profile", "winsorized_price_stats",

@@ -105,6 +105,7 @@ def test_no_python_row_udfs_in_batch_queries(spark):
         "customer_kanonymity",
         "bm25_ndcg_eval",
         "semantic_split_contamination",
+        "rag_context_pack",
     ]:
         assert "BatchEvalPython" not in _plan(spark, name), name
 
