@@ -98,15 +98,20 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # train-in-query rows, two r04-green near-dup rows, three r04-green
 # text-analysis rows, daily_uniques_hll, winsorized_price_stats,
 # weighted_doc_sample, and the two sequential-BPE rows make room).
-# After this round every one of the 150 registered queries has held at
-# least one driver-green row across r01-r05 (the five families NEW in
-# r05 — hybrid RRF, MMR, cross-encoder seam, hard negatives,
-# preference pairs — all landed in the window their shipping round;
-# the five rows that made room, label_centroids / near_dup_pairs /
-# lang_id / word_heavy_hitters_cms / doc_chunks, are all r04-green
-# with their families still represented).
+# After this round every query registered BEFORE the r05 additions
+# has held at least one driver-green row across r01-r05 (the families
+# NEW in r05 — hybrid RRF, MMR, cross-encoder seam, hard negatives,
+# preference pairs, target encoding, DSIR, targeted delete,
+# k-anonymity, nDCG eval, semantic split contamination, RAG context
+# pack — all landed in the window their shipping round; the rows that
+# made room are all r04-green with their families still represented).
+# The r05-shipped execution VARIANTS that did NOT take a slot
+# (mmr_diverse_rerank_grouped, cosine_topk_ivf_adaptive,
+# orders_retention_expiry, orders_targeted_update, scd2_member_delete,
+# bpe's sequential rows already green) are pytest-parity-green and
+# form the r06 never-driver-run queue below.
 #
-# r06 rotation guidance: no never-driver-run queue remains. Rotate to
+# r06 rotation guidance: rotate the queue above in first, then
 # refresh the OLDEST evidence — rows whose last green is r02/r03
 # (e.g. text_scan_roundtrip, user_sessions, shipping_priority,
 # order_value_percentiles, doc_stratified_sample, keyword_doc_similarity,
@@ -121,7 +126,13 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # family), and mmr_diverse_rerank_grouped (the cogrouped-Arrow
 # execution twin of the diversified-retrieval row — same oracle)
 # are pytest-parity-green and natural r06 rotation candidates for
-# an ann / storage / scd / retrieval slot respectively.
+# an ann / storage / scd / retrieval slot respectively. The four
+# late-r05 swaps (customer_kanonymity, bm25_ndcg_eval,
+# semantic_split_contamination, rag_context_pack — all NEW, in for
+# their shipping round) each displaced an r04-green row
+# (dedup_exact_text, bpe_token_freqs, semantic_pruned_corpus,
+# doc_packed_bins), so those four join the r02/r03-evidence pool as
+# r06 refresh candidates too.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + medallion e2e (scan→DQ→SCD2→gold KPIs in one row)
     "customer_master",
