@@ -460,11 +460,15 @@ def test_optimize_recomputes_stats(spark, cat):
     assert sorted(r.k for r in cat.read_range("skip.opt", "k", 5, 6).collect()) == [5, 6]
 
 
-def test_optimize_rebases_on_concurrent_append(spark, cat):
-    """A concurrent append landing between optimize()'s manifest read
-    and its publish must survive: the CAS fails, optimize rebases on
-    the new latest, and the appended rows appear in the compacted
-    table (the lost-update class append was already guarded against)."""
+def test_optimize_survives_append_during_data_dir_write(spark, cat):
+    """A concurrent append landing while optimize() is WRITING its
+    compacted data dir (before publish) must survive: the CAS fails,
+    optimize rebases on the new latest, and the appended rows appear
+    in the compacted table. Companion to
+    test_optimize_rebases_on_concurrent_append below, which injects
+    the race at the CAS itself — this one injects it a stage earlier,
+    at data-dir creation. (The two previously shared a name, so this
+    one was silently shadowed and never ran.)"""
     cat.replace_atomic(_df(spark, [(1, "a")]), "t")
     cat.append(_df(spark, [(2, "b")]), "t")
 
