@@ -3532,3 +3532,77 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5).alias("query_id"), "doc_id"
     )
     return ndcg_at_k(ranked, relevant, 10, rank_col="__rnk")
+
+
+@register(
+    "lang_temperature_mix",
+    oracle="""
+    WITH avail AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      w -> length(w) > 0))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(avail_tokens) AS ttot FROM avail),
+    p AS (
+      SELECT lang, avail_tokens,
+             avail_tokens / ttot AS p_raw,
+             pow(avail_tokens / ttot, 0.3) AS q_raw
+      FROM avail, tot
+    ),
+    qs AS (SELECT sum(q_raw) AS qsum FROM p)
+    SELECT lang, avail_tokens,
+           CAST(round(CAST(p_raw AS DECIMAL(20,10)), 6) AS DOUBLE) AS p_lang,
+           CAST(round(CAST(q_raw / qsum AS DECIMAL(20,10)), 6) AS DOUBLE)
+             AS q_lang,
+           CAST(round(CAST((q_raw / qsum) / p_raw AS DECIMAL(20,10)), 6)
+                AS DOUBLE) AS boost,
+           CAST(floor(q_raw / qsum * 50000) AS BIGINT) AS target_tokens
+    FROM p, qs
+    """,
+    doc="Temperature-based multilingual resampling (the XLM-R/mT5 "
+    "alpha-sampling step, alpha=0.3): per-language token shares p_l "
+    "are flattened to q_l proportional to p_l^alpha, so low-resource "
+    "languages are upsampled (boost > 1) and the head language "
+    "downsampled without ever inverting the order - the lang-axis "
+    "complement of source_mix_plan's per-source budget mix. Output "
+    "per language: available tokens, natural share p, temperature "
+    "share q, the resampling boost q/p that drives a downstream "
+    "weighted sampler, and the token budget allocation. One groupBy "
+    "over the corpus + two broadcast scalars; nothing grows with "
+    "corpus size past the per-language rollup. Ratios are "
+    "decimal-routed before rounding so the pow-derived doubles "
+    "compare exactly across engines.",
+    tags=("north-star", "text", "sampling"),
+)
+def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    budget = 50000
+    alpha = 0.3
+    avail = docs.groupBy("lang").agg(
+        F.expr(
+            "CAST(sum(size(filter(split(text, ' '), w -> length(w) > 0))) AS BIGINT)"
+        ).alias("avail_tokens"),
+    )
+    tot = avail.agg(F.sum("avail_tokens").alias("ttot"))
+    p = (
+        avail.crossJoin(F.broadcast(tot))
+        .withColumn("p_raw", F.col("avail_tokens") / F.col("ttot"))
+        .withColumn("q_raw", F.pow(F.col("p_raw"), F.lit(alpha)))
+    )
+    qs = p.agg(F.sum("q_raw").alias("qsum"))
+    dec6 = lambda c: F.round(c.cast("decimal(20,10)"), 6).cast("double")  # noqa: E731
+    return (
+        p.crossJoin(F.broadcast(qs))
+        .select(
+            "lang",
+            "avail_tokens",
+            dec6(F.col("p_raw")).alias("p_lang"),
+            dec6(F.col("q_raw") / F.col("qsum")).alias("q_lang"),
+            dec6((F.col("q_raw") / F.col("qsum")) / F.col("p_raw")).alias("boost"),
+            F.floor(F.col("q_raw") / F.col("qsum") * budget)
+            .cast("bigint")
+            .alias("target_tokens"),
+        )
+    )
