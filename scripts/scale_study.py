@@ -1,0 +1,204 @@
+"""Scale-hardening study: does each heavy operator's wall time grow
+~linearly when the data grows 10x?
+
+Builds a ~sf1 scratch lake from $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) by unioning FACTOR key-shifted copies of the
+FACT tables while keeping the dimensions fixed — exactly how a real
+warehouse grows (facts accrete, dims don't):
+
+* ``lineitem`` / ``orders`` / ``customer`` / ``events``: copy ``i``
+  shifts the entity keys (orderkey/custkey/event_id/user_id) by
+  ``i * KEY_STRIDE`` so referential integrity holds within each copy
+  and copies never collide; part/supp keys are left alone so the
+  fixed dims still join.
+* ``documents``: copy ``i`` suffixes every word with ``_i`` — same
+  length distribution, ZERO cross-copy shingle overlap, so the
+  near-dup/contamination operators see a genuinely 10x corpus rather
+  than a 10x-duplicated one (which would quadratically explode the
+  pair outputs and measure output growth, not operator scaling).
+  Within-copy planted variants are preserved, so dedup still finds
+  ~10x the pairs it finds at sf0.1.
+* ``embeddings``: copy ``i`` adds ``i * 1e-3`` to every component —
+  distinct vectors that stay in the same label clusters.
+* ``region nation supplier part``: copied as-is.
+
+Then runs a representative heavy-query set (scans, multi-way joins,
+sort percentiles, windows, text dedup, contamination, BM25, ANN
+training) once at the base SF and once at the scaled SF in the same
+session (each materialized through the noop sink) and prints one
+JSON line per query: base_sec, scaled_sec, and the ratio. A healthy
+ratio for a 10x scale-up on a fixed 32-core box is <= ~10 plus a
+constant; a superlinear ratio flags a shuffle/skew problem the
+bench's single SF can't see.
+
+Usage: python scripts/scale_study.py [--factor 10] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY, load
+from end_to_end_etl_pipeline_spark.session import create_spark_session
+
+KEY_STRIDE = 1_000_000_000
+
+DIM_TABLES = ["region", "nation", "supplier", "part"]
+
+#: fact table -> columns shifted by i * KEY_STRIDE in copy i
+FACT_KEY_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+}
+
+HEAVY_QUERIES = [
+    # TPC-H shapes: full-fact scans, multi-way joins, sort percentile
+    "pricing_summary",
+    "revenue_by_nation",
+    "customer_master",
+    "local_supplier_volume",
+    "min_cost_supplier",
+    "winsorized_price_stats",
+    # event windows
+    "user_sessions",
+    "daily_event_anomaly",
+    # text / dedup / retrieval
+    "dedup_exact_text",
+    "within_doc_line_dedup",
+    "near_dup_pairs",
+    "split_contamination",
+    "clean_corpus",
+    "doc_tfidf_terms",
+    "bm25_doc_search",
+    # ANN with in-query training
+    "pq_topk",
+]
+
+
+def _copies_with(df, shifts, factor):
+    """Union ``factor`` key-shifted copies of ``df`` (copy 0 = as-is)."""
+    out = None
+    for i in range(factor):
+        c = df
+        for col, make in shifts.items():
+            c = c.withColumn(col, make(i))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    for t in DIM_TABLES:
+        load(spark, src_dir, t).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    for t, keys in FACT_KEY_SHIFTS.items():
+        df = load(spark, src_dir, t)
+        shifts = {
+            k: (lambda i, k=k: F.col(k) + F.lit(i * KEY_STRIDE))
+            for k in keys
+        }
+        scaled = _copies_with(df, shifts, factor)
+        scaled.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+    docs = load(spark, src_dir, "documents")
+    scaled_docs = None
+    for i in range(factor):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_STRIDE))
+        if i > 0:  # word-salt: no cross-copy shingle overlap (see module doc)
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", "$1_%d" % i)
+            ).withColumn("n_chars", F.length("text"))
+        scaled_docs = c if scaled_docs is None else scaled_docs.unionByName(c)
+    scaled_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = load(spark, src_dir, "embeddings")
+    scaled_emb = None
+    for i in range(factor):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_STRIDE))
+        if i > 0:
+            c = c.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i=i: (x + F.lit(i * 1e-3)).cast("float"),
+                ),
+            )
+        scaled_emb = c if scaled_emb is None else scaled_emb.unionByName(c)
+    scaled_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    fn = REGISTRY[name].spark
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--keep", action="store_true", help="keep the scaled scratch dir"
+    )
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = create_spark_session(app_name="scale_study")
+    out = tempfile.mkdtemp(prefix="scale_study_")
+    names = args.queries or HEAVY_QUERIES
+    try:
+        t0 = time.perf_counter()
+        build_scaled(spark, src, out, args.factor)
+        print(
+            f"built {args.factor}x scratch at {out} "
+            f"in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        results = {}
+        for name in names:
+            time_query(spark, name, src)  # untimed: JIT/codegen warm-up
+            base = time_query(spark, name, src)
+            scaled = time_query(spark, name, out)
+            ratio = round(scaled / base, 2) if base > 0 else None
+            results[name] = {
+                "base_sec": base,
+                "scaled_sec": scaled,
+                "ratio": ratio,
+            }
+            print(json.dumps({"query": name, **results[name]}))
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_study",
+                    "factor": args.factor,
+                    "base_sf_dir": src,
+                    "queries": {
+                        n: r["ratio"] for n, r in results.items()
+                    },
+                }
+            )
+        )
+    finally:
+        if args.keep:
+            print(f"kept scratch at {out}", file=sys.stderr)
+        else:
+            shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
