@@ -31,7 +31,16 @@ ratio for a 10x scale-up on a fixed 32-core box is <= ~10 plus a
 constant; a superlinear ratio flags a shuffle/skew problem the
 bench's single SF can't see.
 
-Usage: python scripts/scale_study.py [--factor 10] [--keep]
+``--skew`` additionally builds a SKEWED variant of the scaled lake —
+every copy ``i > 0`` of ``orders`` reroutes half its rows to one hot
+``o_custkey`` (a copy-0 key, so the customer join still hits), i.e.
+~45% of all orders land on a single join key — and re-times the
+join/agg-heavy queries against it. The delta between skewed and
+uniform wall time is the empirical cost of a hot key under the
+engine's mitigations (AQE skew-join split + salted-join operators);
+a blowup here is what an unmitigated 100-TB hot key looks like.
+
+Usage: python scripts/scale_study.py [--factor 10] [--skew] [--keep]
 """
 
 from __future__ import annotations
@@ -64,6 +73,14 @@ FACT_KEY_SHIFTS = {
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
 }
+
+#: join/agg shapes re-timed against the skewed lake under --skew
+SKEW_QUERIES = [
+    "customer_master",
+    "revenue_by_nation",
+    "monthly_segment_growth",
+    "idle_rich_customers",
+]
 
 HEAVY_QUERIES = [
     # TPC-H shapes: full-fact scans, multi-way joins, sort percentile
@@ -141,6 +158,35 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
     scaled_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
+def build_skewed(spark, src_dir, uniform_dir, skew_dir, factor) -> None:
+    """Same lake as ``build_scaled`` except ``orders``: copies i > 0
+    send half their rows to one hot copy-0 custkey (see module doc).
+    Every other table is reused from the uniform build."""
+    os.makedirs(skew_dir, exist_ok=True)
+    for t in DIM_TABLES + [
+        "lineitem", "customer", "events", "documents", "embeddings",
+    ]:
+        shutil.copytree(
+            f"{uniform_dir}/{t}.parquet", f"{skew_dir}/{t}.parquet"
+        )
+    orders = load(spark, src_dir, "orders")
+    hot = orders.agg(F.min("o_custkey")).first()[0]
+    out = None
+    for i in range(factor):
+        c = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * KEY_STRIDE)
+        )
+        if i > 0:
+            c = c.withColumn(
+                "o_custkey",
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit(hot)).otherwise(
+                    F.col("o_custkey") + F.lit(i * KEY_STRIDE)
+                ),
+            )
+        out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{skew_dir}/orders.parquet")
+
+
 def time_query(spark, name: str, sf_dir: str) -> float:
     fn = REGISTRY[name].spark
     t0 = time.perf_counter()
@@ -153,6 +199,11 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument(
         "--keep", action="store_true", help="keep the scaled scratch dir"
+    )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="also time the join shapes against a hot-key skewed lake",
     )
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
@@ -181,6 +232,33 @@ def main() -> None:
                 "ratio": ratio,
             }
             print(json.dumps({"query": name, **results[name]}))
+        skew_results = {}
+        if args.skew:
+            skew_dir = out + "_skew"
+            t0 = time.perf_counter()
+            build_skewed(spark, src, out, skew_dir, args.factor)
+            print(
+                f"built skewed orders at {skew_dir} "
+                f"in {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            try:
+                for name in SKEW_QUERIES:
+                    time_query(spark, name, out)  # untimed warm-up
+                    uniform = time_query(spark, name, out)
+                    skewed = time_query(spark, name, skew_dir)
+                    ratio = (
+                        round(skewed / uniform, 2) if uniform > 0 else None
+                    )
+                    skew_results[name] = {
+                        "uniform_sec": uniform,
+                        "skewed_sec": skewed,
+                        "ratio": ratio,
+                    }
+                    print(json.dumps({"query": name, **skew_results[name]}))
+            finally:
+                if not args.keep:
+                    shutil.rmtree(skew_dir, ignore_errors=True)
         print(
             json.dumps(
                 {
@@ -189,6 +267,9 @@ def main() -> None:
                     "base_sf_dir": src,
                     "queries": {
                         n: r["ratio"] for n, r in results.items()
+                    },
+                    "skew_ratio": {
+                        n: r["ratio"] for n, r in skew_results.items()
                     },
                 }
             )
