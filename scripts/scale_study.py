@@ -11,13 +11,18 @@ warehouse grows (facts accrete, dims don't):
   ``i * KEY_STRIDE`` so referential integrity holds within each copy
   and copies never collide; part/supp keys are left alone so the
   fixed dims still join.
-* ``documents``: copy ``i`` suffixes every word with ``_i`` — same
-  length distribution, ZERO cross-copy shingle overlap, so the
-  near-dup/contamination operators see a genuinely 10x corpus rather
-  than a 10x-duplicated one (which would quadratically explode the
-  pair outputs and measure output growth, not operator scaling).
-  Within-copy planted variants are preserved, so dedup still finds
-  ~10x the pairs it finds at sf0.1.
+* ``documents``: copy ``i`` maps every letter through a seeded
+  per-copy substitution cipher (``F.translate``) — length-preserving
+  and word-boundary-preserving, so token statistics are unchanged,
+  but CHAR-level shingles diverge across copies, making the corpus
+  genuinely 10x rather than 10x-duplicated. (A first attempt salted
+  every word with an ``_i`` suffix; that breaks word-gram operators'
+  cross-copy overlap but NOT char-6 shingles — word interiors stay
+  identical, cross-copy Jaccard lands ~0.5-0.7, and MinHash-LSH
+  correctly floods the verify stage with factor²-growing candidate
+  pairs. That measures the corpus's self-similarity, not the
+  operator's scaling.) Within-copy planted variants are preserved,
+  so dedup still finds ~10x the pairs it finds at sf0.1.
 * ``embeddings``: copy ``i`` adds ``i * 1e-3`` to every component —
   distinct vectors that stay in the same label clusters.
 * ``region nation supplier part``: copied as-is.
@@ -48,7 +53,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import random
 import shutil
+import string
 import sys
 import tempfile
 import time
@@ -133,12 +140,15 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
 
     docs = load(spark, src_dir, "documents")
     scaled_docs = None
+    alphabet = string.ascii_lowercase + string.ascii_uppercase
     for i in range(factor):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_STRIDE))
-        if i > 0:  # word-salt: no cross-copy shingle overlap (see module doc)
+        if i > 0:  # per-copy cipher: no cross-copy shingle overlap
+            perm = list(alphabet)
+            random.Random(i).shuffle(perm)
             c = c.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", "$1_%d" % i)
-            ).withColumn("n_chars", F.length("text"))
+                "text", F.translate("text", alphabet, "".join(perm))
+            )
         scaled_docs = c if scaled_docs is None else scaled_docs.unionByName(c)
     scaled_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
