@@ -252,7 +252,16 @@ def mmr_select(
     the argmax — which lets a DuckDB unrolled-CTE oracle replay every
     pick exactly.  Returns (query, id, mmr_rank 1..k, rel)."""
     base, sim = _mmr_frames(candidates, query_col, id_col, vec_col, rel_col)
-    sim = sim.localCheckpoint(eager=True)
+    # sim descends from the same base as rem; rename its join columns
+    # so the per-step condition below is attribute-unambiguous (the
+    # dataset-id disambiguation resolves df["c"] == df2["c"] self-join
+    # references correctly, but only after warning on every step).
+    sim = sim.select(
+        F.col("__q").alias("__sq"),
+        F.col("__ida").alias("__sida"),
+        F.col("__idb").alias("__sidb"),
+        "__sim",
+    ).localCheckpoint(eager=True)
     om = 1.0 - lam
     rem = base.select(
         "__q", "__id", "__rel", F.lit(-1.0).alias("__bs")
@@ -281,12 +290,12 @@ def mmr_select(
                 .filter(F.col("__id") != F.col("__sel"))
                 .join(
                     sim,
-                    (sim["__q"] == rem["__q"])
-                    & (sim["__ida"] == rem["__id"])
-                    & (sim["__idb"] == F.col("__sel")),
+                    (F.col("__sq") == F.col("__q"))
+                    & (F.col("__sida") == F.col("__id"))
+                    & (F.col("__sidb") == F.col("__sel")),
                 )
                 .select(
-                    rem["__q"], rem["__id"], rem["__rel"],
+                    "__q", "__id", "__rel",
                     F.greatest(F.col("__bs"), F.col("__sim")).alias("__bs"),
                 )
                 .localCheckpoint(eager=True)
