@@ -46,6 +46,25 @@ from pyspark.sql import functions as F
 MASK = "*"
 
 
+def _reject_reserved(
+    cols: Sequence[str], prefixes: Sequence[str], extra: Sequence[str] = ()
+) -> None:
+    """Fail fast if the input frame already uses this module's
+    temp-column namespace — a silent collision would corrupt the
+    class-size join (same validation rigor as the ladder-shape
+    checks)."""
+    bad = [
+        c
+        for c in cols
+        if c in extra or any(c.startswith(p) for p in prefixes)
+    ]
+    if bad:
+        raise ValueError(
+            f"input columns {bad} collide with reserved temp names "
+            f"(prefixes {list(prefixes)}, {list(extra)})"
+        )
+
+
 def kanonymity_generalize(
     df: DataFrame,
     id_cols: Sequence[str],
@@ -79,6 +98,7 @@ def kanonymity_generalize(
             raise ValueError(
                 f"ladder rung {i} columns {list(rung.keys())} != {qi_names}"
             )
+    _reject_reserved(df.columns, ("__qi_", "__sz_"), extra=("__class_n",))
 
     remaining = df
     published: list[DataFrame] = []
@@ -134,6 +154,9 @@ def kanonymity_audit(
     and ``reident_risk`` = 1/size rounded to 6dp (the prosecutor-model
     re-identification probability).  One grouped aggregation — the
     audit you run BEFORE choosing a ladder."""
+    _reject_reserved(
+        list(qi.keys()), (), extra=("class_size", "at_risk", "reident_risk")
+    )
     keyed = df.select(*[c.cast("string").alias(n) for n, c in qi.items()])
     return (
         keyed.groupBy(*qi.keys())

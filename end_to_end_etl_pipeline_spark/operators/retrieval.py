@@ -361,8 +361,11 @@ def mmr_select_grouped(
     cand = base.select("__q", "__id", "__rel")
     q_t = candidates.schema[query_col].dataType.simpleString()
     id_t = candidates.schema[id_col].dataType.simpleString()
+    # rel's output type follows the input column (like __q/__id) so the
+    # twins stay schema-identical for non-double rel inputs too
+    rel_t = candidates.schema[rel_col].dataType.simpleString()
     out_schema = (
-        f"`__q` {q_t}, `__id` {id_t}, mmr_rank int, `__rel` double"
+        f"`__q` {q_t}, `__id` {id_t}, mmr_rank int, `__rel` {rel_t}"
     )
     om = 1.0 - lam
     empty = pd.DataFrame(
@@ -399,7 +402,11 @@ def mmr_select_grouped(
             rows.append((q, pick, step, rel[pick]))
             remaining.discard(pick)
             for i in remaining:
-                s = simm[(i, pick)]
+                # .get, not []: an out-of-contract missing sim pair
+                # (duplicate ids upstream) degrades the same way the
+                # plan-flat path does (row's best_sim unchanged)
+                # instead of raising KeyError
+                s = simm.get((i, pick))
                 if s is not None and s > bs[i]:
                     bs[i] = s
         return pd.DataFrame(
@@ -530,7 +537,11 @@ def ndcg_at_k(
     Returns (query_col, n_rel, n_rel_retrieved, ndcg) with ndcg
     rounded to 6dp.  The discount sums have ≤ k irrational terms, so
     engine summation-order ulps sit ~1e-15 below the rounding grid —
-    a SQL oracle replays them exactly.
+    a SQL oracle replays them exactly.  The dcg↔ideal join is FULL
+    OUTER: a query present in ``relevant`` but retrieving nothing
+    (no ranked rows, or none within top-k) scores ndcg = 0 with
+    n_rel_retrieved = 0 instead of silently dropping out — dropping
+    it would inflate a macro-averaged nDCG.
 
     Scale shape: every frame here is evaluation-sized — ranked is
     ≤ k rows per query, relevant is the labeled ground truth — so
@@ -565,15 +576,22 @@ def ndcg_at_k(
             lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1.0),
         ),
     )
+    # full outer (not left): queries with ground truth but zero
+    # retrieved rows must appear with ndcg=0, not vanish. Both sides
+    # are evaluation-sized, so no broadcast hint needed (and Spark
+    # cannot broadcast a full-outer side anyway).
     return (
-        dcg.join(F.broadcast(ideal), query_col, "left")
+        dcg.join(ideal, query_col, "full_outer")
         .select(
             query_col,
             F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")).alias("n_rel"),
-            "n_rel_retrieved",
+            F.coalesce(
+                F.col("n_rel_retrieved"), F.lit(0).cast("bigint")
+            ).alias("n_rel_retrieved"),
             F.round(
                 F.when(
-                    F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")
+                    F.col("__idcg") > 0,
+                    F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("ndcg"),

@@ -3477,9 +3477,14 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM nrel)
       GROUP BY 1
     )
-    SELECT d.query_id, n.n_rel, d.n_rel_retrieved,
-           round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0 END, 6) AS ndcg
-    FROM dcg d JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
+    SELECT q.query_id, COALESCE(n.n_rel, 0) AS n_rel,
+           COALESCE(d.n_rel_retrieved, 0) AS n_rel_retrieved,
+           round(CASE WHEN i.idcg > 0
+                 THEN COALESCE(d.dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg
+    FROM (SELECT query_id FROM dcg UNION SELECT query_id FROM nrel) q
+    LEFT JOIN dcg d USING (query_id)
+    LEFT JOIN nrel n USING (query_id)
+    LEFT JOIN idcg i USING (query_id)
     """,
     doc="Retrieval-quality evaluation: per-query nDCG@10 of the BM25 "
     "arm (operators/retrieval.ndcg_at_k) - the metric step closing "

@@ -113,6 +113,19 @@ HEAVY_QUERIES = [
 ]
 
 
+def _derangement(alphabet: str, seed: int) -> list[str]:
+    """Seeded permutation of ``alphabet`` with NO fixed points
+    (reject-and-reshuffle), so every ciphered character really
+    changes — cross-copy shingle distinctness holds by construction,
+    not by luck of the shuffle."""
+    rng = random.Random(seed)
+    while True:
+        perm = list(alphabet)
+        rng.shuffle(perm)
+        if all(p != a for p, a in zip(perm, alphabet)):
+            return perm
+
+
 def _copies_with(df, shifts, factor):
     """Union ``factor`` key-shifted copies of ``df`` (copy 0 = as-is)."""
     out = None
@@ -140,12 +153,16 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
 
     docs = load(spark, src_dir, "documents")
     scaled_docs = None
-    alphabet = string.ascii_lowercase + string.ascii_uppercase
+    # letters AND digits, deranged (no fixed points): a plain seeded
+    # shuffle can map characters to themselves and leaves digits /
+    # punctuation untouched, so a >=6-char shingle of non-letters
+    # could collide across copies — distinctness would be corpus-
+    # dependent instead of guaranteed by construction
+    alphabet = string.ascii_lowercase + string.ascii_uppercase + string.digits
     for i in range(factor):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_STRIDE))
         if i > 0:  # per-copy cipher: no cross-copy shingle overlap
-            perm = list(alphabet)
-            random.Random(i).shuffle(perm)
+            perm = _derangement(alphabet, seed=i)
             c = c.withColumn(
                 "text", F.translate("text", alphabet, "".join(perm))
             )

@@ -108,6 +108,24 @@ def test_ladder_validation():
         kanonymity_generalize(None, ["id"], bad, k=2)
 
 
+def test_reserved_temp_name_collision_rejected(spark):
+    """Input columns in the operator's temp namespace (__qi_*/__sz_*/
+    __class_n) must fail fast, not silently corrupt the class-size
+    join; same for the audit's fixed output names."""
+    df = _rows(spark, [(1, "X", "30")]).withColumn("__class_n", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        kanonymity_generalize(df, ["id"], _ladder(), k=2)
+    df2 = _rows(spark, [(1, "X", "30")]).withColumn("__qi_city", F.lit("x"))
+    with pytest.raises(ValueError, match="reserved"):
+        kanonymity_generalize(df2, ["id"], _ladder(), k=2)
+    with pytest.raises(ValueError, match="reserved"):
+        kanonymity_audit(
+            _rows(spark, [(1, "X", "30")]),
+            {"class_size": F.col("city")},
+            k=2,
+        )
+
+
 def test_audit_counts_and_risk(spark):
     rows = [(1, "X", "30"), (2, "X", "30"), (3, "Y", "30")]
     out = {

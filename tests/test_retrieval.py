@@ -358,3 +358,53 @@ def test_ndcg_hand_computed(spark):
     assert out[1] == (3, 2, round(dcg / idcg, 6))
     assert out[2] == (2, 2, 1.0)
     assert out[3] == (0, 0, 0.0)
+
+
+def test_ndcg_zero_retrieval_query_scores_zero(spark):
+    """A query with ground truth but NO ranked rows (or none within
+    top-k) must appear with ndcg=0, not silently vanish — dropping it
+    would inflate a macro-averaged nDCG."""
+    from end_to_end_etl_pipeline_spark.operators.retrieval import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        # q9's only row sits past k=3, so it retrieves nothing in-window
+        [(1, 10, 1), (9, 70, 4)],
+        "query_id bigint, doc_id bigint, rank bigint",
+    )
+    relevant = spark.createDataFrame(
+        # q5 has ground truth but zero ranked rows at all
+        [(1, 10), (5, 60), (5, 61), (9, 70)],
+        "query_id bigint, doc_id bigint",
+    )
+    out = {
+        r["query_id"]: (r["n_rel"], r["n_rel_retrieved"], r["ndcg"])
+        for r in ndcg_at_k(ranked, relevant, k=3).collect()
+    }
+    assert out[1] == (1, 1, 1.0)
+    assert out[5] == (2, 0, 0.0)
+    assert out[9] == (1, 0, 0.0)
+
+
+def test_mmr_grouped_preserves_non_double_rel_type(spark):
+    """The twins must stay schema-identical for non-double rel inputs
+    (the grouped path used to hardcode `__rel double`)."""
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        mmr_select,
+        mmr_select_grouped,
+    )
+
+    cand = spark.createDataFrame(
+        [(0, 1, [1.0, 0.0], 0.5), (0, 2, [0.0, 1.0], 0.25)],
+        "query_id bigint, doc_id bigint, v array<double>, rel double",
+    ).withColumn("rel", F.col("rel").cast("float"))
+    flat = mmr_select(cand, "query_id", "doc_id", "v", "rel", k=2)
+    grp = mmr_select_grouped(cand, "query_id", "doc_id", "v", "rel", k=2)
+    # dtype parity (nullability differs benignly: Arrow-map output
+    # columns are always nullable, row_number's is not)
+    assert [(f.name, f.dataType) for f in grp.schema.fields] == [
+        (f.name, f.dataType) for f in flat.schema.fields
+    ]
+    assert grp.schema["rel"].dataType.simpleString() == "float"
+    assert sorted(map(tuple, grp.collect())) == sorted(
+        map(tuple, flat.collect())
+    )

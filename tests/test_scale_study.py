@@ -23,9 +23,24 @@ from scale_study import (  # noqa: E402
     DIM_TABLES,
     FACT_KEY_SHIFTS,
     KEY_STRIDE,
+    _derangement,
     build_scaled,
     build_skewed,
 )
+
+
+def test_cipher_is_a_derangement_over_letters_and_digits():
+    """Cross-copy shingle distinctness must hold by construction: the
+    cipher alphabet covers digits (an all-digit 6-shingle would pass a
+    letters-only cipher unchanged) and maps NO character to itself —
+    a plain seeded shuffle can have fixed points."""
+    import string
+
+    alphabet = string.ascii_lowercase + string.ascii_uppercase + string.digits
+    for seed in range(1, 40):
+        perm = _derangement(alphabet, seed=seed)
+        assert sorted(perm) == sorted(alphabet)
+        assert all(p != a for p, a in zip(perm, alphabet)), seed
 from tests.conftest import SF_SMOKE  # noqa: E402
 
 
