@@ -31,13 +31,24 @@ shows what NOT amortizing costs.
 
 ``dedup_store_probe`` is the same A/B for dedup: ``near_dup_pairs``
 re-pairs the whole corpus every run (the un-amortized twin, the
-bench's warm ceiling since r04); the probe entry classifies the
-planted near-dup batch against a PRE-BUILT band-bucketed MinHash
-signature store (operators/dedup_store.py), so the timed number is
-the O(batch + collisions) marginal ingest decision a production
-corpus actually pays — signatures persisted, only touched band
-buckets read, store unmutated (probe, not ingest) so re-runs are
-idempotent.
+bench's warm ceiling since r04); the probe entry classifies a
+REALISTIC ingest batch — corpus/50, i.e. 100 docs at sf0.1 (r05
+probed corpus/7 and the batch's own MinHash computation dominated
+the number, under-selling the store) — against a PRE-BUILT
+band-bucketed MinHash signature store (operators/dedup_store.py),
+so the timed number is the O(batch + collisions) marginal ingest
+decision a production corpus actually pays — signatures persisted,
+store unmutated (probe, not ingest) so re-runs are idempotent.
+
+DRIFT CANARY (r06+): machine state drifted the whole r05 bench
+~1.25x including round-untouched queries, making round-over-round
+comparison unreadable. Every run now times a fixed trivial
+calibration step — a full lineitem parquet scan-count — once before
+the cold pass and once per warm pass. The headline carries
+``canary_sec`` / ``canary_warm_sec``; the sidecar adds
+``queries_warm_norm`` (per-query warm-min divided by the warm canary
+min). Compare rounds on the NORMALIZED numbers: machine state
+divides out, plan regressions don't.
 """
 
 from __future__ import annotations
@@ -99,18 +110,18 @@ BENCH_QUERIES = [
     # round 2e: value-RANGE trailing window anomaly scoring
     "daily_event_anomaly",
     # round 5 (additive — the set above is stable for regression
-    # reads): hybrid RRF fusion (BM25 + cosine arms) and MMR
-    # diversified re-rank (k localCheckpointed greedy steps —
-    # measures the fixed per-step job latency that dominates it)
+    # reads): hybrid RRF fusion (BM25 + cosine arms); MMR diversified
+    # re-rank, PRIMARY = the grouped-map strategy (r06 role flip,
+    # matching the driver window): the whole greedy loop runs per
+    # query group in ONE cogrouped-Arrow job — the scale-right plan
     "hybrid_doc_retrieval",
-    "mmr_diverse_rerank",
-    # its grouped-map twin (same oracle): the whole greedy loop runs
-    # per query group in ONE cogrouped-Arrow job instead of k
-    # plan-flat steps x eager localCheckpoint barriers — the A/B
-    # quantifies what the fixed per-job latency costs the iterative
+    "mmr_diverse_rerank_grouped",
+    # its plan-flat twin (same oracle), retained as the A/B: k
+    # driver-coordinated steps x eager localCheckpoint barriers —
+    # quantifies what fixed per-job latency costs the iterative
     # strategy (the pq_topk/ivfpq_store_topk pattern, applied to
     # driver-coordinated iteration instead of index amortization)
-    "mmr_diverse_rerank_grouped",
+    "mmr_diverse_rerank",
 ]
 
 N_WARM_RUNS = 3
@@ -192,14 +203,16 @@ def _build_dedup_store(spark, sf_dir: str):
     store.ingest(docs, "text")
 
     def probe(spark, sf_dir):
-        # the planted near-dup batch from the near_dup_pairs corpus:
-        # every 7th doc, perturbed — the store must catch these
-        # against its persisted signatures via one columnar scan of
-        # the signature table (plain mode — see the setup comment).
-        # Read-only → idempotent re-runs.
+        # a realistic ingest batch: corpus/50 (100 docs at sf0.1),
+        # perturbed near-dups the store must catch against its
+        # persisted signatures via one columnar scan of the signature
+        # table (plain mode — see the setup comment). r05 probed
+        # corpus/7 (~714 docs) and the batch's own MinHash work
+        # dominated; the marginal per-batch cost is the honest
+        # amortization number. Read-only → idempotent re-runs.
         batch = (
             load(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") % 7 == 0)
+            .filter(F.col("doc_id") % 50 == 0)
             .select(
                 (F.col("doc_id") + 1000000).alias("doc_id"),
                 F.expr("substring(text, 8)").alias("text"),
@@ -216,10 +229,23 @@ def _build_dedup_store(spark, sf_dir: str):
     return cat, probe, tmpdir
 
 
+def canary(spark, sf_dir: str) -> float:
+    """The fixed calibration step: a full lineitem parquet
+    scan-count — trivial, plan-stable across rounds, and sensitive to
+    the same CPU/IO machine state as the real queries. Its time
+    normalizes per-query numbers so environment drift divides out of
+    round-over-round comparisons (r05's uniform ~1.25x inflation)."""
+    t0 = time.perf_counter()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    return round(time.perf_counter() - t0, 3)
+
+
 def emit(
     timings: dict[str, float],
     warm_samples: dict[str, list[float]],
     sf: float,
+    canary_cold: float | None = None,
+    canary_warm: list[float] | None = None,
 ) -> str:
     """Print the round's numbers and return the final stdout line.
 
@@ -241,6 +267,14 @@ def emit(
         "queries_warm_median": warm_med,
         "warm_runs": N_WARM_RUNS,
     }
+    if canary_warm:
+        cw = min(canary_warm)
+        details["canary_warm_samples"] = [round(c, 3) for c in canary_warm]
+        # drift-normalized warm numbers: divide by the warm canary so
+        # machine state cancels when comparing rounds
+        details["queries_warm_norm"] = {
+            n: round(min(s) / cw, 2) for n, s in warm_samples.items()
+        }
     sidecar = os.path.join(SIDECAR_DIR, "BENCH_DETAILS.json")
     try:
         with open(sidecar, "w") as f:
@@ -248,16 +282,19 @@ def emit(
     except OSError as exc:  # pragma: no cover - read-only checkout
         print(f"sidecar write failed: {exc!r}", file=sys.stderr)
     print("BENCH_DETAILS " + json.dumps(details))
-    headline = json.dumps(
-        {
-            "metric": "headline_queries_total_sec",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            "warm_total_sec": round(sum(warm_min.values()), 3),
-            "sf": sf,
-        }
-    )
+    head: dict[str, object] = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "warm_total_sec": round(sum(warm_min.values()), 3),
+        "sf": sf,
+    }
+    if canary_cold is not None:
+        head["canary_sec"] = canary_cold
+    if canary_warm:
+        head["canary_warm_sec"] = round(min(canary_warm), 3)
+    headline = json.dumps(head)
     print(headline)
     return headline
 
@@ -290,6 +327,7 @@ def main() -> None:
         print(f"dedup store setup failed: {exc!r}", file=sys.stderr)
 
     try:
+        canary_cold = canary(spark, sf_dir)
         timings: dict[str, float] = {}
         for name, fn in runnable.items():
             t0 = time.perf_counter()
@@ -297,13 +335,15 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
 
         warm_samples: dict[str, list[float]] = {n: [] for n in runnable}
+        canary_warm: list[float] = []
         for _ in range(N_WARM_RUNS):
+            canary_warm.append(canary(spark, sf_dir))
             for name, fn in runnable.items():
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 warm_samples[name].append(time.perf_counter() - t0)
 
-        emit(timings, warm_samples, sf)
+        emit(timings, warm_samples, sf, canary_cold, canary_warm)
     finally:
         if tmpdir:
             shutil.rmtree(tmpdir, ignore_errors=True)

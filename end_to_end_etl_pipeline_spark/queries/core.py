@@ -2471,6 +2471,77 @@ def incremental_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Structured Streaming under the oracle - the conformance gate "
+    "for the foreachBatch lakehouse bridge (streaming/jobs."
+    "foreach_batch_agg_maintenance): orders lands as a 3-file parquet "
+    "drop zone, a file-source stream replays it one file per trigger "
+    "(trigger availableNow), and each micro-batch merges into a "
+    "grouped-sum state table in a scratch ManifestCatalog as an "
+    "insert-only CDC delta - change-proportional per trigger (one "
+    "batch agg + one groups-sized state join + one atomic commit), "
+    "never a rescan of earlier batches, with the applied _batch_id "
+    "committed atomically so an at-least-once replay can't double-"
+    "count. The final state table must equal DuckDB's one-shot "
+    "aggregate over the whole table regardless of how the file "
+    "source batched the rows - exactly the invariant that makes a "
+    "streaming materialized view trustworthy. Sums round at 2dp on "
+    "cent-valued data.",
+    tags=("parity", "streaming", "incremental", "north-star"),
+)
+def streaming_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_agg_maintenance,
+    )
+
+    scratch_parent = "/tmp/spark_graft_streaming_rev"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    landing = f"file://{root}/landing"
+    orders.repartition(3).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(landing)
+    )
+    cat = ManifestCatalog(spark, f"file://{root}/lake")
+    q = foreach_batch_agg_maintenance(
+        stream,
+        cat,
+        "st.rev",
+        keys=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        checkpoint_dir=f"file://{root}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+    out = cat.read("st.rev").select(
+        "o_orderpriority",
+        "n",
+        F.round("sum_o_totalprice", 2).alias("sum_total"),
+    )
+    return out.localCheckpoint(eager=True)
+
+
+@register(
     "winsorized_price_stats",
     oracle="""
     WITH b AS (

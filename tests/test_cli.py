@@ -105,17 +105,29 @@ def test_bench_emit_contract(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(bench, "SIDECAR_DIR", str(tmp_path))
     timings = {f"q{i:02d}": 1.234 for i in range(40)}  # wider than today's set
     warm = {n: [1.0, 1.1, 1.2] for n in timings}
-    returned = bench.emit(timings, warm, sf=0.1)
+    returned = bench.emit(
+        timings, warm, sf=0.1, canary_cold=0.8, canary_warm=[0.5, 0.55, 0.6]
+    )
     out = capsys.readouterr().out.strip().splitlines()
     assert out[-1] == returned
     head = json.loads(out[-1])
-    assert {"metric", "value", "unit", "queries", "warm_total_sec", "sf"} <= set(head)
+    assert {"metric", "value", "unit", "queries", "warm_total_sec", "sf",
+            "canary_sec", "canary_warm_sec"} <= set(head)
     assert head["unit"] == "sec" and head["sf"] == 0.1
+    assert head["canary_sec"] == 0.8
+    assert head["canary_warm_sec"] == 0.5
     assert len(out[-1]) < 4096, "headline line must survive tail capture"
     # the details line is deliberately NOT bare JSON
     assert out[-2].startswith("BENCH_DETAILS ")
     details = json.loads(out[-2].removeprefix("BENCH_DETAILS "))
     assert details["queries_warm"]["q00"] == 1.0
     assert details["queries_warm_median"]["q00"] == 1.1
+    # drift normalization: warm-min / warm-canary-min
+    assert details["queries_warm_norm"]["q00"] == 2.0
+    assert details["canary_warm_samples"] == [0.5, 0.55, 0.6]
     sidecar = json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
     assert sidecar == details
+    # canary-less calls (unit contexts) still emit the base contract
+    returned2 = bench.emit(timings, warm, sf=0.1)
+    head2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "canary_sec" not in head2 and "queries" in head2

@@ -113,13 +113,17 @@ def test_driver_window_contract():
         "json-scan": {"json_scan_roundtrip"},
         "csv-scan": {"csv_scan_roundtrip"},
         "orc-scan": {"orc_scan_roundtrip"},
-        "scd2": {"scd2_transition"},
+        # scd2_member_delete is the same SCDEngine MERGE surface (its
+        # DELETE leg); the PIT dimension join reads SCD2 validity
+        # intervals (also counted under asof — it is both)
+        "scd2": {"scd2_transition", "scd2_member_delete",
+                 "orders_pit_dimension_join"},
         "exact-dedup": {"dedup_exact_text", "line_dedup_corpus",
                         "within_doc_line_dedup"},
         "near-dedup": {
             "near_dup_pairs", "simhash_near_dup", "ngram_jaccard_topk",
             "near_dup_clusters", "doc_span_overlap", "embedding_near_dup",
-            "doc_shared_span_extent",
+            "doc_shared_span_extent", "near_dup_pruned_corpus",
         },
         "semantic-dedup": {"semantic_pruned_corpus",
                            "semantic_split_contamination"},
@@ -127,9 +131,12 @@ def test_driver_window_contract():
         "ann": {
             "cosine_topk", "ivfpq_topk", "pq_topk", "cosine_topk_ivf",
             "ann_recall_trained_cells", "ann_recall_at_k",
-            "ann_store_incremental_topk",
+            "ann_store_incremental_topk", "cosine_topk_ivf_adaptive",
         },
-        "lexical-retrieval": {"bm25_doc_search", "bm25_store_search"},
+        # keyword_doc_similarity is the tf-idf inverted-index (posting
+        # self-join) modality — lexical term-weight retrieval like BM25
+        "lexical-retrieval": {"bm25_doc_search", "bm25_store_search",
+                              "keyword_doc_similarity"},
         "hybrid-retrieval": {"hybrid_doc_retrieval"},
         "diversified-retrieval": {"mmr_diverse_rerank",
                                   "mmr_diverse_rerank_grouped"},
@@ -141,34 +148,54 @@ def test_driver_window_contract():
         "feature-prep": {"priority_target_encoding"},
         "storage-engine": {"bloom_point_lookup", "orders_change_data_feed",
                            "orders_time_travel_vacuum", "zorder_range_read",
-                           "orders_targeted_delete"},
-        "kmeans-vectors": {"label_centroids", "embedding_int8_quantize"},
+                           "orders_targeted_delete",
+                           "orders_retention_expiry",
+                           "orders_targeted_update"},
+        "kmeans-vectors": {"label_centroids", "embedding_int8_quantize",
+                           "embedding_kmeans_clusters"},
         "sketch": {"word_heavy_hitters_cms", "bloom_seen_docs",
-                   "daily_uniques_hll", "daily_uniques_bitmap"},
+                   "daily_uniques_hll", "daily_uniques_bitmap",
+                   "price_quantile_sketch"},
         "text-analysis": {
             "lang_id", "doc_token_stats", "doc_tfidf_terms",
             "gopher_quality_filter", "doc_fingerprints",
             "boilerplate_ratio", "doc_normalized", "doc_bigram_logppl",
-            "doc_pii_redacted", "doc_script_profile",
+            "doc_pii_redacted", "doc_script_profile", "doc_unigram_logppl",
         },
-        "quality-classifier": {"quality_classifier_scores"},
-        "curation-lineage": {"corpus_funnel_audit", "clean_corpus"},
+        # doc_repetition_ratio is a Gopher repetition signal — the
+        # quality-scoring surface the classifier's features come from
+        "quality-classifier": {"quality_classifier_scores",
+                               "doc_repetition_ratio"},
+        # near_dup_pruned_corpus is the same curated-corpus-production
+        # shape as clean_corpus (corpus minus a filter, with lineage)
+        "curation-lineage": {"corpus_funnel_audit", "clean_corpus",
+                             "near_dup_pruned_corpus"},
         "sampling": {"curriculum_sample", "weighted_doc_sample",
-                     "source_capped_docs"},
+                     "source_capped_docs", "doc_stratified_sample",
+                     "lang_temperature_mix", "source_mix_plan"},
         "importance-selection": {"dsir_importance_scores"},
         "packing-chunking": {"doc_packed_bins", "doc_chunks",
-                             "rag_context_pack"},
-        "splits-contamination": {"doc_split_assign", "split_contamination"},
+                             "rag_context_pack", "packed_bin_manifests"},
+        "splits-contamination": {"doc_split_assign", "split_contamination",
+                                 "decontaminated_train_split"},
         "vocab": {"vocab_oov_rates"},
         "profiling": {"orders_column_profile", "winsorized_price_stats",
-                      "winsorized_price_stats_sketch", "daily_event_anomaly"},
+                      "winsorized_price_stats_sketch", "daily_event_anomaly",
+                      "join_key_skew_profile", "order_price_equidepth_bins"},
         "bpe": {"bpe_merge_rules", "bpe_merge_rules_batched",
                 "bpe_token_freqs"},
         "multimodal": {"binary_doc_stats", "doc_frame_samples"},
-        "ivm": {"incremental_priority_revenue"},
+        # streaming_priority_revenue feeds the SAME apply_agg_delta
+        # state machinery from a real stream — it is both the ivm
+        # family's slot and the streaming bridge's driver gate
+        "ivm": {"incremental_priority_revenue",
+                "streaming_priority_revenue"},
+        "streaming-bridge": {"streaming_priority_revenue"},
         "entity-resolution": {"customer_record_linkage"},
-        "core-joins": {"min_cost_supplier", "local_supplier_volume"},
-        "asof": {"purchase_last_view_asof", "purchase_next_view_asof"},
+        "core-joins": {"min_cost_supplier", "local_supplier_volume",
+                       "excess_stock_suppliers", "important_part_value"},
+        "asof": {"purchase_last_view_asof", "purchase_next_view_asof",
+                 "orders_pit_dimension_join"},
         "basket-attribution": {"frequent_part_pairs",
                                "purchase_touch_attribution"},
         "grouped-models": {"event_type_value_trend"},
