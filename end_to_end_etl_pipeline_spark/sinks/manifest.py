@@ -266,33 +266,65 @@ class ManifestCatalog:
     #: per-dir bloom parameters — fixed so every dir's bitmap and the
     #: probe compute identical positions (same md5 derivation as
     #: operators/sketches, replayed driver-side for probing)
-    BLOOM_BITS = 4096
+    BLOOM_BITS = 4096  # floor (and the legacy fixed size)
+    BLOOM_MAX_BITS = 1 << 21  # 2M bits = 256 KiB/dir/col ceiling
     BLOOM_HASHES = 3
 
     def _dir_blooms(self, data_dir: str, bloom_cols: Sequence[str]) -> dict:
         """Per-data-dir Bloom bitmaps for point-lookup data skipping —
         the membership half of Iceberg/Delta file pruning. min/max
         stats can't prune equality probes on hash-like high-
-        cardinality keys (every dir's range spans everything); a
-        128-long bloom per dir answers 'could this key be here?' with
-        no false negatives. One narrow scan of the just-written dir
-        via the shared ``operators/sketches`` builder; stored as
-        {col: {word: bits}} JSON (sparse — absent words are 0)."""
+        cardinality keys (every dir's range spans everything); a bloom
+        per dir answers 'could this key be here?' with no false
+        negatives. One narrow scan of the just-written dir via the
+        shared ``operators/sketches`` builder.
+
+        SIZED TO THE DIR (r06): a fixed bitmap saturates as appends
+        grow — at 10x data a 4096-bit bloom over ~190k keys/dir
+        approves every probe and targeted deletes degrade to
+        rewrite-everything (correct but change-DISproportional). Each
+        dir's bitmap is ~10 bits/distinct-key (FP ≈ 1.7% at k=3),
+        power-of-two clamped to [BLOOM_BITS, BLOOM_MAX_BITS]; the size
+        travels with the bitmap ({col: {"num_bits": m, "words":
+        {word: bits}}}) because probe positions are modulo m — a probe
+        against the wrong modulus would be a silent false negative.
+        Legacy bitmaps ({col: {word: bits}}) read as BLOOM_BITS."""
         from end_to_end_etl_pipeline_spark.operators.sketches import bloom_build
 
         df = self.spark.read.parquet(data_dir)
         out: dict = {}
         for c in bloom_cols:
+            keys = df.select(c).where(F.col(c).isNotNull())
+            n = keys.distinct().count()
+            num_bits = self.BLOOM_BITS
+            while num_bits < 10 * n and num_bits < self.BLOOM_MAX_BITS:
+                num_bits *= 2
             rows = bloom_build(
-                df.select(c).where(F.col(c).isNotNull()),
+                keys,
                 c,
-                num_bits=self.BLOOM_BITS,
+                num_bits=num_bits,
                 num_hashes=self.BLOOM_HASHES,
             ).collect()
-            out[c] = {str(r["word"]): int(r["bits"]) for r in rows}
+            out[c] = {
+                "num_bits": num_bits,
+                "words": {str(r["word"]): int(r["bits"]) for r in rows},
+            }
         return out
 
-    def _bloom_positions(self, value, spark_type=None) -> list[tuple[int, int]]:
+    @staticmethod
+    def _bloom_parse(bm) -> tuple[int, dict] | None:
+        """(num_bits, words) from either bitmap format: sized (r06,
+        {"num_bits": m, "words": {...}}) or legacy fixed-size
+        ({word: bits} under BLOOM_BITS)."""
+        if bm is None:
+            return None
+        if "words" in bm and isinstance(bm.get("words"), dict):
+            return int(bm["num_bits"]), bm["words"]
+        return ManifestCatalog.BLOOM_BITS, bm
+
+    def _bloom_positions(
+        self, value, spark_type=None, num_bits: int | None = None
+    ) -> list[tuple[int, int]]:
         """Probe positions for one value: [(word, bit)] per hash row.
         Must match the JVM build bit-for-bit, or the probe silently
         skips the dir that holds the key (a false NEGATIVE — the one
@@ -317,6 +349,7 @@ class ManifestCatalog:
         hashed decimal(10,4) ('3.1400')."""
         import hashlib
 
+        m = num_bits or self.BLOOM_BITS
         if spark_type is None:
             out = []
             for h in range(self.BLOOM_HASHES):
@@ -325,7 +358,7 @@ class ManifestCatalog:
                         hashlib.md5(f"{h}:{value}".encode()).hexdigest()[:8],
                         16,
                     )
-                    % self.BLOOM_BITS
+                    % m
                 )
                 out.append((pos // 32, pos % 32))
             return out
@@ -348,9 +381,7 @@ class ManifestCatalog:
                 "__key",
             )
             .select(
-                _bloom_pos(
-                    F.col("__h"), F.col("__key"), self.BLOOM_BITS
-                ).alias("__pos")
+                _bloom_pos(F.col("__h"), F.col("__key"), m).alias("__pos")
             )
             .collect()
         )
@@ -405,21 +436,37 @@ class ManifestCatalog:
                 col_type, (ByteType, ShortType, IntegerType, LongType)
             )
         )
-        try:
-            probe = self._bloom_positions(value, None if fast else col_type)
-        except Exception:
-            # a probe value the column's type can't hold (e.g. a str
-            # probe against bigint): pruning is an IO optimization —
-            # degrade to reading every dir rather than guessing a
-            # rendering and risking a false negative
-            return self._dirs(manifest)
+        # dirs may carry differently-sized bitmaps (adaptive sizing,
+        # legacy 4096): probe positions are modulo the bitmap size, so
+        # compute (and cache) one probe per distinct size
+        probes: dict[int, list[tuple[int, int]] | None] = {}
+
+        def probe_for(m: int):
+            if m not in probes:
+                try:
+                    probes[m] = self._bloom_positions(
+                        value, None if fast else col_type, num_bits=m
+                    )
+                except Exception:
+                    # a probe value the column's type can't hold (e.g.
+                    # a str probe against bigint): pruning is an IO
+                    # optimization — degrade to keeping the dir rather
+                    # than guessing a rendering and risking a false
+                    # negative
+                    probes[m] = None
+            return probes[m]
+
         kept = []
         for d in self._dirs(manifest):
-            bm = (blooms.get(d) or {}).get(col)
-            if bm is None:
+            parsed = self._bloom_parse((blooms.get(d) or {}).get(col))
+            if parsed is None:
                 kept.append(d)
                 continue
-            if all((int(bm.get(str(w), 0)) >> b) & 1 for w, b in probe):
+            m, words = parsed
+            probe = probe_for(m)
+            if probe is None or all(
+                (int(words.get(str(w), 0)) >> b) & 1 for w, b in probe
+            ):
                 kept.append(d)
         return kept
 

@@ -110,6 +110,13 @@ HEAVY_QUERIES = [
     "bm25_doc_search",
     # ANN with in-query training
     "pq_topk",
+    # r06: the retrieval stack (retrieve -> fuse -> diversify ->
+    # rerank -> evaluate); candidates are arm-bounded, so these
+    # should be near-FLAT at 10x — only the arm scans grow
+    "hybrid_doc_retrieval",
+    "mmr_diverse_rerank_grouped",
+    "crossencoder_rerank_topk",
+    "bm25_ndcg_eval",
 ]
 
 
@@ -221,6 +228,60 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def time_delete_path(spark, sf_dir: str, n_appends: int = 8) -> dict:
+    """The CRUD number the bench can't see: how much of the table does
+    a targeted delete actually touch at scale?  Lands the lake's
+    ``orders`` in a scratch ManifestCatalog as ``n_appends``
+    date-interleaved bloom-indexed appends (every dir's orderkey RANGE
+    spans the whole table, so only blooms can prune), deletes 5 keys,
+    and reports wall time plus the dir-level prune rate — rewritten
+    dirs vs total.  At 10x the per-dir bloom holds 10x the keys, so
+    this is also the false-positive-rate-at-scale probe: a saturated
+    bloom degrades prune_rate toward 0 (correct but slow), it never
+    skips wrongly."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    root = tempfile.mkdtemp(prefix="scale_delete_")
+    try:
+        cat = ManifestCatalog(spark, f"file://{root}")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        for m in range(n_appends):
+            cat.append(
+                orders.filter(F.month("o_orderdate") % n_appends == m).drop(
+                    "o_orderdate"
+                ),
+                "d.orders",
+                bloom_cols=["o_orderkey"],
+            )
+        keys = [
+            r[0]
+            for r in orders.select("o_orderkey")
+            .orderBy("o_orderkey")
+            .limit(5)
+            .collect()
+        ]
+        before = set(cat.latest_manifest("d.orders")["dirs"])
+        t0 = time.perf_counter()
+        deleted = cat.delete_where("d.orders", "o_orderkey", keys)
+        wall = round(time.perf_counter() - t0, 3)
+        after = set(cat.latest_manifest("d.orders")["dirs"])
+        # dirs TOUCHED = dirs the delete replaced (dropped from the
+        # manifest); the rewrite may consolidate them into fewer
+        # output dirs, so counting new dirs would under-report reads
+        touched = len(before - after)
+        return {
+            "wall_sec": wall,
+            "rows_deleted": deleted,
+            "dirs_total": len(before),
+            "dirs_rewritten": touched,
+            "prune_rate": round(1.0 - touched / len(before), 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -233,6 +294,11 @@ def main() -> None:
         help="also time the join shapes against a hot-key skewed lake",
     )
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--delete-path",
+        action="store_true",
+        help="also time a bloom-pruned targeted delete at both scales",
+    )
     args = ap.parse_args()
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -259,6 +325,13 @@ def main() -> None:
                 "ratio": ratio,
             }
             print(json.dumps({"query": name, **results[name]}))
+        delete_results = {}
+        if args.delete_path:
+            time_delete_path(spark, src, n_appends=2)  # untimed warm-up
+            delete_results["base"] = time_delete_path(spark, src)
+            delete_results["scaled"] = time_delete_path(spark, out)
+            for tag, r in delete_results.items():
+                print(json.dumps({"delete_path": tag, **r}))
         skew_results = {}
         if args.skew:
             skew_dir = out + "_skew"
@@ -298,6 +371,7 @@ def main() -> None:
                     "skew_ratio": {
                         n: r["ratio"] for n, r in skew_results.items()
                     },
+                    "delete_path": delete_results or None,
                 }
             )
         )

@@ -703,6 +703,50 @@ def test_bloom_point_lookup_prunes_dirs_never_false_negative(spark, cat):
     ]
 
 
+def test_bloom_adaptive_sizing_and_legacy_bitmap_compat(spark, cat):
+    """Bitmaps are sized ~10 bits per distinct key (power-of-two,
+    floored at BLOOM_BITS) so a big append's bloom doesn't saturate —
+    the r05 fixed 4096-bit bitmap approved ~41% of absent-key probes
+    at just 1.9k keys/dir and would approve everything at 10x.  Probes
+    must honor EACH dir's own modulus, including a legacy fixed-size
+    bitmap left by an older writer (no false negatives across mixed
+    sizes)."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    small = spark.range(0, 50).select(F.col("id").alias("key"))
+    big = spark.range(100_000, 103_000).select(F.col("id").alias("key"))
+    cat.append(small, "bla.t", bloom_cols=["key"])
+    cat.append(big, "bla.t", bloom_cols=["key"])
+    m = cat.latest_manifest("bla.t")
+    sizes = {}
+    for d in m["dirs"]:
+        nb, words = ManifestCatalog._bloom_parse(m["blooms"][d]["key"])
+        sizes[d] = nb
+        assert nb % 2 == 0 and nb >= ManifestCatalog.BLOOM_BITS
+    assert sorted(sizes.values()) == [4096, 32768]  # 50 keys / 3k keys
+
+    # no false negatives in either dir; cross-dir pruning works
+    assert cat.read_point("bla.t", "key", 7).count() == 1
+    assert cat.read_point("bla.t", "key", 102_500).count() == 1
+    assert len(cat.bloom_pruned_dirs("bla.t", "key", 7)) <= 2
+    # absent keys: the sized bitmaps should usually prune both dirs
+    absent = [cat.read_point("bla.t", "key", k).count() for k in
+              (999_999_007, 999_999_011, 999_999_013)]
+    assert absent == [0, 0, 0]
+
+    # legacy format: hand-rewrite one dir's bitmap to the pre-r06
+    # shape ({word: bits} at BLOOM_BITS) — probes must still find keys
+    import json as _json
+
+    d0 = next(d for d in m["dirs"] if sizes[d] == 4096)
+    legacy = dict(m["blooms"][d0]["key"]["words"])
+    m["blooms"][d0]["key"] = legacy
+    ver = cat._commit("bla.t", {k: v for k, v in m.items() if k != "version"})
+    assert ver > 0
+    assert cat.read_point("bla.t", "key", 7).count() == 1
+    assert cat.read_point("bla.t", "key", 102_500).count() == 1
+
+
 def test_bloom_probe_exotic_types_never_false_negative(spark, cat):
     """Probe values whose Python str() rendering differs from Spark's
     CAST(... AS STRING) — bool, float, Decimal, timestamp, date —

