@@ -522,6 +522,168 @@ def append_ivfpq_store(
     return True
 
 
+def rebalance_ivfpq_store(
+    catalog: ManifestCatalog,
+    table: str,
+    max_cell_rows: int,
+    iters: int = 1,
+) -> dict[int, list[int]]:
+    """Split hot cells — the maintenance leg that keeps probed-cell
+    pruning effective as appends concentrate (write → append → compact
+    → delete → REBALANCE): every cell whose manifest ``cell_counts``
+    exceeds ``max_cell_rows`` is 2-means-split
+    (``pq_train(num_subspaces=1, num_centroids=2)`` over JUST that
+    cell's rows — deterministic id%2 init + ``iters`` Lloyd steps,
+    the engine's standard fixed-iteration playbook) and rewritten as
+    two cells; the lower sub-cell keeps the old cell id so routing
+    against a stale centroid snapshot still finds it.
+
+    Change-proportional by construction: only the hot cells' bucket
+    dirs are read or rewritten — every other cell's dir list, the
+    codebook, and the PQ codes carry forward verbatim (codes are
+    quantized from the RAW vectors, not centroid residuals, so a
+    routing split can never invalidate them). Cost is
+    O(hot-cell rows), not O(table).
+
+    The data manifest commits first (CAS against concurrent appends;
+    a lost race re-prunes and re-splits against the new manifest, the
+    orphaned rewrite dir is vacuum-collected), then the
+    ``__centroids`` side table is refreshed with the sub-cells' exact
+    means. The pair is not atomic — a query in between routes by the
+    old centroids and simply never probes the NEW sub-cell id (an
+    approximate-recall blip, the same trade production ANN systems
+    make during re-sharding; the kept-id sub-cell stays routable
+    throughout).
+
+    One pass: each hot cell splits once (a still-hot half needs
+    another call — split cost doubles per pass, so callers control
+    the rewrite budget). A cell whose rows all quantize to one
+    sub-cell (e.g. duplicate vectors) is unsplittable and is left
+    alone. Returns {old_cell: [kept_id, new_id]} for the cells that
+    split (empty dict = nothing to do)."""
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+
+    while True:
+        manifest = catalog.latest_manifest(table)
+        if manifest is None or manifest.get("bucket_fn") != "identity":
+            raise ValueError(
+                f"table {table} is not an IVF store (write_ivfpq_store first)"
+            )
+        counts = {
+            int(c): int(n) for c, n in (manifest.get("cell_counts") or {}).items()
+        }
+        if not counts:
+            raise ValueError(
+                f"table {table} has no cell_counts — rebuild via "
+                "write_ivfpq_store to enable rebalancing"
+            )
+        hot = sorted(c for c, n in counts.items() if n > max_cell_rows)
+        if not hot:
+            return {}
+        id_col = manifest["ivf_id_col"]
+        vec_col = manifest["ivf_vec_col"]
+        bucket_dirs = {int(k): v for k, v in manifest["bucket_dirs"].items()}
+        next_id = max(counts) + 1
+        new_bucket_dirs = dict(bucket_dirs)
+        new_counts = dict(counts)
+        split_map: dict[int, list[int]] = {}
+        sub_assigned = []  # (new_cell_label, rows df) for centroid refresh
+        for cell in hot:
+            rows = catalog._read_dirs(bucket_dirs[cell])
+            # 2-means over this cell only; assignment via the same
+            # pq_encode machinery (M=1 → code IS the sub-cell), with
+            # the store's real codes stashed aside
+            from end_to_end_etl_pipeline_spark.operators.pq import pq_encode
+
+            cb2 = pq_train(
+                rows, id_col, vec_col,
+                num_subspaces=1, num_centroids=2, iters=iters,
+            )
+            new_id = next_id
+            assigned = (
+                pq_encode(
+                    rows.withColumnRenamed("pq_codes", "__store_codes"),
+                    vec_col,
+                    cb2,
+                )
+                .withColumn(
+                    "cell",
+                    F.when(
+                        F.element_at(F.col("pq_codes"), 1) == 0, F.lit(cell)
+                    ).otherwise(F.lit(new_id)).cast("int"),
+                )
+                .drop("pq_codes")
+                .withColumnRenamed("__store_codes", "pq_codes")
+                .withColumn(BUCKET_COL, F.col("cell"))
+            )
+            data_dir = catalog._new_data_dir(table)
+            assigned.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                data_dir
+            )
+            sub_dirs = {
+                int(p.rsplit("/", 1)[-1].split("=", 1)[1]): [p]
+                for p in catalog.fs.listdir(data_dir)
+                if p.rsplit("/", 1)[-1].startswith(f"{BUCKET_COL}=")
+            }
+            if len(sub_dirs) < 2:
+                # unsplittable (all rows on one centroid): leave the
+                # cell as it was; the orphan dir is vacuum's problem
+                continue
+            sub_counts = {
+                int(r["cell"]): int(r["n"])
+                for r in catalog.spark.read.parquet(data_dir)
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            del new_bucket_dirs[cell]
+            new_bucket_dirs[cell] = sub_dirs[cell]
+            new_bucket_dirs[new_id] = sub_dirs[new_id]
+            new_counts[cell] = sub_counts[cell]
+            new_counts[new_id] = sub_counts[new_id]
+            split_map[cell] = [cell, new_id]
+            sub_assigned.append(assigned.select(
+                F.col("cell").alias("label"), F.col(vec_col)
+            ))
+            next_id += 1
+        if not split_map:
+            return {}
+        extras = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("version", "dirs", "bucket_dirs", "n_buckets",
+                         "cell_counts")
+        }
+        committed = catalog._commit_if(
+            table,
+            {
+                **extras,
+                "dirs": None,
+                "bucket_dirs": {str(k): v for k, v in new_bucket_dirs.items()},
+                "n_buckets": len(new_bucket_dirs),
+                "cell_counts": {str(k): n for k, n in new_counts.items()},
+            },
+            manifest["version"],
+        )
+        if committed is None:
+            continue  # lost the race: re-prune against the new manifest
+        # refresh the router: replace each split cell's centroid with
+        # its sub-cells' exact means (reads the committed sub-dirs —
+        # cell-sized, not table-sized)
+        from functools import reduce
+
+        subs = reduce(DataFrame.unionByName, sub_assigned)
+        new_cents = label_centroids_array(subs, "label", vec_col)
+        old = catalog.read(f"{table}__centroids").filter(
+            ~F.col("label").isin(list(split_map))
+        )
+        catalog.replace_atomic(
+            old.unionByName(new_cents.withColumn(
+                "label", F.col("label").cast(old.schema["label"].dataType)
+            )),
+            f"{table}__centroids",
+        )
+        return split_map
+
+
 def _codebook_from_manifest(manifest: dict):
     return [
         [(int(code), [float(x) for x in cvec]) for code, cvec in cb_m]

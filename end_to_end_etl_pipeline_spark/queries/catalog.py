@@ -141,8 +141,13 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # purchase_next_view_asof (asof → orders_pit_dimension_join, the
 # point-in-time dimension join IS an as-of join on SCD2 validity).
 #
-# r07 rotation guidance: with the never-run list retired, refresh the
-# OLDEST evidence first (rows whose last green is r02/r03:
+# r07 rotation guidance: with the never-run list retired, rotate IN
+# first the one r06-shipped query that could not take a slot (every
+# r06 slot was spoken for by the never-run retirement + singleton
+# keepers): ann_store_rebalanced_topk — the IVF hot-cell split gate
+# (operators/ivf_store.py:rebalance_ivfpq_store), oracle-green at
+# sf0.001+sf0.01, natural swap for a same-family ann row. Then
+# refresh the OLDEST evidence (rows whose last green is r02/r03:
 # user_sessions, shipping_priority, order_value_percentiles,
 # near_dup_clusters, bloom_seen_docs, doc_span_overlap,
 # line_dedup_corpus, simhash_near_dup) over same-family r05/r06-green

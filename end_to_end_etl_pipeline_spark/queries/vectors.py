@@ -715,6 +715,100 @@ def ann_store_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+@register(
+    "ann_store_rebalanced_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    fullscore AS (
+      SELECT t.query_id, s.id AS match_id, round(sum(t.d), 6) AS adc_dist
+      FROM codes s
+      JOIN dt t ON s.m = t.m AND s.code = t.code AND s.id <> t.query_id
+      GROUP BY t.query_id, s.id
+    ),
+    fullshort AS (
+      SELECT query_id, match_id FROM fullscore
+      QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, match_id) <= 25
+    ),
+    fullrerank AS (
+      SELECT s.query_id, s.match_id,
+             round(sum((a.x - b.x) * (a.x - b.x)), 6) AS l2sq
+      FROM fullshort s
+      JOIN el a ON a.id = s.query_id
+      JOIN el b ON b.id = s.match_id AND b.m = a.m AND b.i = a.i
+      GROUP BY s.query_id, s.match_id
+    )
+    SELECT query_id, match_id, l2sq FROM fullrerank
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    """,
+    doc="IVF-store REBALANCE gate (operators/ivf_store.py:"
+    "rebalance_ivfpq_store) - the maintenance leg that keeps "
+    "probed-cell pruning effective as appends concentrate: the store "
+    "is built with a deliberately skewed 2-cell layout (cell 1 holds "
+    "~80% of vectors), then the hot cell is 2-means-split "
+    "(deterministic id%2-init Lloyd over JUST that cell's rows, "
+    "change-proportional - the cold cell's dir and the PQ codes "
+    "carry forward verbatim) and the router's centroid table is "
+    "refreshed with the sub-cells' exact means. The query then "
+    "probes EVERY cell, which makes the expected result independent "
+    "of how the cells are arranged: ADC over all stored codes -> "
+    "25-candidate shortlist -> exact-L2 top-5, replayed exactly by "
+    "the oracle. What the hash proves: the split lost, duplicated, "
+    "and corrupted NOTHING (any row or code perturbed by the "
+    "rewrite breaks it). The pruning half - fewer rows read per "
+    "probe after the split, counts exact, sub-cells routable - is "
+    "pinned by tests/test_ivf_rebalance.py.",
+    tags=("north-star", "vectors", "storage", "incremental"),
+)
+def ann_store_rebalanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        ivfpq_store_topk,
+        rebalance_ivfpq_store,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    scratch_parent = "/tmp/spark_graft_ann_rebalance"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = _dim(emb)
+    n = emb.count()
+    cb = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=_PQ_M, num_centroids=_PQ_K, iters=1,
+    )
+    cat = ManifestCatalog(spark, f"file://{root}")
+    # a deliberately skewed layout: cell 0 = label 0 only, cell 1 =
+    # every other label (~80% of the corpus) — the hot cell a drifted
+    # ingest produces
+    write_ivfpq_store(
+        cat,
+        emb.withColumn("cell0", F.least(F.col("label"), F.lit(1))),
+        "vec_id", "embedding", "cell0", cb, "ann.rb", dim=dim,
+    )
+    split = rebalance_ivfpq_store(cat, "ann.rb", max_cell_rows=n // 2)
+    assert split, "the 80% cell must exceed n//2 and split"
+    # probe EVERY cell (nprobe >= cells): the result is then exact
+    # ADC-shortlist top-k regardless of the cell arrangement — the
+    # hash gates the split's row/code preservation, not routing luck
+    res, _probed = ivfpq_store_topk(
+        cat, "ann.rb",
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5, nprobe=64, shortlist_factor=5,
+    )
+    return res.localCheckpoint(eager=True)
+
+
 def _exact_l2_top5(emb: DataFrame, queries: DataFrame) -> DataFrame:
     """Brute-force exact squared-L2 top-5 ground truth (query_id,
     match_id) — queries broadcast, ties to lowest id, 6dp rounding."""

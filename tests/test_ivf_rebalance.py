@@ -1,0 +1,138 @@
+"""rebalance_ivfpq_store contracts: the hot-cell split must preserve
+the row set and codes exactly, keep the manifest's cell_counts exact,
+leave cold cells' dirs untouched byte-for-byte, shrink what a probe
+reads, keep both sub-cells routable, and refuse to thrash on an
+unsplittable (duplicate-vector) cell.  End-to-end value parity is
+gated by the oracle-matched ann_store_rebalanced_topk query (full
+probe → result independent of the cell arrangement)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+    ivfpq_store_topk,
+    rebalance_ivfpq_store,
+    write_ivfpq_store,
+)
+from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+
+def _emb(spark, rows):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    )
+    return spark.createDataFrame(pdf).select(
+        F.col("vec_id").cast("bigint"),
+        F.col("embedding").cast("array<float>"),
+        F.col("label").cast("bigint"),
+    )
+
+
+def _skewed_store(spark, tmp_path, n=60):
+    """cell 0: 6 rows near (1,0,0,0); cell 1 (hot): n-6 rows spread
+    over two distinguishable blobs so a 2-means split separates."""
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    for i in range(6, n):
+        blob = i % 2
+        base = [0.0, 1.0, 0.0, 0.0] if blob == 0 else [0.0, 0.0, 1.0, 0.0]
+        vec = [v + 0.01 * (i % 7) for v in base]
+        rows.append((i, vec, 1))
+    emb = _emb(spark, rows)
+    cb = pq_train(emb, "vec_id", "embedding", num_subspaces=2,
+                  num_centroids=4, iters=1)
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    write_ivfpq_store(cat, emb.withColumn("cell", F.col("label")),
+                      "vec_id", "embedding", "cell", cb, "rb.t", dim=4)
+    return cat, emb
+
+
+def test_split_preserves_rows_codes_and_counts(spark, tmp_path):
+    cat, emb = _skewed_store(spark, tmp_path)
+    before = {
+        (r["vec_id"], tuple(r["pq_codes"])) for r in cat.read("rb.t").collect()
+    }
+    m0 = cat.latest_manifest("rb.t")
+    cold_dirs = m0["bucket_dirs"]["0"]
+
+    split = rebalance_ivfpq_store(cat, "rb.t", max_cell_rows=30)
+    assert split == {1: [1, 2]}
+
+    m1 = cat.latest_manifest("rb.t")
+    # cold cell untouched byte-for-byte (same dir references)
+    assert m1["bucket_dirs"]["0"] == cold_dirs
+    # row set and codes preserved exactly
+    after = {
+        (r["vec_id"], tuple(r["pq_codes"])) for r in cat.read("rb.t").collect()
+    }
+    assert after == before
+    # counts exact per sub-cell, sum preserved, both non-empty, hot halved
+    counts = {int(k): v for k, v in m1["cell_counts"].items()}
+    assert set(counts) == {0, 1, 2}
+    assert counts[0] == 6 and counts[1] + counts[2] == 54
+    assert counts[1] > 0 and counts[2] > 0
+    assert max(counts[1], counts[2]) < 54
+    for cell in (1, 2):
+        assert cat.read("rb.t", buckets=[cell]).count() == counts[cell]
+    # router knows both sub-cells
+    labels = {
+        int(r["label"])
+        for r in cat.read("rb.t__centroids").select("label").distinct().collect()
+    }
+    assert labels == {0, 1, 2}
+
+
+def test_split_shrinks_probe_reads_same_results_on_full_probe(spark, tmp_path):
+    cat, emb = _skewed_store(spark, tmp_path)
+    queries = emb.filter(F.col("vec_id") < 4)
+    pre, probed_pre = ivfpq_store_topk(
+        cat, "rb.t", queries, "vec_id", "embedding",
+        k=3, nprobe=16, shortlist_factor=5,
+    )
+    pre_rows = sorted(map(tuple, pre.collect()))
+    m0 = cat.latest_manifest("rb.t")
+    rebalance_ivfpq_store(cat, "rb.t", max_cell_rows=30)
+    m1 = cat.latest_manifest("rb.t")
+    post, probed_post = ivfpq_store_topk(
+        cat, "rb.t", queries, "vec_id", "embedding",
+        k=3, nprobe=16, shortlist_factor=5,
+    )
+    # full probe → identical results before and after the split
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    # a 1-cell probe of the ex-hot region now reads fewer rows: the
+    # worst cell shrank
+    assert max(int(v) for v in m1["cell_counts"].values()) < max(
+        int(v) for v in m0["cell_counts"].values()
+    )
+
+
+def test_unsplittable_duplicate_cell_is_left_alone(spark, tmp_path):
+    rows = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(20)]
+    rows += [(100 + i, [0.0, 1.0, 0.0, float(i % 3)], 1) for i in range(5)]
+    emb = _emb(spark, rows)
+    cb = pq_train(emb, "vec_id", "embedding", num_subspaces=2,
+                  num_centroids=2, iters=1)
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    write_ivfpq_store(cat, emb.withColumn("cell", F.col("label")),
+                      "vec_id", "embedding", "cell", cb, "rb.dup", dim=4)
+    v0 = cat.latest_manifest("rb.dup")["version"]
+    assert rebalance_ivfpq_store(cat, "rb.dup", max_cell_rows=10) == {}
+    # nothing committed: identical vectors all land on one 2-means
+    # centroid, so there is no split to publish
+    assert cat.latest_manifest("rb.dup")["version"] == v0
+
+
+def test_rebalance_rejects_non_ivf_table(spark, tmp_path):
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    cat.append(spark.range(5).select(F.col("id")), "plain.t")
+    with pytest.raises(ValueError, match="not an IVF store"):
+        rebalance_ivfpq_store(cat, "plain.t", max_cell_rows=1)

@@ -132,6 +132,7 @@ def test_driver_window_contract():
             "cosine_topk", "ivfpq_topk", "pq_topk", "cosine_topk_ivf",
             "ann_recall_trained_cells", "ann_recall_at_k",
             "ann_store_incremental_topk", "cosine_topk_ivf_adaptive",
+            "ann_store_rebalanced_topk",
         },
         # keyword_doc_similarity is the tf-idf inverted-index (posting
         # self-join) modality — lexical term-weight retrieval like BM25
