@@ -990,6 +990,136 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_drift_psi",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id % 2 AS side, word
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      WHERE length(word) > 0
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rt,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM w
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+        FROM w WHERE side = 0 GROUP BY word
+      ) WHERE rn <= 200
+    ),
+    cnts AS (
+      SELECT v.word,
+             CAST(coalesce(sum(CASE WHEN w.side = 0 THEN 1 END), 0) AS BIGINT) AS rc,
+             CAST(coalesce(sum(CASE WHEN w.side = 1 THEN 1 END), 0) AS BIGINT) AS cc
+      FROM vocab v LEFT JOIN w ON w.word = v.word
+      GROUP BY v.word
+    ),
+    rows_ AS (
+      SELECT word, rc, cc FROM cnts
+      UNION ALL
+      SELECT '__OOV__',
+             (SELECT rt FROM tot) - (SELECT sum(rc) FROM cnts),
+             (SELECT ct FROM tot) - (SELECT sum(cc) FROM cnts)
+    ),
+    probs AS (
+      SELECT word,
+             (rc + 1) / CAST(tot.rt + 201 AS DOUBLE) AS p,
+             (cc + 1) / CAST(tot.ct + 201 AS DOUBLE) AS q
+      FROM rows_, tot
+    )
+    SELECT word,
+           CAST(round(CAST(p AS DECIMAL(20,12)), 8) AS DOUBLE) AS p_ref,
+           CAST(round(CAST(q AS DECIMAL(20,12)), 8) AS DOUBLE) AS p_cur,
+           CAST(round(CAST((q - p) * ln(q / p) AS DECIMAL(20,12)), 8)
+                AS DOUBLE) AS psi_term
+    FROM probs
+    """,
+    doc="Training-data drift monitoring: per-word Population "
+    "Stability Index between two corpus snapshots (here the even/odd "
+    "doc_id halves standing in for version N / version N+1 of a "
+    "feed). The vocabulary is the REFERENCE side's top-200 words "
+    "(count desc, word asc - deterministic at the cutoff) plus one "
+    "__OOV__ bucket, so both snapshots are scored against the same "
+    "discrete outcome set - no histogram binning, hence no "
+    "engine-dependent bin-edge ambiguity; Laplace (+1) smoothing "
+    "keeps every log ratio finite. psi_term = (q-p)*ln(q/p) >= 0 per "
+    "word; the sum is the standard drift score (>0.25 = retrain "
+    "trigger in credit-risk practice). Scale shape: two token aggs "
+    "(map-side partial) and everything after is vocab-sized (201 "
+    "rows); the vocab broadcast-joins both sides. The 8dp rounding "
+    "routes through an exact decimal cast per the repo's "
+    "double-rounding discipline.",
+    tags=("north-star", "text", "profiling"),
+)
+def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    tot = toks.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("rt"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("ct"),
+    )
+    vocab = (
+        toks.filter(F.col("side") == 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(200)
+        .select("word")
+    )
+    cnts = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("word")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("rc"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cc"),
+        )
+    )
+    # the vocab outcome set must be complete even when a vocab word
+    # never appears on the current side (rc>0 by construction, cc can
+    # be 0): cnts only has joined rows, so re-anchor on vocab
+    cnts = (
+        F.broadcast(vocab)
+        .join(cnts, "word", "left")
+        .select(
+            "word",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    in_vocab = cnts.agg(
+        F.sum("rc").alias("vr"), F.sum("cc").alias("vc")
+    )
+    oov = (
+        tot.crossJoin(in_vocab)
+        .select(
+            F.lit("__OOV__").alias("word"),
+            (F.col("rt") - F.col("vr")).alias("rc"),
+            (F.col("ct") - F.col("vc")).alias("cc"),
+        )
+    )
+    rows = cnts.unionByName(oov).crossJoin(F.broadcast(tot))
+    p = (F.col("rc") + 1) / (F.col("rt") + 201).cast("double")
+    q = (F.col("cc") + 1) / (F.col("ct") + 201).cast("double")
+
+    def r8(c):
+        return F.round(c.cast("decimal(20,12)"), 8).cast("double")
+
+    return rows.select(
+        "word",
+        r8(p).alias("p_ref"),
+        r8(q).alias("p_cur"),
+        r8((q - p) * F.log(q / p)).alias("psi_term"),
+    )
+
+
 _SQL_GRAMS = r"""
   grams AS (
     SELECT DISTINCT doc_id, split,

@@ -179,7 +179,7 @@ def test_driver_window_contract():
                              "rag_context_pack", "packed_bin_manifests"},
         "splits-contamination": {"doc_split_assign", "split_contamination",
                                  "decontaminated_train_split"},
-        "vocab": {"vocab_oov_rates"},
+        "vocab": {"vocab_oov_rates", "vocab_drift_psi"},
         "profiling": {"orders_column_profile", "winsorized_price_stats",
                       "winsorized_price_stats_sketch", "daily_event_anomaly",
                       "join_key_skew_profile", "order_price_equidepth_bins"},
