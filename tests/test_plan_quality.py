@@ -398,3 +398,17 @@ def test_decontamination_uses_semi_joins_no_pair_blowup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("LeftSemi") >= 2  # df-cap semi + dirty-gram semi
     assert "LeftAnti" in plan  # clean = train anti drop-list
+
+
+def test_vocab_drift_psi_broadcasts_vocab_no_row_udfs(spark):
+    """The drift profile's only corpus-scale work is the two token
+    aggregations; the 200-word vocab must BROADCAST into the count
+    join (a shuffled vocab join would re-shuffle the token stream),
+    everything after is vocab-sized, and the whole plan stays
+    JVM-side."""
+    plan = _plan(spark, "vocab_drift_psi")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # map-side partial aggregation on the token stream
+    assert "partial_count" in plan or "partial_sum" in plan
