@@ -148,7 +148,10 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # (operators/ivf_store.py:rebalance_ivfpq_store), oracle-green at
 # sf0.001+sf0.01, natural swap for a same-family ann row — and
 # vocab_drift_psi (per-word PSI corpus drift between snapshots,
-# vocab/profiling family, oracle-green at both SFs). Then
+# vocab/profiling family, oracle-green at both SFs) — and
+# streaming_scd2_dimension (the foreachBatch SCD2 bridge over a
+# pinned-mtime file stream, answering the batch scd2_transition
+# oracle exactly; scd + streaming-bridge families). Then
 # refresh the OLDEST evidence (rows whose last green is r02/r03:
 # user_sessions, shipping_priority, order_value_percentiles,
 # near_dup_clusters, bloom_seen_docs, doc_span_overlap,

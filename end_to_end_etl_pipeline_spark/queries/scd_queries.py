@@ -235,3 +235,112 @@ def scd2_member_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "order_cnt", "total_spent",
         "effective_from", "effective_to", "is_current",
     )
+
+
+@register(
+    "streaming_scd2_dimension",
+    oracle=f"""
+    WITH b1 AS ({_SQL_BATCH.format(lo=_W1[0], hi=_W1[1])}),
+    b2 AS ({_SQL_BATCH.format(lo=_W2[0], hi=_W2[1])}),
+    changed AS (
+      SELECT b1.custkey FROM b1 JOIN b2 USING (custkey)
+      WHERE b1.order_cnt IS DISTINCT FROM b2.order_cnt
+         OR b1.total_spent IS DISTINCT FROM b2.total_spent
+    )
+    SELECT b1.custkey, b1.order_cnt, b1.total_spent,
+           TIMESTAMP '{_T1}' AS effective_from,
+           TIMESTAMP '{_T2}' AS effective_to,
+           FALSE AS is_current
+    FROM b1 JOIN changed USING (custkey)
+    UNION ALL
+    SELECT b1.custkey, b1.order_cnt, b1.total_spent,
+           TIMESTAMP '{_T1}', TIMESTAMP '{MAX_TS}', TRUE
+    FROM b1 ANTI JOIN changed USING (custkey)
+    UNION ALL
+    SELECT b2.custkey, b2.order_cnt, b2.total_spent,
+           TIMESTAMP '{_T2}', TIMESTAMP '{MAX_TS}', TRUE
+    FROM b2 LEFT JOIN b1 USING (custkey)
+    WHERE b1.custkey IS NULL
+       OR b1.order_cnt IS DISTINCT FROM b2.order_cnt
+       OR b1.total_spent IS DISTINCT FROM b2.total_spent
+    """,
+    doc="Streaming dimension history under the oracle - the "
+    "foreachBatch SCD2 bridge (streaming/jobs.foreach_batch_scd2) "
+    "fed by a real file-source stream: the two deterministic "
+    "order-window batches land as two parquet files whose "
+    "modification times are PINNED so the file source replays them "
+    "oldest-first one per trigger (trigger availableNow), each "
+    "micro-batch SCD2-merges into a bucketed catalog table "
+    "(BucketedSCD2 - only buckets holding changed keys rewrite), "
+    "the effective-from timestamp derives from batch CONTENT "
+    "(max of the batch's as-of column), and the final full history "
+    "must equal the batch scd2_transition oracle exactly. What the "
+    "hash proves: the streaming bridge's batch-boundary handling, "
+    "within-batch latest-wins dedup, and bucketed merge produce the "
+    "SAME versioned state as the one-plan batch merge - the "
+    "replay-convergence contract a CDC feed depends on.",
+    tags=("parity", "scd", "streaming", "north-star"),
+)
+def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from end_to_end_etl_pipeline_spark.sinks.manifest import (
+        BucketedSCD2,
+        ManifestCatalog,
+    )
+    from end_to_end_etl_pipeline_spark.streaming.jobs import foreach_batch_scd2
+
+    scratch_parent = "/tmp/spark_graft_streaming_scd2"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    orders = load(spark, sf_dir, "orders")
+    landing = os.path.join(root, "landing")
+
+    def land(batch: DataFrame, as_of: str, mtime: int) -> None:
+        before = set(os.listdir(landing)) if os.path.isdir(landing) else set()
+        batch.withColumn(
+            "__as_of", F.lit(as_of).cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(f"file://{landing}")
+        # pin modification times: the file source orders new files by
+        # (modTime, path), and SCD2 is order-sensitive — without the
+        # pin, same-millisecond writes could replay T2 before T1
+        for f in set(os.listdir(landing)) - before:
+            if not f.startswith(("_", ".")):
+                os.utime(os.path.join(landing, f), (mtime, mtime))
+
+    land(_batch(orders, *_W1), _T1, 1_000_000)
+    land(_batch(orders, *_W2), _T2, 2_000_000)
+
+    schema = (
+        _batch(orders, *_W1)
+        .withColumn("__as_of", F.lit(_T1).cast("timestamp"))
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one window per micro-batch
+        .parquet(f"file://{landing}")
+    )
+    cat = ManifestCatalog(spark, f"file://{root}/lake")
+    q = foreach_batch_scd2(
+        stream,
+        cat,
+        "dim.cust",
+        keys=["custkey"],
+        tracked=["order_cnt", "total_spent"],
+        as_of_col="__as_of",
+        checkpoint_dir=f"file://{root}/ckpt",
+        n_buckets=8,
+        available_now=True,
+    )
+    q.awaitTermination()
+    out = BucketedSCD2(cat, n_buckets=8).read_all("dim.cust").select(
+        "custkey", "order_cnt", "total_spent",
+        "effective_from", "effective_to", "is_current",
+    )
+    return out.localCheckpoint(eager=True)

@@ -117,7 +117,7 @@ def test_driver_window_contract():
         # DELETE leg); the PIT dimension join reads SCD2 validity
         # intervals (also counted under asof — it is both)
         "scd2": {"scd2_transition", "scd2_member_delete",
-                 "orders_pit_dimension_join"},
+                 "orders_pit_dimension_join", "streaming_scd2_dimension"},
         "exact-dedup": {"dedup_exact_text", "line_dedup_corpus",
                         "within_doc_line_dedup"},
         "near-dedup": {
@@ -191,7 +191,8 @@ def test_driver_window_contract():
         # family's slot and the streaming bridge's driver gate
         "ivm": {"incremental_priority_revenue",
                 "streaming_priority_revenue"},
-        "streaming-bridge": {"streaming_priority_revenue"},
+        "streaming-bridge": {"streaming_priority_revenue",
+                             "streaming_scd2_dimension"},
         "entity-resolution": {"customer_record_linkage"},
         "core-joins": {"min_cost_supplier", "local_supplier_volume",
                        "excess_stock_suppliers", "important_part_value"},
