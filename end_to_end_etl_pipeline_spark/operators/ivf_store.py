@@ -595,10 +595,20 @@ def rebalance_ivfpq_store(
             # the store's real codes stashed aside
             from end_to_end_etl_pipeline_spark.operators.pq import pq_encode
 
+            # train on a HASH-derived surrogate id: pq_train seeds its
+            # Lloyd iteration by id%2, and a cell whose ids share
+            # parity (exactly what a previous split leaves behind when
+            # blobs correlate with id structure) would seed ONE group
+            # and become unsplittable forever — hashing makes the init
+            # parity structure-free while staying deterministic
+            rows = rows.withColumn(
+                "__split_sid", F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 31))
+            )
             cb2 = pq_train(
-                rows, id_col, vec_col,
+                rows, "__split_sid", vec_col,
                 num_subspaces=1, num_centroids=2, iters=iters,
             )
+            rows = rows.drop("__split_sid")
             new_id = next_id
             assigned = (
                 pq_encode(
@@ -682,6 +692,32 @@ def rebalance_ivfpq_store(
             f"{table}__centroids",
         )
         return split_map
+
+
+def maybe_rebalance(
+    catalog: ManifestCatalog,
+    table: str,
+    max_cell_rows: int,
+    max_passes: int = 4,
+    iters: int = 1,
+) -> dict[int, list[int]]:
+    """Rebalance POLICY (the :meth:`ManifestCatalog.maybe_optimize`
+    of cell balance): call after ingest (or from a foreachBatch) and
+    hot cells split until none exceeds ``max_cell_rows`` or
+    ``max_passes`` passes ran — each pass at most halves the worst
+    cell, so the pass cap bounds the rewrite budget per ingest while
+    quiet stores never pay anything (the check is one manifest read).
+    Unsplittable cells (duplicate vectors) stop looping via the empty
+    split map. Returns the union of all passes' split maps."""
+    out: dict[int, list[int]] = {}
+    for _ in range(max_passes):
+        split = rebalance_ivfpq_store(
+            catalog, table, max_cell_rows, iters=iters
+        )
+        if not split:
+            break
+        out.update(split)
+    return out
 
 
 def _codebook_from_manifest(manifest: dict):

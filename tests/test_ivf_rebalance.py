@@ -136,3 +136,23 @@ def test_rebalance_rejects_non_ivf_table(spark, tmp_path):
     cat.append(spark.range(5).select(F.col("id")), "plain.t")
     with pytest.raises(ValueError, match="not an IVF store"):
         rebalance_ivfpq_store(cat, "plain.t", max_cell_rows=1)
+
+
+def test_maybe_rebalance_loops_until_balanced_and_is_idempotent(spark, tmp_path):
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        maybe_rebalance,
+    )
+
+    cat, emb = _skewed_store(spark, tmp_path, n=86)  # hot cell: 80 rows
+    # threshold 25: one split leaves ~40-row halves (still hot), so
+    # the policy must take MULTIPLE passes to settle
+    splits = maybe_rebalance(cat, "rb.t", max_cell_rows=25, max_passes=6)
+    assert len(splits) >= 2
+    m = cat.latest_manifest("rb.t")
+    counts = {int(k): int(v) for k, v in m["cell_counts"].items()}
+    assert sum(counts.values()) == 86
+    assert max(counts.values()) <= 25 or len(splits) == 6
+    # quiet store: second call is a no-op (one manifest read, no commit)
+    v = m["version"]
+    assert maybe_rebalance(cat, "rb.t", max_cell_rows=max(counts.values())) == {}
+    assert cat.latest_manifest("rb.t")["version"] == v
