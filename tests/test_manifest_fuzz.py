@@ -25,6 +25,14 @@ Fuzzed semantics the model pins:
   runs both its pruned path and its conservative rewrite-everything
   fallback.
 
+The BUCKETED surface — what the IVF / dedup-store / text-index stores
+sit on — gets its own sequence generator (identity-bucketed on
+cell = id%5): append_bucketed / delete_bucketed_where / optimize /
+vacuum / bucket-pruned reads / time travel against the same model,
+including the NULL-in-values and absent-key delete probes and the
+invariant that a single-bucket read equals the model filtered to that
+cell.
+
 Sequences are Arrow-native (pandas-sourced local frames): a
 Python-list createDataFrame executes through pickled-RDD Python
 workers, which at local[32] costs seconds per tiny job and would blow
@@ -76,12 +84,13 @@ def _sorted(rows):
     return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
 
 
-def _collect(df):
-    return _sorted([(r["id"], r["val"], r["ts"]) for r in df.collect()])
+def _collect(df, cols=("id", "val", "ts")):
+    return _sorted([tuple(r[c] for c in cols) for r in df.collect()])
 
 
-def _check(cat, tbl, model, seed, oplog, version=None):
-    got = _collect(cat.read(tbl, version=version))
+def _check(cat, tbl, model, seed, oplog, version=None,
+           cols=("id", "val", "ts")):
+    got = _collect(cat.read(tbl, version=version), cols)
     want = _sorted(model)
     assert got == want, (
         f"seed={seed} version={version} ops={oplog}\n"
@@ -205,3 +214,113 @@ def test_manifest_crud_fuzz(spark, tmp_path_factory, shard):
     for i in range(per_shard):
         seq = shard * per_shard + i
         _run_sequence(spark, cat, f"fz.t{seq:03d}", MASTER_SEED + seq)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed surface (what the IVF / dedup / text-index stores sit on):
+# append_bucketed / delete_bucketed_where / optimize / vacuum /
+# bucket-pruned reads / time travel, identity-bucketed on cell = id%5.
+# ---------------------------------------------------------------------------
+
+N_BUCKETED_SEQUENCES = int(os.environ.get("SPARK_GRAFT_FUZZ_BSEQS", "40"))
+N_CELLS = 5
+
+
+def _mk_bucketed_batch(spark, rng: random.Random, next_id: int):
+    n = rng.randint(4, 10)
+    rows = [
+        (next_id + j, rng.randrange(100), (next_id + j) % N_CELLS)
+        for j in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "id": [r[0] for r in rows],
+            "val": [r[1] for r in rows],
+            "cell": [r[2] for r in rows],
+        }
+    )
+    return spark.createDataFrame(pdf).coalesce(1), rows, next_id + n
+
+
+def _run_bucketed_sequence(spark, cat: ManifestCatalog, tbl: str, seed: int):
+    rng = random.Random(seed)
+    model: list[tuple] = []  # (id, val, cell)
+    snapshots: dict[int, list[tuple]] = {}
+    oplog: list[str] = []
+    next_id = 0
+
+    def snap():
+        vs = cat._versions(tbl)
+        if vs:
+            snapshots[vs[-1]] = list(model)
+
+    def bappend():
+        nonlocal next_id, model
+        df, rows, next_id = _mk_bucketed_batch(spark, rng, next_id)
+        cat.append_bucketed(
+            df, tbl, F.col("cell"), N_CELLS, ["cell"], bucket_fn="identity"
+        )
+        model.extend(rows)
+        oplog.append(f"bappend({len(rows)})")
+
+    bappend()
+    snap()
+    for _ in range(rng.randint(2, 5)):
+        op = rng.choices(
+            ["append", "delete", "optimize", "vacuum", "timetravel",
+             "bucket_read", "check"],
+            weights=[28, 20, 10, 10, 8, 14, 10],
+        )[0]
+        if op == "append":
+            bappend()
+        elif op == "delete":
+            pool = [r[0] for r in model]
+            vals = rng.sample(pool, min(len(pool), rng.randint(1, 3)))
+            vals += [next_id + 500]  # absent key: deletes nothing
+            if rng.random() < 0.4:
+                vals.append(None)  # must be inert (the r05 bug class)
+            rng.shuffle(vals)
+            n = cat.delete_bucketed_where(tbl, "id", vals)
+            vs = {v for v in vals if v is not None}
+            before = len(model)
+            model = [r for r in model if r[0] not in vs]
+            oplog.append(f"bdelete({sorted(vs)},null={None in vals})")
+            assert n == before - len(model), f"seed={seed} ops={oplog}"
+        elif op == "optimize":
+            cat.optimize(tbl)
+            oplog.append("optimize")
+        elif op == "vacuum":
+            keep = rng.randint(1, 3)
+            cat.vacuum(tbl, keep_versions=keep, min_age_seconds=0)
+            retained = set(cat._versions(tbl)[-keep:])
+            for v in [v for v in snapshots if v not in retained]:
+                del snapshots[v]
+            oplog.append(f"vacuum(keep={keep})")
+        elif op == "timetravel" and snapshots:
+            v = rng.choice(sorted(snapshots))
+            oplog.append(f"timetravel({v})")
+            _check(cat, tbl, snapshots[v], seed, oplog, version=v,
+                   cols=("id", "val", "cell"))
+        elif op == "bucket_read":
+            b = rng.randrange(N_CELLS)
+            got = _collect(cat.read(tbl, buckets=[b]),
+                           cols=("id", "val", "cell"))
+            want = _sorted([r for r in model if r[2] == b])
+            oplog.append(f"bucket_read({b})")
+            assert got == want, f"seed={seed} ops={oplog}"
+        elif op == "check":
+            oplog.append("check")
+            _check(cat, tbl, model, seed, oplog, cols=("id", "val", "cell"))
+        snap()
+    oplog.append("final-check")
+    _check(cat, tbl, model, seed, oplog, cols=("id", "val", "cell"))
+
+
+@pytest.mark.parametrize("shard", range(N_SHARDS))
+def test_manifest_bucketed_fuzz(spark, tmp_path_factory, shard):
+    per_shard = (N_BUCKETED_SEQUENCES + N_SHARDS - 1) // N_SHARDS
+    root = tmp_path_factory.mktemp(f"bucketed_fuzz_{shard}")
+    cat = ManifestCatalog(spark, f"file://{root}")
+    for i in range(per_shard):
+        seq = shard * per_shard + i
+        _run_bucketed_sequence(spark, cat, f"bz.t{seq:03d}", MASTER_SEED + seq)
