@@ -127,7 +127,8 @@ def test_driver_window_contract():
         },
         "semantic-dedup": {"semantic_pruned_corpus",
                            "semantic_split_contamination"},
-        "incremental-dedup": {"incremental_dedup_ingest"},
+        "incremental-dedup": {"incremental_dedup_ingest",
+                              "incremental_dedup_ingest_bucketed"},
         "ann": {
             "cosine_topk", "ivfpq_topk", "pq_topk", "cosine_topk_ivf",
             "ann_recall_trained_cells", "ann_recall_at_k",
