@@ -57,6 +57,15 @@ the cold pass and once per warm pass. The headline carries
 ``queries_warm_norm`` (per-query warm-min divided by the warm canary
 min). Compare rounds on the NORMALIZED numbers: machine state
 divides out, plan regressions don't.
+
+Read COLD totals with suspicion on this box: three same-code r06
+runs measured 49.5s / 79.1s / 115.0s cold against 29.5s / 37.5s /
+32.4s warm — first-execution time is dominated by JIT compilation
+and machine state, not plans (the 79s run additionally had
+concurrent tenants, which the per-pass canary under-detects because
+it samples only at pass START). The stable cross-round signals are
+``warm_total_sec``, per-query warm-min, and their canary-normalized
+forms.
 """
 
 from __future__ import annotations
