@@ -153,7 +153,9 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # pinned-mtime file stream, answering the batch scd2_transition
 # oracle exactly; scd + streaming-bridge families) — and
 # incremental_dedup_ingest_bucketed (the band-bucketed >>RAM-scale
-# execution twin, identical oracle; incremental-dedup family). Then
+# execution twin, identical oracle; incremental-dedup family) — and
+# corpus_datacard (the one-frame datasheet report; profiling
+# family). Then
 # refresh the OLDEST evidence (rows whose last green is r02/r03:
 # user_sessions, shipping_priority, order_value_percentiles,
 # near_dup_clusters, bloom_seen_docs, doc_span_overlap,

@@ -991,6 +991,117 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_datacard",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source, lang, text,
+             len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+               AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT 'volume' AS section, 'n_docs' AS metric, source AS dim,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM d GROUP BY source
+    UNION ALL
+    SELECT 'volume', 'total_tokens', source, CAST(sum(n_tokens) AS DOUBLE)
+    FROM d GROUP BY source
+    UNION ALL
+    SELECT 'volume', 'total_chars', source, CAST(sum(n_chars) AS DOUBLE)
+    FROM d GROUP BY source
+    UNION ALL
+    SELECT 'lang_mix', 'n_docs', lang, CAST(count(*) AS DOUBLE)
+    FROM d GROUP BY lang
+    UNION ALL
+    SELECT 'length', 'tokens_p10', 'ALL',
+           CAST(round(CAST(quantile_cont(n_tokens, 0.1) AS DECIMAL(20,8)), 2)
+                AS DOUBLE) FROM d
+    UNION ALL
+    SELECT 'length', 'tokens_p50', 'ALL',
+           CAST(round(CAST(quantile_cont(n_tokens, 0.5) AS DECIMAL(20,8)), 2)
+                AS DOUBLE) FROM d
+    UNION ALL
+    SELECT 'length', 'tokens_p90', 'ALL',
+           CAST(round(CAST(quantile_cont(n_tokens, 0.9) AS DECIMAL(20,8)), 2)
+                AS DOUBLE) FROM d
+    UNION ALL
+    SELECT 'length', 'mean_chars', 'ALL',
+           CAST(round(CAST(avg(n_chars) AS DECIMAL(20,8)), 2) AS DOUBLE)
+    FROM d
+    UNION ALL
+    SELECT 'dedup', 'exact_dup_docs', 'ALL',
+           CAST(count(*) - count(DISTINCT text) AS DOUBLE)
+    FROM d
+    UNION ALL
+    SELECT 'dedup', 'distinct_texts', 'ALL',
+           CAST(count(DISTINCT text) AS DOUBLE)
+    FROM d
+    """,
+    doc="Corpus datacard ('datasheets for datasets'): the one-stop "
+    "report a training-data release ships - per-source volume (docs/"
+    "tokens/chars), language mix, token-length percentiles (exact "
+    "sort percentile, decimal-routed; swap approx_percentile at "
+    "100 TB - same shape), mean length, and the exact-duplicate "
+    "rate - as ONE long-format frame (section, metric, dim, value). "
+    "Scale shape: one tokenizing projection feeds grouped partial "
+    "aggs; the percentile is the only sort, over one bigint per doc. "
+    "Everything else is dimension-bounded output.",
+    tags=("north-star", "text", "profiling"),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = docs.select(
+        "source", "lang", "text",
+        F.size(words).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+    def row(section, metric, dim, value):
+        return [F.lit(section).alias("section"), F.lit(metric).alias("metric"),
+                dim.alias("dim"), value.cast("double").alias("value")]
+
+    vol = d.groupBy("source").agg(
+        F.count("*").alias("nd"),
+        F.sum("n_tokens").alias("tt"),
+        F.sum("n_chars").alias("tc"),
+    )
+    out = (
+        vol.select(*row("volume", "n_docs", F.col("source"), F.col("nd")))
+        .unionByName(vol.select(*row("volume", "total_tokens", F.col("source"), F.col("tt"))))
+        .unionByName(vol.select(*row("volume", "total_chars", F.col("source"), F.col("tc"))))
+        .unionByName(
+            d.groupBy("lang").agg(F.count("*").alias("n"))
+            .select(*row("lang_mix", "n_docs", F.col("lang"), F.col("n")))
+        )
+    )
+    pct = d.agg(
+        F.expr("percentile(n_tokens, array(0.1D, 0.5D, 0.9D))").alias("__p"),
+        F.avg("n_chars").alias("__mean"),
+        F.count("*").alias("__n"),
+        F.countDistinct("text").alias("__dt"),
+    )
+
+    def r2(c):
+        return F.round(c.cast("decimal(20,8)"), 2).cast("double")
+
+    for i, p in enumerate((10, 50, 90)):
+        out = out.unionByName(
+            pct.select(*row("length", f"tokens_p{p}", F.lit("ALL"),
+                            r2(F.col("__p")[i])))
+        )
+    out = out.unionByName(
+        pct.select(*row("length", "mean_chars", F.lit("ALL"), r2(F.col("__mean"))))
+    ).unionByName(
+        pct.select(*row("dedup", "exact_dup_docs", F.lit("ALL"),
+                        F.col("__n") - F.col("__dt")))
+    ).unionByName(
+        pct.select(*row("dedup", "distinct_texts", F.lit("ALL"), F.col("__dt")))
+    )
+    return out
+
+
+@register(
     "vocab_drift_psi",
     oracle=r"""
     WITH w AS (

@@ -183,7 +183,8 @@ def test_driver_window_contract():
         "vocab": {"vocab_oov_rates", "vocab_drift_psi"},
         "profiling": {"orders_column_profile", "winsorized_price_stats",
                       "winsorized_price_stats_sketch", "daily_event_anomaly",
-                      "join_key_skew_profile", "order_price_equidepth_bins"},
+                      "join_key_skew_profile", "order_price_equidepth_bins",
+                      "corpus_datacard"},
         "bpe": {"bpe_merge_rules", "bpe_merge_rules_batched",
                 "bpe_token_freqs"},
         "multimodal": {"binary_doc_stats", "doc_frame_samples"},
