@@ -142,6 +142,8 @@ BENCH_QUERIES = [
 ]
 
 N_WARM_RUNS = 3
+#: canary sample interval inside a pass (r07 intra-pass drift trace)
+CANARY_EVERY = 8
 
 #: where emit() writes BENCH_DETAILS.json (module-level so tests can
 #: redirect it without monkeypatching os.path globally)
@@ -264,6 +266,7 @@ def emit(
     sf: float,
     canary_cold: float | None = None,
     canary_warm: list[float] | None = None,
+    canary_trace: list[dict] | None = None,
 ) -> str:
     """Print the round's numbers and return the final stdout line.
 
@@ -292,6 +295,21 @@ def emit(
         # machine state cancels when comparing rounds
         details["queries_warm_norm"] = {
             n: round(min(s) / cw, 2) for n, s in warm_samples.items()
+        }
+    if canary_trace:
+        details["canary_trace"] = [
+            {**c, "sec": round(c["sec"], 3)} for c in canary_trace
+        ]
+        # intra-pass drift: worst max/min canary ratio inside one
+        # pass — >~2 means a pass segment was machine-noise
+        # contaminated and that pass's numbers shouldn't be compared
+        by_pass: dict[str, list[float]] = {}
+        for c in canary_trace:
+            by_pass.setdefault(c["pass"], []).append(c["sec"])
+        details["canary_intra_pass_drift"] = {
+            p: round(max(s) / max(min(s), 1e-9), 2)
+            for p, s in by_pass.items()
+            if len(s) > 1
         }
     sidecar = os.path.join(SIDECAR_DIR, "BENCH_DETAILS.json")
     try:
@@ -345,23 +363,41 @@ def main() -> None:
         print(f"dedup store setup failed: {exc!r}", file=sys.stderr)
 
     try:
-        canary_cold = canary(spark, sf_dir)
-        timings: dict[str, float] = {}
-        for name, fn in runnable.items():
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+        # intra-pass canary trace (r07): one canary sample at the top
+        # of every pass missed mid-pass tenant noise (the r06 79s cold
+        # outlier looked like query regressions). A sample every
+        # CANARY_EVERY queries timestamps the drift WITHIN a pass, so
+        # a contaminated segment is attributable.
+        canary_trace: list[dict] = []
 
-        warm_samples: dict[str, list[float]] = {n: [] for n in runnable}
-        canary_warm: list[float] = []
-        for _ in range(N_WARM_RUNS):
-            canary_warm.append(canary(spark, sf_dir))
-            for name, fn in runnable.items():
+        def traced_pass(tag: str, sink: dict | None, samples: dict | None) -> None:
+            for i, (name, fn) in enumerate(runnable.items()):
+                if i % CANARY_EVERY == 0:
+                    canary_trace.append(
+                        {"pass": tag, "before": name,
+                         "sec": canary(spark, sf_dir)}
+                    )
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                warm_samples[name].append(time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                if sink is not None:
+                    sink[name] = round(dt, 3)
+                if samples is not None:
+                    samples[name].append(dt)
 
-        emit(timings, warm_samples, sf, canary_cold, canary_warm)
+        canary_cold = canary(spark, sf_dir)
+        timings: dict[str, float] = {}
+        traced_pass("cold", timings, None)
+
+        warm_samples: dict[str, list[float]] = {n: [] for n in runnable}
+        for p in range(N_WARM_RUNS):
+            traced_pass(f"warm{p}", None, warm_samples)
+        canary_warm = [
+            c["sec"] for c in canary_trace if c["pass"].startswith("warm")
+        ]
+
+        emit(timings, warm_samples, sf, canary_cold, canary_warm,
+             canary_trace)
     finally:
         if tmpdir:
             shutil.rmtree(tmpdir, ignore_errors=True)

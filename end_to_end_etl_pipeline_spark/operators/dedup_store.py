@@ -99,31 +99,67 @@ class MinHashDedupStore:
         sarr = shingle_array(docs, self.id_col, text_col, n=self.shingle_len)
         return minhash_signatures_arr(sarr, self.id_col, self.num_hashes)
 
-    def _est_jaccard(self) -> F.Column:
-        """Fraction of equal components between the ``a.``/``b.``
-        aliased signature sides."""
-        eq = [
-            F.when(F.col(f"a.m{k}") == F.col(f"b.m{k}"), 1).otherwise(0)
-            for k in range(self.num_hashes)
-        ]
-        total = eq[0]
-        for e in eq[1:]:
-            total = total + e
-        return total / F.lit(float(self.num_hashes))
+    def _est_pair(self, a_sig, b_sig) -> F.Column:
+        """Estimated Jaccard from two carried signature ARRAYS: the
+        fraction of equal components, as one zip_with/aggregate fold.
+        Integer equality on the same Carter-Wegman values the m*
+        columns hold — bit-identical to the old column-wise when-sum,
+        without needing the signature frames joined back in."""
+        eq = F.zip_with(
+            a_sig, b_sig,
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return F.aggregate(
+            eq, F.lit(0), lambda acc, x: acc + x
+        ) / F.lit(float(self.num_hashes))
 
-    def _collisions(self, bands_a: DataFrame, bands_b: DataFrame) -> DataFrame:
-        """(id_a, id_b) band-collision candidates. Deliberately NOT
+    def _bands_with_sig(self, sigs: DataFrame) -> DataFrame:
+        """(id, band, band_hash, __sig): ``lsh_bands``' stack
+        projection with the signature array CARRIED alongside (r07
+        stage collapse): collision estimators then compute inline
+        from the joined rows instead of re-joining ``sig_new`` /
+        ``sig_old`` once per side — the old plan paid 4 extra joins
+        (and re-derived the un-persisted probe signatures once per
+        join); this one pays ``bands`` copies of a 16-long array per
+        doc, a few hundred bytes. band_hash stays the exact
+        ``lsh_bands`` expression, so bucketed-mode routing
+        (pmod(hash(band_hash))) and stored band rows keep matching."""
+        parts = []
+        for b in range(self.bands):
+            cols = ", ".join(f"m{b * self.rows + r}" for r in range(self.rows))
+            parts.append(f"{b}, md5(concat_ws('_', {cols}))")
+        stack = f"stack({self.bands}, {', '.join(parts)}) AS (band, band_hash)"
+        return sigs.select(
+            F.col(self.id_col),
+            F.expr(stack),
+            F.array(
+                *[F.col(f"m{k}") for k in range(self.num_hashes)]
+            ).alias("__sig"),
+        )
+
+    def _est_collisions(self, bands_a: DataFrame, bands_b: DataFrame) -> DataFrame:
+        """(id_a, id_b, est_jaccard) for every band collision, scored
+        inline from the carried signatures. Deliberately NOT
         distinct'd: a pair colliding in k bands appears k (≤ bands)
         times, and every downstream consumer is a groupBy/anti-join
         that absorbs duplicates (min/max aggregates are
         multiplicity-invariant, decisions bit-identical) — while the
         distinct would cost a full extra exchange on every ingest.
         The duplicate factor is bounded by ``bands``, so the
-        estimator re-evaluation it admits is a constant-factor
-        projection, not a scale risk."""
-        a = bands_a.select("band", "band_hash", F.col(self.id_col).alias("id_a"))
-        b = bands_b.select("band", "band_hash", F.col(self.id_col).alias("id_b"))
-        return a.join(b, ["band", "band_hash"]).select("id_a", "id_b")
+        estimator re-evaluation it admits is a constant-factor array
+        fold, not a scale risk."""
+        a = bands_a.select(
+            "band", "band_hash",
+            F.col(self.id_col).alias("id_a"), F.col("__sig").alias("__sig_a"),
+        )
+        b = bands_b.select(
+            "band", "band_hash",
+            F.col(self.id_col).alias("id_b"), F.col("__sig").alias("__sig_b"),
+        )
+        return a.join(b, ["band", "band_hash"]).select(
+            "id_a", "id_b",
+            self._est_pair(F.col("__sig_a"), F.col("__sig_b")).alias("est_jaccard"),
+        )
 
     # -- API -------------------------------------------------------------
     def probe(self, docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
@@ -244,7 +280,7 @@ class MinHashDedupStore:
             # touched-bucket collect, or the append) fills the cache;
             # every later join reads it — one fewer Spark job per call
             sig_new = sig_new.persist()
-        bands_new = lsh_bands(sig_new, self.id_col, self.bands, self.rows)
+        bands_new = self._bands_with_sig(sig_new)
 
         rejected_vs_store = None
         if self.catalog.exists(self.table):
@@ -262,15 +298,23 @@ class MinHashDedupStore:
                     .distinct()
                     .collect()
                 )
-                bands_old = self.catalog.read(self.bands_table, buckets=touched)
+                # the stored band rows carry no signatures — graft the
+                # store's signature arrays on (the ONE store-side join
+                # left in the plan)
+                bands_old = self.catalog.read(
+                    self.bands_table, buckets=touched
+                ).join(
+                    sig_old.select(
+                        self.id_col,
+                        F.array(
+                            *[F.col(f"m{k}") for k in range(self.num_hashes)]
+                        ).alias("__sig"),
+                    ),
+                    self.id_col,
+                )
             else:
-                bands_old = lsh_bands(sig_old, self.id_col, self.bands, self.rows)
-            cand = self._collisions(bands_new, bands_old)
-            est = (
-                cand.join(sig_new.alias("a"), F.col("id_a") == F.col(f"a.{self.id_col}"))
-                .join(sig_old.alias("b"), F.col("id_b") == F.col(f"b.{self.id_col}"))
-                .select("id_a", "id_b", self._est_jaccard().alias("est_jaccard"))
-            )
+                bands_old = self._bands_with_sig(sig_old)
+            est = self._est_collisions(bands_new, bands_old)
             rejected_vs_store = (
                 est.filter(F.col("est_jaccard") >= self.threshold)
                 .groupBy("id_a")
@@ -294,14 +338,9 @@ class MinHashDedupStore:
         # resolve over subsequent ingests. We implement the one-hop
         # rule: reject X iff ∃ Y < X with est ≥ t and Y not rejected
         # vs the store.
-        cand_nn = self._collisions(bands_new, bands_new).filter(
-            F.col("id_a") < F.col("id_b")
-        )
-        est_nn = (
-            cand_nn.join(sig_new.alias("a"), F.col("id_a") == F.col(f"a.{self.id_col}"))
-            .join(sig_new.alias("b"), F.col("id_b") == F.col(f"b.{self.id_col}"))
-            .select("id_a", "id_b", self._est_jaccard().alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= self.threshold)
+        est_nn = self._est_collisions(bands_new, bands_new).filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("est_jaccard") >= self.threshold)
         )
         if rejected_vs_store is not None:
             store_rejected_ids = rejected_vs_store.select(

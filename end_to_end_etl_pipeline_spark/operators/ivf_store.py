@@ -220,7 +220,7 @@ def ivf_store_topk(
     (and tests) can assert the physical scan set; result columns are
     (query_id, match_id, cosine), 6dp-rounded, ties to lowest id —
     identical to ``cosine_topk_ivf`` whenever the probe sets agree."""
-    cent = catalog.read(f"{table}__centroids")
+    cent = _routing_centroids(catalog, table)
     probed_rows = _collect_probe(cent, queries, query_id, vec_col, nprobe)
     spark = queries.sparkSession
     # derive the probe schema from the actual query-id DataType: a
@@ -472,7 +472,7 @@ def append_ivfpq_store(
     stored_vec_type = catalog.read(table).schema[vec_col].dataType
     batch = batch.withColumn(vec_col, F.col(vec_col).cast(stored_vec_type))
     if cell_col is None:
-        cent = catalog.read(f"{table}__centroids")
+        cent = _routing_centroids(catalog, table, manifest)
         batch = ivf_assign_cells(cent, batch, id_col, vec_col, out_col="cell")
         cell_col = "cell"
     df = pq_encode(
@@ -522,6 +522,89 @@ def append_ivfpq_store(
     return True
 
 
+def _patch_rows(patch: dict) -> list[tuple[int, int, float]]:
+    """(label, pos, cv) triples from a ``centroid_patch`` manifest
+    entry ({str(label): [component,...]}, JSON round-tripped)."""
+    return [
+        (int(lab), p + 1, float(v))
+        for lab, vec in patch.items()
+        for p, v in enumerate(vec)
+    ]
+
+
+def _patch_frame(catalog: "ManifestCatalog", table: str, patch: dict) -> DataFrame:
+    """Centroid-component frame for a patch, cast to the live
+    ``__centroids`` schema (labels JSON-stringify; the table's label
+    dtype is the contract). Arrow-sourced — a pickled Python-list
+    frame costs seconds per job in local mode."""
+    import pandas as pd
+
+    cent_schema = catalog.read(f"{table}__centroids").schema
+    pdf = pd.DataFrame(
+        _patch_rows(patch), columns=["label", "pos", "cv"]
+    )
+    return catalog.spark.createDataFrame(pdf).select(
+        F.col("label").cast(cent_schema["label"].dataType),
+        F.col("pos").cast(cent_schema["pos"].dataType),
+        F.col("cv").cast(cent_schema["cv"].dataType),
+    )
+
+
+def _routing_centroids(
+    catalog: "ManifestCatalog", table: str, manifest: dict | None = None
+) -> DataFrame:
+    """The coarse router every read/append path must use: the
+    ``__centroids`` side table OVERLAID with any pending
+    ``centroid_patch`` from the data manifest. The patch commits
+    ATOMICALLY with a rebalance's data manifest (same CAS), so even
+    if the process died before the side-table refresh, every cell id
+    the manifest references is routable — without the overlay a
+    crash between the two commits would leave the new sub-cell
+    invisible to every query and every centroid-routed append,
+    permanently. Steady state (no pending patch — it is cleared once
+    the refresh lands) returns the raw table: zero overhead."""
+    cent = catalog.read(f"{table}__centroids")
+    if manifest is None:
+        manifest = catalog.latest_manifest(table)
+    patch = (manifest or {}).get("centroid_patch") or {}
+    if not patch:
+        return cent
+    return cent.filter(
+        ~F.col("label").isin([int(lab) for lab in patch])
+    ).unionByName(_patch_frame(catalog, table, patch))
+
+
+def _apply_centroid_patch(catalog: "ManifestCatalog", table: str) -> None:
+    """Fold a pending ``centroid_patch`` into the ``__centroids``
+    side table, then clear the marker from the data manifest (CAS;
+    a lost race to a concurrent append re-reads — appends carry the
+    patch forward — and a crash anywhere re-runs idempotently: the
+    refresh rewrites the same values, the overlay keeps queries
+    correct until the clear lands)."""
+    manifest = catalog.latest_manifest(table)
+    patch = (manifest or {}).get("centroid_patch") or {}
+    if not patch:
+        return
+    old = catalog.read(f"{table}__centroids").filter(
+        ~F.col("label").isin([int(lab) for lab in patch])
+    )
+    catalog.replace_atomic(
+        old.unionByName(_patch_frame(catalog, table, patch)),
+        f"{table}__centroids",
+    )
+    for _ in range(4):
+        m = catalog.latest_manifest(table)
+        if not (m or {}).get("centroid_patch"):
+            return
+        payload = {
+            k: v for k, v in m.items() if k not in ("version", "centroid_patch")
+        }
+        if catalog._commit_if(table, payload, m["version"]) is not None:
+            return
+    # couldn't win the clear race: harmless — the patch values equal
+    # the refreshed table, and every reader overlays it anyway
+
+
 def rebalance_ivfpq_store(
     catalog: ManifestCatalog,
     table: str,
@@ -547,13 +630,20 @@ def rebalance_ivfpq_store(
 
     The data manifest commits first (CAS against concurrent appends;
     a lost race re-prunes and re-splits against the new manifest, the
-    orphaned rewrite dir is vacuum-collected), then the
-    ``__centroids`` side table is refreshed with the sub-cells' exact
-    means. The pair is not atomic — a query in between routes by the
-    old centroids and simply never probes the NEW sub-cell id (an
-    approximate-recall blip, the same trade production ANN systems
-    make during re-sharding; the kept-id sub-cell stays routable
-    throughout).
+    orphaned rewrite dir is vacuum-collected) and CARRIES the
+    sub-cells' exact means as a ``centroid_patch`` entry in the SAME
+    commit; the ``__centroids`` side table is then refreshed from the
+    patch and the marker cleared. The pair is crash-recoverable by
+    construction: every router (query, adaptive probe, streaming
+    append) reads centroids through :func:`_routing_centroids`, which
+    overlays any pending patch — so a crash (or a failed refresh job)
+    between the two commits leaves the new sub-cell fully routable,
+    and the next :func:`maybe_rebalance` folds the patch in. The only
+    window is mid-commit concurrency: a query BETWEEN the CAS and its
+    own manifest read routes by the old snapshot and simply never
+    probes the NEW sub-cell id (an approximate-recall blip, the same
+    trade production ANN systems make during re-sharding; the kept-id
+    sub-cell stays routable throughout).
 
     One pass: each hot cell splits once (a still-hot half needs
     another call — split cost doubles per pass, so callers control
@@ -587,7 +677,7 @@ def rebalance_ivfpq_store(
         new_bucket_dirs = dict(bucket_dirs)
         new_counts = dict(counts)
         split_map: dict[int, list[int]] = {}
-        sub_assigned = []  # (new_cell_label, rows df) for centroid refresh
+        patch_new: dict[str, list[float]] = {}  # sub-cell exact means
         for cell in hot:
             rows = catalog._read_dirs(bucket_dirs[cell])
             # 2-means over this cell only; assignment via the same
@@ -639,20 +729,44 @@ def rebalance_ivfpq_store(
                 # unsplittable (all rows on one centroid): leave the
                 # cell as it was; the orphan dir is vacuum's problem
                 continue
-            sub_counts = {
-                int(r["cell"]): int(r["n"])
-                for r in catalog.spark.read.parquet(data_dir)
-                .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+            # counts AND exact sub-cell means in ONE agg over the
+            # just-written rewrite dir (committed bytes on disk — a
+            # concurrent vacuum can't touch a dir no manifest
+            # references yet, and re-reading the parquet beats
+            # re-running pq_encode over the OLD dirs); same
+            # posexplode + avg + 6dp rounding as
+            # ``label_centroids_array`` so the router stays
+            # bit-identical with the write path's quantizer
+            stat_rows = (
+                catalog.spark.read.parquet(data_dir)
+                .select(
+                    "cell",
+                    F.posexplode(
+                        F.col(vec_col).cast("array<double>")
+                    ).alias("pos0", "v"),
+                )
+                .groupBy("cell", (F.col("pos0") + 1).alias("pos"))
+                .agg(
+                    F.round(F.avg("v"), 6).alias("cv"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()  # 2 sub-cells × dim rows: model scale
+            )
+            sub_counts: dict[int, int] = {}
+            sub_means: dict[int, dict[int, float]] = {}
+            for r in stat_rows:
+                c = int(r["cell"])
+                sub_means.setdefault(c, {})[int(r["pos"])] = float(r["cv"])
+                if int(r["pos"]) == 1:
+                    sub_counts[c] = int(r["n"])
             del new_bucket_dirs[cell]
             new_bucket_dirs[cell] = sub_dirs[cell]
             new_bucket_dirs[new_id] = sub_dirs[new_id]
             new_counts[cell] = sub_counts[cell]
             new_counts[new_id] = sub_counts[new_id]
             split_map[cell] = [cell, new_id]
-            sub_assigned.append(assigned.select(
-                F.col("cell").alias("label"), F.col(vec_col)
-            ))
+            for c, comp in sub_means.items():
+                patch_new[str(c)] = [comp[p] for p in sorted(comp)]
             next_id += 1
         if not split_map:
             return {}
@@ -670,27 +784,21 @@ def rebalance_ivfpq_store(
                 "bucket_dirs": {str(k): v for k, v in new_bucket_dirs.items()},
                 "n_buckets": len(new_bucket_dirs),
                 "cell_counts": {str(k): n for k, n in new_counts.items()},
+                # the sub-cell means ride the SAME commit as the data:
+                # routers overlay this patch until the __centroids
+                # refresh lands, so no crash can orphan a cell id
+                "centroid_patch": {
+                    **(manifest.get("centroid_patch") or {}),
+                    **patch_new,
+                },
             },
             manifest["version"],
         )
         if committed is None:
             continue  # lost the race: re-prune against the new manifest
-        # refresh the router: replace each split cell's centroid with
-        # its sub-cells' exact means (reads the committed sub-dirs —
-        # cell-sized, not table-sized)
-        from functools import reduce
-
-        subs = reduce(DataFrame.unionByName, sub_assigned)
-        new_cents = label_centroids_array(subs, "label", vec_col)
-        old = catalog.read(f"{table}__centroids").filter(
-            ~F.col("label").isin(list(split_map))
-        )
-        catalog.replace_atomic(
-            old.unionByName(new_cents.withColumn(
-                "label", F.col("label").cast(old.schema["label"].dataType)
-            )),
-            f"{table}__centroids",
-        )
+        # refresh the router side table from the committed patch and
+        # clear the marker (idempotent; overlay covers any crash here)
+        _apply_centroid_patch(catalog, table)
         return split_map
 
 
@@ -708,7 +816,15 @@ def maybe_rebalance(
     cell, so the pass cap bounds the rewrite budget per ingest while
     quiet stores never pay anything (the check is one manifest read).
     Unsplittable cells (duplicate vectors) stop looping via the empty
-    split map. Returns the union of all passes' split maps."""
+    split map. Returns the union of all passes' split maps: a cell
+    that splits in several passes accumulates every id it shed
+    ({5: [5, 9]} then a pass-2 resplit of 5 → {5: [5, 9, 12]}).
+
+    Also the REPAIR point for a crashed predecessor: a pending
+    ``centroid_patch`` left by a rebalance that died between its data
+    commit and its ``__centroids`` refresh is folded in first (one
+    manifest read when there is nothing pending)."""
+    _apply_centroid_patch(catalog, table)
     out: dict[int, list[int]] = {}
     for _ in range(max_passes):
         split = rebalance_ivfpq_store(
@@ -716,7 +832,9 @@ def maybe_rebalance(
         )
         if not split:
             break
-        out.update(split)
+        for c, ids in split.items():
+            cur = out.setdefault(c, [c])
+            cur.extend(i for i in ids if i not in cur)
     return out
 
 
@@ -772,7 +890,7 @@ def ivfpq_store_topk(
     manifest = catalog.latest_manifest(table)
     cb = _codebook_from_manifest(manifest)
     id_col = manifest["ivf_id_col"]
-    cent = catalog.read(f"{table}__centroids")
+    cent = _routing_centroids(catalog, table, manifest)
     if min_candidates is not None:
         counts = manifest.get("cell_counts")
         if not counts:

@@ -90,78 +90,41 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # in r01/r02 — rotate behind them.
 # ---------------------------------------------------------------------------
 
-# r06 rotation: ALL 28 queries that had never held a driver row after
-# r05 rotate IN (the full list in VERDICT r05 "What's missing" #1),
-# plus the NEW streaming_priority_revenue conformance gate — the first
-# driver-gated Structured Streaming surface (foreachBatch materialized
-# view; lands in the window its shipping round like every new family).
-# That is 29 new entries, leaving 21 keeper slots; after this round
-# every registered query has held at least one driver-green row across
-# r01-r06.
+# r07 rotation (VERDICT r06 "Next round" #1): the five r06-registered
+# queries that could not take a slot rotate IN — ann_store_rebalanced_topk
+# (IVF hot-cell split conformance), streaming_scd2_dimension
+# (foreachBatch SCD2 ≡ batch oracle), incremental_dedup_ingest_bucketed
+# (band-bucketed twin, identical oracle as the plain store),
+# vocab_drift_psi (per-word PSI drift), corpus_datacard (one-frame
+# datasheet) — restoring the invariant that every registered query
+# holds a driver row within one round of registration. Also IN: the
+# NEW streaming_late_data_revenue watermark gate (VERDICT #6 — late/
+# out-of-order rows vs the watermark contract; new family, lands in
+# the window its shipping round) and the eight OLDEST-evidence rows
+# (last green r02/r03): user_sessions, shipping_priority,
+# order_value_percentiles, near_dup_clusters, bloom_seen_docs,
+# doc_span_overlap, line_dedup_corpus, simhash_near_dup.
 #
-# The 21 keepers are exactly the families no rotation entry can cover:
-# the four format round-trips + medallion e2e (singleton families) and
-# the r04/r05-new singleton families (hybrid RRF, cross-encoder seam,
-# hard negatives, nDCG eval, k-anonymity, preference pairs, target
-# encoding, DSIR, quality-tiered OOV vocab, batched BPE, multimodal,
-# record linkage, grouped models, incremental dedup store, semantic
-# dedup, exact dedup, basket attribution) — all green r05 or earlier,
-# all still window-pinned so no family leaves the hard signal.
+# Slot accounting for the 14 rows that rotate OUT (every one green in
+# CORRECTNESS_r06, every family still represented — test-asserted
+# below): cosine_topk_ivf_adaptive (ann → ann_store_rebalanced_topk),
+# scd2_member_delete (scd2 → streaming_scd2_dimension +
+# orders_pit_dimension_join), vocab_oov_rates (vocab →
+# vocab_drift_psi), incremental_dedup_ingest (→ the bucketed twin,
+# same oracle), order_price_equidepth_bins (profiling →
+# corpus_datacard + join_key_skew_profile), within_doc_line_dedup
+# (exact-dedup → line_dedup_corpus), price_quantile_sketch (sketch →
+# bloom_seen_docs), embedding_downsample + embedding_hadamard (vector
+# hygiene, no family claim), important_part_value (core-joins →
+# excess_stock_suppliers), daily_event_gapfill +
+# daily_value_forward_fill (event shapes, no family claim),
+# lang_temperature_mix + source_mix_plan (sampling →
+# doc_stratified_sample).
 #
-# Slot accounting for the 29 rows that rotated OUT (every one driver-
-# green in r04 or r05, every family still represented — test-asserted
-# below): customer_master (flagship; entry() still runs it every
-# round), scd2_transition (scd2 → scd2_member_delete, the MERGE
-# DELETE leg), the five r05-green storage gates minus the two CRUD
-# slots (storage → orders_retention_expiry + orders_targeted_update,
-# the delete_range/update_where hard claims), doc_shared_span_extent
-# (near-dedup → near_dup_pruned_corpus), ann_store_incremental_topk +
-# ann_recall_at_k (ann → cosine_topk_ivf_adaptive, the adaptive-probe
-# variant), embedding_int8_quantize (kmeans-vectors →
-# embedding_kmeans_clusters, the Lloyd-iteration trainer),
-# bm25_doc_search + bm25_store_search (lexical-retrieval →
-# keyword_doc_similarity, the tf-idf inverted-index modality),
-# mmr_diverse_rerank (diversified-retrieval → the GROUPED twin — the
-# scale-right plan, one shuffle vs ~2k job barriers, same oracle),
-# doc_script_profile + doc_pii_redacted (text-analysis →
-# doc_unigram_logppl), quality_classifier_scores (quality signals →
-# doc_repetition_ratio, the Gopher repetition signal),
-# corpus_funnel_audit (curation-lineage → near_dup_pruned_corpus,
-# the same curated-corpus-production shape as clean_corpus),
-# split_contamination (splits → decontaminated_train_split),
-# rag_context_pack (packing-chunking → packed_bin_manifests),
-# source_capped_docs (sampling → doc_stratified_sample +
-# lang_temperature_mix + source_mix_plan), incremental_priority_revenue
-# (ivm → streaming_priority_revenue, the same apply_agg_delta state
-# machinery fed by a real stream), daily_uniques_bitmap +
-# winsorized_price_stats_sketch (sketch → price_quantile_sketch),
-# daily_event_anomaly (profiling → join_key_skew_profile +
-# order_price_equidepth_bins), min_cost_supplier + frequent_part_pairs
-# (core-joins → excess_stock_suppliers + important_part_value),
-# purchase_next_view_asof (asof → orders_pit_dimension_join, the
-# point-in-time dimension join IS an as-of join on SCD2 validity).
-#
-# r07 rotation guidance: with the never-run list retired, rotate IN
-# first the one r06-shipped query that could not take a slot (every
-# r06 slot was spoken for by the never-run retirement + singleton
-# keepers): ann_store_rebalanced_topk — the IVF hot-cell split gate
-# (operators/ivf_store.py:rebalance_ivfpq_store), oracle-green at
-# sf0.001+sf0.01, natural swap for a same-family ann row — and
-# vocab_drift_psi (per-word PSI corpus drift between snapshots,
-# vocab/profiling family, oracle-green at both SFs) — and
-# streaming_scd2_dimension (the foreachBatch SCD2 bridge over a
-# pinned-mtime file stream, answering the batch scd2_transition
-# oracle exactly; scd + streaming-bridge families) — and
-# incremental_dedup_ingest_bucketed (the band-bucketed >>RAM-scale
-# execution twin, identical oracle; incremental-dedup family) — and
-# corpus_datacard (the one-frame datasheet report; profiling
-# family). Then
-# refresh the OLDEST evidence (rows whose last green is r02/r03:
-# user_sessions, shipping_priority, order_value_percentiles,
-# near_dup_clusters, bloom_seen_docs, doc_span_overlap,
-# line_dedup_corpus, simhash_near_dup) over same-family r05/r06-green
-# rows, keeping every family represented. Any NEW operator family
-# lands in the window the round it ships.
+# r08 rotation guidance: refresh the next-oldest evidence (rows whose
+# last green is r03/r04) over same-family r06/r07-green rows, keeping
+# every family represented; any NEW operator family lands in the
+# window the round it ships.
 DRIVER_WINDOW: tuple[str, ...] = (
     # medallion e2e flagship (scan→DQ→SCD2→gold KPIs in one row)
     "medallion_gold_fact",
@@ -170,45 +133,44 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "csv_scan_roundtrip",
     "orc_scan_roundtrip",
     "text_scan_roundtrip",
-    # SCD family: the MERGE's DELETE leg (scd2_transition green
-    # r01-r05) and the point-in-time dimension join (as-of against
-    # SCD2 validity intervals)
-    "scd2_member_delete",
+    # SCD family: the streaming foreachBatch SCD2 bridge (NEW slot —
+    # order-sensitive stream answering the batch oracle exactly; also
+    # the streaming-bridge family) and the point-in-time dimension
+    # join (as-of against SCD2 validity intervals)
+    "streaming_scd2_dimension",
     "orders_pit_dimension_join",
     # storage-engine CRUD gates (sinks/manifest.py): retention expiry
-    # via stats-pruned delete_range and targeted update_where — the
-    # deletion surface's two remaining hard claims (bloom/CDF/
-    # time-travel/zorder/targeted-delete all green r05)
+    # via stats-pruned delete_range and targeted update_where
     "orders_retention_expiry",
     "orders_targeted_update",
-    # streaming conformance gate — foreachBatch materialized view
-    # over a file-source stream, final state vs one-shot oracle (NEW
-    # this round; also the ivm family's slot — same apply_agg_delta
-    # machinery as incremental_priority_revenue, green r05)
+    # streaming gates — foreachBatch materialized view (ivm slot,
+    # green r06) + the NEW watermark/late-data contract gate (out-of-
+    # order event stream; oracle admits exactly the rows the
+    # watermark contract admits)
     "streaming_priority_revenue",
-    # dedup: exact (zero-shuffle within-doc) + near-dup (the LSH-
-    # pruned corpus output — also the curated-corpus-production
-    # shape) + semantic (cross-split contamination) + the incremental
-    # store
-    "within_doc_line_dedup",
+    "streaming_late_data_revenue",
+    # dedup: exact line dedup (oldest-evidence refresh, last green
+    # r02/r03) + near-dup (LSH-pruned corpus — also the curated-
+    # corpus-production shape; plus the three r02/r03-evidence rows:
+    # connected clusters, span overlap, simhash) + semantic
+    # contamination + the BAND-BUCKETED incremental store twin
+    # (identical oracle as the plain mode, green r06)
+    "line_dedup_corpus",
     "near_dup_pruned_corpus",
+    "near_dup_clusters",
+    "doc_span_overlap",
+    "simhash_near_dup",
     "semantic_split_contamination",
-    "incremental_dedup_ingest",
-    # ANN: the adaptive-probe IVF variant (manifest cell-count cut,
-    # no corpus touch) takes the family slot from the two r05-green
-    # store rows
-    "cosine_topk_ivf_adaptive",
-    # embedding transforms: distributed Lloyd k-means (kmeans-vectors
-    # slot), int8 round-trip green r05; plus the two vector hygiene
-    # ops never driver-run
+    "incremental_dedup_ingest_bucketed",
+    # ANN: the hot-cell rebalance conformance gate (split loses
+    # nothing; arrangement-independent oracle) takes the family slot
+    "ann_store_rebalanced_topk",
+    # embedding transforms: distributed Lloyd k-means keeps the
+    # kmeans-vectors slot
     "embedding_kmeans_clusters",
-    "embedding_downsample",
-    "embedding_hadamard",
     # retrieval stack: tf-idf keyword inverted-index similarity takes
-    # the lexical slot (both BM25 rows green r05); hybrid RRF fusion,
-    # the GROUPED MMR twin (scale-right plan, same oracle as the
-    # plan-flat row green r05), cross-encoder seam, nDCG eval, hard
-    # negatives, preference pairs
+    # the lexical slot; hybrid RRF fusion, the GROUPED MMR twin,
+    # cross-encoder seam, nDCG eval, hard negatives, preference pairs
     "keyword_doc_similarity",
     "hybrid_doc_retrieval",
     "mmr_diverse_rerank_grouped",
@@ -220,43 +182,43 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ratio (the Gopher quality signal — quality-classifier slot)
     "doc_unigram_logppl",
     "doc_repetition_ratio",
-    # privacy + feature prep (singleton families, green r05)
+    # privacy + feature prep (singleton families)
     "customer_kanonymity",
     "priority_target_encoding",
     # corpus curation: decontaminated train split (splits slot),
-    # token-budget packed bin manifests (packing slot), stratified /
-    # temperature / source-mix sampling (sampling slots)
+    # token-budget packed bin manifests (packing slot), stratified
+    # sampling (sampling slot)
     "decontaminated_train_split",
     "packed_bin_manifests",
     "doc_stratified_sample",
-    "lang_temperature_mix",
-    "source_mix_plan",
-    # importance selection + vocab (singleton families, green r05)
+    # importance selection (singleton family) + vocab drift PSI (NEW
+    # vocab slot) + the one-frame corpus datacard (profiling)
     "dsir_importance_scores",
-    "vocab_oov_rates",
-    # tokenizer training: the batched scale path (green r05)
+    "vocab_drift_psi",
+    "corpus_datacard",
+    # tokenizer training: the batched scale path
     "bpe_merge_rules_batched",
-    # multimodal binary (green r05)
+    # multimodal binary
     "binary_doc_stats",
-    # sketches: the mergeable KLL-style quantile sketch takes the
-    # family slot (bitmap + winsorized-sketch green r05)
-    "price_quantile_sketch",
+    # sketches: streaming bloom-filter membership takes the family
+    # slot (oldest-evidence refresh, last green r02/r03)
+    "bloom_seen_docs",
     # profiling: join-key skew profile (the pre-flight you run before
-    # choosing a salting strategy) + equi-depth binning
+    # choosing a salting strategy)
     "join_key_skew_profile",
-    "order_price_equidepth_bins",
     # DQ: cross-table referential-integrity audit
     "referential_integrity_audit",
-    # event-sequence shapes: calendar gap-fill, forward-fill carry,
-    # time-weighted value; basket attribution keeps its keeper
-    "daily_event_gapfill",
-    "daily_value_forward_fill",
+    # event-sequence shapes: sessionization (oldest-evidence refresh)
+    # + time-weighted value; basket attribution keeps its keeper
+    "user_sessions",
     "user_time_weighted_value",
     "purchase_touch_attribution",
-    # TPC-H-shaped core joins never driver-run (Q11/Q9-ish shapes)
+    # TPC-H-shaped core: Q11 keeper + the two oldest-evidence core
+    # rows (Q3-ish shipping priority, percentile profile)
     "excess_stock_suppliers",
-    "important_part_value",
-    # entity resolution + grouped Python model fit (green r05)
+    "shipping_priority",
+    "order_value_percentiles",
+    # entity resolution + grouped Python model fit
     "customer_record_linkage",
     "event_type_value_trend",
 )

@@ -2542,6 +2542,113 @@ def streaming_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_late_data_revenue",
+    oracle="""
+    WITH admitted AS (
+      -- batch 2 (the 1993 rows) arrives 2+ years behind the watermark
+      -- set by batch 1's 1995 rows and is DROPPED by the contract
+      SELECT CAST(o_orderdate AS TIMESTAMP) AS wts, o_totalprice
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+    ),
+    wm AS (
+      -- final watermark: max admitted event time minus the 719h
+      -- lateness budget (NOT a round 30 days: the 1h offset keeps
+      -- every midnight-aligned window end strictly off the boundary,
+      -- so <= vs < eviction semantics can never matter)
+      SELECT max(wts) - INTERVAL 719 HOUR AS final_wm FROM admitted
+    )
+    SELECT wts AS window_start,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM admitted, wm
+    WHERE wts + INTERVAL 24 HOUR <= final_wm
+    GROUP BY 1
+    """,
+    doc="Watermark / late-data contract under the oracle — the "
+    "conformance gate for event-time windowed aggregation "
+    "(streaming/jobs.windowed_counts shape) fed an OUT-OF-ORDER "
+    "file stream: three parquet files with pinned modification "
+    "times replay oldest-mtime-first one per trigger — batch 1 = "
+    "the 1995 orders, batch 2 = the 1993 orders (now 2+ years "
+    "behind the watermark batch 1 established, so every row is "
+    "late-dropped), batch 3 = the 1996 orders (on time; advances "
+    "the watermark and finalizes every day-window older than the "
+    "719h lateness budget). The parquet sink (append mode) holds "
+    "exactly the finalized windows; the oracle recomputes the "
+    "admitted set and the final-watermark cut in SQL. What the "
+    "hash proves: late rows beyond the watermark are dropped (a "
+    "1993 window appearing = no drop), on-time rows all count (a "
+    "short 1995 window = over-drop), and append mode emits exactly "
+    "the windows whose end cleared the final watermark (a December-"
+    "1996 window appearing = premature finalization). The 719h "
+    "budget is deliberately NOT midnight-aligned so no window end "
+    "ever ties the watermark. At 100 TB this is the same plan with "
+    "a kafka source: state per (window) is one running sum, evicted "
+    "at the watermark — memory tracks the lateness budget, not "
+    "stream length.",
+    tags=("parity", "streaming", "watermark", "north-star"),
+)
+def streaming_late_data_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    scratch_parent = "/tmp/spark_graft_streaming_late"
+    os.makedirs(scratch_parent, exist_ok=True)
+    for stale in os.listdir(scratch_parent):
+        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("timestamp").alias("wts"), "o_totalprice"
+    )
+    landing = os.path.join(root, "landing")
+
+    def land(year: int, mtime: int) -> None:
+        before = set(os.listdir(landing)) if os.path.isdir(landing) else set()
+        orders.filter(F.year("wts") == year).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"file://{landing}")
+        # pin modification times: the file source orders new files by
+        # (modTime, path); the late-drop claim is ORDER-sensitive —
+        # the 1993 file must replay after the 1995 one
+        for f in set(os.listdir(landing)) - before:
+            if not f.startswith(("_", ".")):
+                os.utime(os.path.join(landing, f), (mtime, mtime))
+
+    land(1995, 1_000_000)  # batch 1: establishes the watermark
+    land(1993, 2_000_000)  # batch 2: every row behind it → dropped
+    land(1996, 3_000_000)  # batch 3: advances it, finalizes 1995
+
+    stream = (
+        spark.readStream.schema("wts timestamp, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)  # one year per micro-batch
+        .parquet(f"file://{landing}")
+    )
+    agg = (
+        stream.withWatermark("wts", "719 hours")
+        .groupBy(F.window("wts", "24 hours").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n", "sum_total")
+    )
+    sink = f"file://{root}/out"
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")  # emit each window exactly once, finalized
+        .option("checkpointLocation", f"file://{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).localCheckpoint(eager=True)
+
+
+@register(
     "winsorized_price_stats",
     oracle="""
     WITH b AS (

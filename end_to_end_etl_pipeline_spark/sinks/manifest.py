@@ -118,6 +118,14 @@ class ManifestCatalog:
         self.spark = spark
         self.root = root.rstrip("/")
         self.fs = HadoopFS(spark, self.root)
+        # per-dir bloom sidecar cache: a dir's _blooms.json is written
+        # once, before the dir is ever referenced, and never mutated —
+        # so cache entries can't go stale (vacuum deletes whole dirs,
+        # and a deleted dir is never probed again)
+        self._bloom_sidecars: dict[str, dict] = {}
+        # (table, col) -> DataType: committed column types are
+        # immutable (see _column_type), so this never invalidates
+        self._col_types: dict[tuple[str, str], object] = {}
 
     # -- layout ---------------------------------------------------------
     def table_dir(self, name: str) -> str:
@@ -269,6 +277,14 @@ class ManifestCatalog:
     BLOOM_BITS = 4096  # floor (and the legacy fixed size)
     BLOOM_MAX_BITS = 1 << 21  # 2M bits = 256 KiB/dir/col ceiling
     BLOOM_HASHES = 3
+    #: bitmaps whose total words (across the dir's bloom columns)
+    #: reach this move to a per-dir SIDECAR file; smaller ones stay
+    #: inline in the manifest JSON. The r07 metadata study: inline
+    #: bitmaps make every commit re-serialize every dir's words —
+    #: manifest size grows O(dirs), commit cost O(dirs), cumulative
+    #: log O(dirs²) — the exact curve Delta's checkpoint/sidecar
+    #: split exists to cut. 512 words = 32 KiB bitmap ≈ 3k keys.
+    BLOOM_SIDECAR_MIN_WORDS = 512
 
     def _dir_blooms(self, data_dir: str, bloom_cols: Sequence[str]) -> dict:
         """Per-data-dir Bloom bitmaps for point-lookup data skipping —
@@ -283,22 +299,43 @@ class ManifestCatalog:
         grow — at 10x data a 4096-bit bloom over ~190k keys/dir
         approves every probe and targeted deletes degrade to
         rewrite-everything (correct but change-DISproportional). Each
-        dir's bitmap is ~10 bits/distinct-key (FP ≈ 1.7% at k=3),
-        power-of-two clamped to [BLOOM_BITS, BLOOM_MAX_BITS]; the size
-        travels with the bitmap ({col: {"num_bits": m, "words":
-        {word: bits}}}) because probe positions are modulo m — a probe
+        dir's bitmap is ~10 bits/key (FP ≈ 1.7% at k=3), power-of-two
+        clamped to [BLOOM_BITS, BLOOM_MAX_BITS]; the size travels
+        with the bitmap ({col: {"num_bits": m, "words": {word:
+        bits}}}) because probe positions are modulo m — a probe
         against the wrong modulus would be a silent false negative.
-        Legacy bitmaps ({col: {word: bits}}) read as BLOOM_BITS."""
+        Legacy bitmaps ({col: {word: bits}}) read as BLOOM_BITS.
+
+        Sizing key count = the dir's ROW count (r07): count(*) on
+        just-written parquet answers from footer metadata — no data
+        scan — and is shared across every bloom column, vs the r06
+        per-column distinct().count() which re-scanned the dir once
+        per column before the bloom-build scan. Rows upper-bound
+        distinct keys, so duplicate-heavy dirs only OVER-size
+        (lower FP, never a correctness or saturation risk).
+
+        SIDECAR SPLIT (r07): big bitmaps don't live in the manifest.
+        Every commit rewrites the whole manifest JSON, so inline
+        words make commit cost and driver parse time grow with TOTAL
+        dir count — the one driver-side surface that was O(table) at
+        100 TB. Bitmaps past ``BLOOM_SIDECAR_MIN_WORDS`` are written
+        ONCE to ``<data_dir>/_blooms.json`` (inside the dir: written
+        before the manifest references it — crash leaves unreferenced
+        garbage, never a dangling pointer — immutable afterwards, and
+        vacuum reclaims it with the dir); the manifest keeps only
+        {num_bits, sidecar: 1} per column. Probes lazy-load and cache
+        sidecars per dir, so a point lookup reads only the candidate
+        dirs' sidecars, never the whole table's."""
         from end_to_end_etl_pipeline_spark.operators.sketches import bloom_build
 
         df = self.spark.read.parquet(data_dir)
         out: dict = {}
+        n = df.count() if bloom_cols else 0  # footer-only job
+        num_bits = self.BLOOM_BITS
+        while num_bits < 10 * n and num_bits < self.BLOOM_MAX_BITS:
+            num_bits *= 2
         for c in bloom_cols:
             keys = df.select(c).where(F.col(c).isNotNull())
-            n = keys.distinct().count()
-            num_bits = self.BLOOM_BITS
-            while num_bits < 10 * n and num_bits < self.BLOOM_MAX_BITS:
-                num_bits *= 2
             rows = bloom_build(
                 keys,
                 c,
@@ -309,18 +346,105 @@ class ManifestCatalog:
                 "num_bits": num_bits,
                 "words": {str(r["word"]): int(r["bits"]) for r in rows},
             }
+        total_words = sum(len(v["words"]) for v in out.values())
+        if out and total_words >= self.BLOOM_SIDECAR_MIN_WORDS:
+            self.fs.write_text(
+                f"{data_dir}/_blooms.json", json.dumps(out, sort_keys=True)
+            )
+            return {
+                c: {"num_bits": v["num_bits"], "sidecar": 1}
+                for c, v in out.items()
+            }
         return out
 
     @staticmethod
     def _bloom_parse(bm) -> tuple[int, dict] | None:
-        """(num_bits, words) from either bitmap format: sized (r06,
-        {"num_bits": m, "words": {...}}) or legacy fixed-size
-        ({word: bits} under BLOOM_BITS)."""
+        """(num_bits, words) from either INLINE bitmap format: sized
+        (r06, {"num_bits": m, "words": {...}}) or legacy fixed-size
+        ({word: bits} under BLOOM_BITS). Sidecar markers resolve via
+        :meth:`_bloom_resolve` (needs the dir path)."""
         if bm is None:
             return None
         if "words" in bm and isinstance(bm.get("words"), dict):
             return int(bm["num_bits"]), bm["words"]
         return ManifestCatalog.BLOOM_BITS, bm
+
+    def _bloom_resolve(self, data_dir: str, col: str, bm) -> tuple[int, dict] | None:
+        """(num_bits, words) for one dir/column, resolving a sidecar
+        marker through the per-dir cache. An unreadable or incomplete
+        sidecar returns None — the caller keeps the dir (pruning is
+        an IO optimization; a guess would risk a false negative)."""
+        if bm is None:
+            return None
+        if isinstance(bm, dict) and bm.get("sidecar"):
+            side = self._bloom_sidecars.get(data_dir)
+            if side is None:
+                self._load_sidecars([data_dir])
+                side = self._bloom_sidecars[data_dir]
+            entry = side.get(col)
+            if not entry or not isinstance(entry.get("words"), dict):
+                return None
+            return int(bm["num_bits"]), entry["words"]
+        return self._bloom_parse(bm)
+
+    def _load_sidecars(self, dirs: Sequence[str]) -> None:
+        """Bulk-load bloom sidecars into the per-dir cache. A probe
+        over a big table may need hundreds of sidecars cold; one
+        py4j/object-store round trip EACH would put an O(dirs) stall
+        back on the driver — exactly what the sidecar split removed
+        from commits. ``file:`` dirs read directly (local IO,
+        ~0.1 ms); anything else fetches every missing file in ONE
+        ``spark.read.text(wholetext)`` job (an object store serves
+        the GETs in parallel). Unreadable sidecars cache as {} — the
+        probe keeps those dirs."""
+        missing = [d for d in dict.fromkeys(dirs) if d not in self._bloom_sidecars]
+        if not missing:
+            return
+        remote = []
+        for d in missing:
+            if d.startswith("file:"):
+                import pathlib
+                import urllib.parse
+
+                p = pathlib.Path(
+                    urllib.parse.urlparse(d).path
+                ) / "_blooms.json"
+                try:
+                    self._bloom_sidecars[d] = json.loads(p.read_text())
+                except Exception:
+                    self._bloom_sidecars[d] = {}
+            else:
+                remote.append(d)
+        if not remote:
+            return
+        try:
+            rows = (
+                self.spark.read.text(
+                    [f"{d}/_blooms.json" for d in remote], wholetext=True
+                )
+                .select(
+                    F.input_file_name().alias("path"), F.col("value")
+                )
+                .collect()
+            )
+            by_path = {r["path"]: r["value"] for r in rows}
+            for d in remote:
+                qualified = self.fs.qualified(f"{d}/_blooms.json")
+                text = by_path.get(qualified) or by_path.get(f"{d}/_blooms.json")
+                try:
+                    self._bloom_sidecars[d] = json.loads(text) if text else {}
+                except Exception:
+                    self._bloom_sidecars[d] = {}
+        except Exception:
+            # batch read failed (e.g. one missing file): fall back to
+            # per-dir reads so one bad sidecar can't disable pruning
+            for d in remote:
+                try:
+                    self._bloom_sidecars[d] = json.loads(
+                        self.fs.read_text(f"{d}/_blooms.json")
+                    )
+                except Exception:
+                    self._bloom_sidecars[d] = {}
 
     def _bloom_positions(
         self, value, spark_type=None, num_bits: int | None = None
@@ -401,8 +525,31 @@ class ManifestCatalog:
         )
         if manifest is None:
             raise FileNotFoundError(f"table {name} has no committed manifest")
-        col_type = self.read(name).schema[col].dataType
+        col_type = self._column_type(name, col, manifest)
         return self._bloom_pruned_dirs_resolved(manifest, col, value, col_type)
+
+    def _column_type(self, name: str, col: str, manifest: dict):
+        """Datatype of one column, without the full-table mergeSchema
+        footer job ``read(name).schema`` pays (O(dirs) — measured
+        ~2 s at 240 dirs, ON EVERY point probe): read the NEWEST
+        dir's footer only (new columns land in new dirs, so it has
+        the evolved schema), fall back to the merged view if the
+        column is absent there. Cached per (table, col) — a committed
+        column's TYPE can never change (parquet schema-merge would
+        reject the dir), so the cache can't go stale."""
+        key = (name, col)
+        t = self._col_types.get(key)
+        if t is not None:
+            return t
+        dirs = self._dirs(manifest)
+        if dirs:
+            sch = self.spark.read.parquet(dirs[-1]).schema
+            if col in sch.names:
+                t = sch[col].dataType
+        if t is None:
+            t = self.read(name).schema[col].dataType
+        self._col_types[key] = t
+        return t
 
     def _bloom_pruned_dirs_resolved(
         self, manifest: dict, col: str, value, col_type
@@ -456,9 +603,18 @@ class ManifestCatalog:
                     probes[m] = None
             return probes[m]
 
+        all_dirs = self._dirs(manifest)
+        self._load_sidecars(
+            [
+                d
+                for d in all_dirs
+                if isinstance((blooms.get(d) or {}).get(col), dict)
+                and (blooms.get(d) or {}).get(col, {}).get("sidecar")
+            ]
+        )
         kept = []
-        for d in self._dirs(manifest):
-            parsed = self._bloom_parse((blooms.get(d) or {}).get(col))
+        for d in all_dirs:
+            parsed = self._bloom_resolve(d, col, (blooms.get(d) or {}).get(col))
             if parsed is None:
                 kept.append(d)
                 continue
@@ -820,7 +976,7 @@ class ManifestCatalog:
             # resolve the column type ONCE for the whole key batch —
             # a per-value bloom_pruned_dirs call would re-read the
             # manifest and re-resolve the parquet schema per key
-            col_type = self.read(name).schema[col].dataType
+            col_type = self._column_type(name, col, manifest)
             affected_set: set[str] = set()
             for v in values:
                 affected_set |= set(
@@ -946,7 +1102,7 @@ class ManifestCatalog:
                     f"table {name} is bucketed — update via the bucketed "
                     "MERGE (BucketedSCD2) instead"
                 )
-            col_type = self.read(name).schema[col].dataType
+            col_type = self._column_type(name, col, manifest)
             affected_set: set[str] = set()
             for v in values:
                 affected_set |= set(

@@ -105,8 +105,15 @@ def test_bench_emit_contract(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(bench, "SIDECAR_DIR", str(tmp_path))
     timings = {f"q{i:02d}": 1.234 for i in range(40)}  # wider than today's set
     warm = {n: [1.0, 1.1, 1.2] for n in timings}
+    trace = [
+        {"pass": "cold", "before": "q00", "sec": 0.8},
+        {"pass": "cold", "before": "q08", "sec": 2.4},
+        {"pass": "warm0", "before": "q00", "sec": 0.5},
+        {"pass": "warm0", "before": "q08", "sec": 0.55},
+    ]
     returned = bench.emit(
-        timings, warm, sf=0.1, canary_cold=0.8, canary_warm=[0.5, 0.55, 0.6]
+        timings, warm, sf=0.1, canary_cold=0.8, canary_warm=[0.5, 0.55, 0.6],
+        canary_trace=trace,
     )
     out = capsys.readouterr().out.strip().splitlines()
     assert out[-1] == returned
@@ -125,6 +132,11 @@ def test_bench_emit_contract(tmp_path, capsys, monkeypatch):
     # drift normalization: warm-min / warm-canary-min
     assert details["queries_warm_norm"]["q00"] == 2.0
     assert details["canary_warm_samples"] == [0.5, 0.55, 0.6]
+    # intra-pass drift trace (r07): a mid-pass contaminated segment
+    # must be attributable — cold's 0.8→2.4 canary flags 3.0x
+    assert details["canary_intra_pass_drift"]["cold"] == 3.0
+    assert details["canary_intra_pass_drift"]["warm0"] == 1.1
+    assert len(details["canary_trace"]) == 4
     sidecar = json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
     assert sidecar == details
     # canary-less calls (unit contexts) still emit the base contract

@@ -156,3 +156,80 @@ def test_maybe_rebalance_loops_until_balanced_and_is_idempotent(spark, tmp_path)
     v = m["version"]
     assert maybe_rebalance(cat, "rb.t", max_cell_rows=max(counts.values())) == {}
     assert cat.latest_manifest("rb.t")["version"] == v
+
+
+def test_crash_between_commit_and_refresh_is_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the rebalance between its data-manifest CAS and the
+    __centroids refresh (the ADVICE r06 durable-orphan scenario): the
+    new sub-cell id exists only in the manifest + its centroid_patch.
+    Queries must still probe it (patch overlay), and the next
+    maybe_rebalance must repair the side table and clear the marker."""
+    import end_to_end_etl_pipeline_spark.operators.ivf_store as ivf
+
+    cat, emb = _skewed_store(spark, tmp_path)
+    queries = emb.filter(F.col("vec_id") < 4)
+    pre, _ = ivfpq_store_topk(
+        cat, "rb.t", queries, "vec_id", "embedding",
+        k=3, nprobe=16, shortlist_factor=5,
+    )
+    pre_rows = sorted(map(tuple, pre.collect()))
+
+    # simulate the crash: the refresh step never runs
+    monkeypatch.setattr(ivf, "_apply_centroid_patch", lambda *a, **k: None)
+    split = rebalance_ivfpq_store(cat, "rb.t", max_cell_rows=30)
+    monkeypatch.undo()
+    assert split == {1: [1, 2]}
+    m = cat.latest_manifest("rb.t")
+    assert set(m["centroid_patch"]) == {"1", "2"}
+    # the side table is stale — label 2 is missing...
+    stale = {
+        int(r["label"])
+        for r in cat.read("rb.t__centroids").select("label").distinct().collect()
+    }
+    assert stale == {0, 1}
+
+    # ...but a full probe still returns identical results: the router
+    # overlays the patch, so cell 2's rows stay visible
+    post, probed = ivfpq_store_topk(
+        cat, "rb.t", queries, "vec_id", "embedding",
+        k=3, nprobe=16, shortlist_factor=5,
+    )
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    assert 2 in probed
+
+    # an append must route against the PATCHED centroids (which sub-
+    # cell won the [0,0,1,0] blob is arrangement-dependent — derive
+    # the expectation from the patch itself)
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        append_ivfpq_store,
+    )
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else 0.0
+
+    probe_vec = [0.0, 0.0, 1.0, 0.0]
+    expect = max(
+        m["centroid_patch"], key=lambda lab: _cos(m["centroid_patch"][lab], probe_vec)
+    )
+    newbie = _emb(spark, [(900, probe_vec, 0)]).drop("label")
+    append_ivfpq_store(cat, newbie, "rb.t")
+    m2 = cat.latest_manifest("rb.t")
+    assert int(m2["cell_counts"][expect]) == int(m["cell_counts"][expect]) + 1
+
+    # repair: maybe_rebalance folds the patch in and clears the marker
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        maybe_rebalance,
+    )
+
+    maybe_rebalance(cat, "rb.t", max_cell_rows=10_000)
+    m3 = cat.latest_manifest("rb.t")
+    assert not m3.get("centroid_patch")
+    healed = {
+        int(r["label"])
+        for r in cat.read("rb.t__centroids").select("label").distinct().collect()
+    }
+    assert healed == {0, 1, 2}

@@ -720,10 +720,20 @@ def test_bloom_adaptive_sizing_and_legacy_bitmap_compat(spark, cat):
     m = cat.latest_manifest("bla.t")
     sizes = {}
     for d in m["dirs"]:
-        nb, words = ManifestCatalog._bloom_parse(m["blooms"][d]["key"])
+        nb, words = cat._bloom_resolve(d, "key", m["blooms"][d]["key"])
         sizes[d] = nb
         assert nb % 2 == 0 and nb >= ManifestCatalog.BLOOM_BITS
+        assert words  # sidecar or inline, the bits must materialize
     assert sorted(sizes.values()) == [4096, 32768]  # 50 keys / 3k keys
+    # the 512-word (32768-bit) bitmap crossed BLOOM_SIDECAR_MIN_WORDS:
+    # its words live in the dir's sidecar file, the manifest holds
+    # only the marker — commit size stops growing with key count
+    big_dir = next(d for d in m["dirs"] if sizes[d] == 32768)
+    assert m["blooms"][big_dir]["key"].get("sidecar") == 1
+    assert "words" not in m["blooms"][big_dir]["key"]
+    assert cat.fs.exists(f"{big_dir}/_blooms.json")
+    small_dir = next(d for d in m["dirs"] if sizes[d] == 4096)
+    assert "words" in m["blooms"][small_dir]["key"]  # tiny stays inline
 
     # no false negatives in either dir; cross-dir pruning works
     assert cat.read_point("bla.t", "key", 7).count() == 1

@@ -211,6 +211,12 @@ def test_manifest_crud_fuzz(spark, tmp_path_factory, shard):
     per_shard = (N_SEQUENCES + N_SHARDS - 1) // N_SHARDS
     root = tmp_path_factory.mktemp(f"manifest_fuzz_{shard}")
     cat = ManifestCatalog(spark, f"file://{root}")
+    if shard % 2:
+        # fuzz batches are 4-10 rows — far under the sidecar
+        # threshold — so odd shards force EVERY bloom into the r07
+        # per-dir sidecar path (write, probe, rewrite-recompute,
+        # vacuum) while even shards keep the inline path covered
+        cat.BLOOM_SIDECAR_MIN_WORDS = 0
     for i in range(per_shard):
         seq = shard * per_shard + i
         _run_sequence(spark, cat, f"fz.t{seq:03d}", MASTER_SEED + seq)

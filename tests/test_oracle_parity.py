@@ -195,6 +195,10 @@ def test_driver_window_contract():
                 "streaming_priority_revenue"},
         "streaming-bridge": {"streaming_priority_revenue",
                              "streaming_scd2_dimension"},
+        # event-time watermark semantics (late-drop + append-mode
+        # finalization) — a separate claim from the foreachBatch
+        # bridges, which never exercise event-time state eviction
+        "streaming-watermark": {"streaming_late_data_revenue"},
         "entity-resolution": {"customer_record_linkage"},
         "core-joins": {"min_cost_supplier", "local_supplier_volume",
                        "excess_stock_suppliers", "important_part_value"},
