@@ -203,13 +203,17 @@ def _build_dedup_store(spark, sf_dir: str):
 
     tmpdir = tempfile.mkdtemp(prefix="bench_dedup_")
     cat = ManifestCatalog(spark, f"file://{tmpdir}/lake")
-    # plain (unbucketed) mode: at sf0.1 the store is 5k signature
-    # rows, so one columnar scan beats fanning the read across band
-    # bucket dirs (the touched-bucket collect + multi-dir listing
-    # cost more than they prune — measured 1.7s vs 2.2-2.5s warm).
-    # band_buckets is the >>RAM-scale path; decisions are
-    # bit-identical across modes (pytest-proven), so the bench times
-    # the same semantics either way.
+    # plain (unbucketed) mode: the r07 crossover study (SCALE.md,
+    # scripts/dedup_crossover_study.py) measured plain vs
+    # band_buckets=16 at 4.7k/47k/142k signature rows — plain wins
+    # at every point through 30x (1.25/1.13/1.89s vs
+    # 1.46/2.10/2.11s warm): the probe is stage-overhead-dominated
+    # and one columnar scan beats the touched-bucket collect +
+    # multi-dir listing until the store's BYTES dominate (GB-scale,
+    # the >>RAM corpus band_buckets exists for). Decisions are
+    # bit-identical across modes (fuzzed + driver-gated via
+    # incremental_dedup_ingest_bucketed), so the bench times the
+    # same semantics either way.
     store = MinHashDedupStore(
         cat, "dedup.sigs", num_hashes=16, bands=4, shingle_len=6,
         threshold=0.6,
