@@ -118,7 +118,7 @@ class ManifestCatalog:
         self.spark = spark
         self.root = root.rstrip("/")
         self.fs = HadoopFS(spark, self.root)
-        # per-dir bloom sidecar cache: a dir's _blooms.json is written
+        # per-dir bloom sidecar cache: a dir's blooms sidecar is written
         # once, before the dir is ever referenced, and never mutated —
         # so cache entries can't go stale (vacuum deletes whole dirs,
         # and a deleted dir is never probed again)
@@ -319,7 +319,7 @@ class ManifestCatalog:
         words make commit cost and driver parse time grow with TOTAL
         dir count — the one driver-side surface that was O(table) at
         100 TB. Bitmaps past ``BLOOM_SIDECAR_MIN_WORDS`` are written
-        ONCE to ``<data_dir>/_blooms.json`` (inside the dir: written
+        ONCE to ``<data_dir>/_sidecar/blooms.json`` (inside the dir: written
         before the manifest references it — crash leaves unreferenced
         garbage, never a dangling pointer — immutable afterwards, and
         vacuum reclaims it with the dir); the manifest keeps only
@@ -349,7 +349,7 @@ class ManifestCatalog:
         total_words = sum(len(v["words"]) for v in out.values())
         if out and total_words >= self.BLOOM_SIDECAR_MIN_WORDS:
             self.fs.write_text(
-                f"{data_dir}/_blooms.json", json.dumps(out, sort_keys=True)
+                f"{data_dir}/_sidecar/blooms.json", json.dumps(out, sort_keys=True)
             )
             return {
                 c: {"num_bits": v["num_bits"], "sidecar": 1}
@@ -408,7 +408,7 @@ class ManifestCatalog:
 
                 p = pathlib.Path(
                     urllib.parse.urlparse(d).path
-                ) / "_blooms.json"
+                ) / "_sidecar" / "blooms.json"
                 try:
                     self._bloom_sidecars[d] = json.loads(p.read_text())
                 except Exception:
@@ -418,19 +418,29 @@ class ManifestCatalog:
         if not remote:
             return
         try:
+            import urllib.parse
+
             rows = (
                 self.spark.read.text(
-                    [f"{d}/_blooms.json" for d in remote], wholetext=True
+                    [f"{d}/_sidecar/blooms.json" for d in remote], wholetext=True
                 )
                 .select(
                     F.input_file_name().alias("path"), F.col("value")
                 )
                 .collect()
             )
-            by_path = {r["path"]: r["value"] for r in rows}
+            # key on the decoded PATH component: input_file_name
+            # renders file:///x (URL-encoded) where makeQualified
+            # says file:/x — comparing full URIs silently matches
+            # nothing and disables pruning
+            def _pathkey(p: str) -> str:
+                return urllib.parse.unquote(urllib.parse.urlparse(p).path)
+
+            by_path = {_pathkey(r["path"]): r["value"] for r in rows}
             for d in remote:
-                qualified = self.fs.qualified(f"{d}/_blooms.json")
-                text = by_path.get(qualified) or by_path.get(f"{d}/_blooms.json")
+                text = by_path.get(
+                    _pathkey(self.fs.qualified(f"{d}/_sidecar/blooms.json"))
+                )
                 try:
                     self._bloom_sidecars[d] = json.loads(text) if text else {}
                 except Exception:
@@ -441,7 +451,7 @@ class ManifestCatalog:
             for d in remote:
                 try:
                     self._bloom_sidecars[d] = json.loads(
-                        self.fs.read_text(f"{d}/_blooms.json")
+                        self.fs.read_text(f"{d}/_sidecar/blooms.json")
                     )
                 except Exception:
                     self._bloom_sidecars[d] = {}

@@ -731,7 +731,7 @@ def test_bloom_adaptive_sizing_and_legacy_bitmap_compat(spark, cat):
     big_dir = next(d for d in m["dirs"] if sizes[d] == 32768)
     assert m["blooms"][big_dir]["key"].get("sidecar") == 1
     assert "words" not in m["blooms"][big_dir]["key"]
-    assert cat.fs.exists(f"{big_dir}/_blooms.json")
+    assert cat.fs.exists(f"{big_dir}/_sidecar/blooms.json")
     small_dir = next(d for d in m["dirs"] if sizes[d] == 4096)
     assert "words" in m["blooms"][small_dir]["key"]  # tiny stays inline
 
@@ -755,6 +755,44 @@ def test_bloom_adaptive_sizing_and_legacy_bitmap_compat(spark, cat):
     assert ver > 0
     assert cat.read_point("bla.t", "key", 7).count() == 1
     assert cat.read_point("bla.t", "key", 102_500).count() == 1
+
+
+def test_bloom_sidecar_batch_load_prunes_on_scheme_less_root(spark, tmp_path):
+    """The non-``file:`` sidecar branch (one wholetext Spark job for
+    all missing sidecars — the object-store path) must actually PRUNE,
+    not silently keep every dir. Two past silent degradations this
+    pins: (a) ``input_file_name`` renders file:///x while
+    makeQualified says file:/x, so keying the lookup on full URIs
+    matches nothing; (b) an underscore-prefixed sidecar FILE is
+    invisible even to an explicit spark.read.text — the sidecar must
+    live in an underscore DIRECTORY (``_sidecar/blooms.json``) so
+    parquet scans filter it but explicit reads still work. A
+    scheme-less catalog root routes every sidecar through the batch
+    branch locally."""
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+
+    cat2 = ManifestCatalog(spark, str(tmp_path / "bare_lake"))
+    cat2.BLOOM_SIDECAR_MIN_WORDS = 0  # force every bloom to sidecar
+    cat2.append(
+        spark.range(0, 50).select(F.col("id").alias("key")),
+        "s.t", bloom_cols=["key"],
+    )
+    cat2.append(
+        spark.range(100, 150).select(F.col("id").alias("key")),
+        "s.t", bloom_cols=["key"],
+    )
+    m = cat2.latest_manifest("s.t")
+    assert all(
+        bm["key"].get("sidecar") == 1 for bm in m["blooms"].values()
+    )
+    assert not next(iter(m["dirs"])).startswith("file:")  # batch branch
+    # pruning works: one dir per present key, zero for an absent key
+    assert len(cat2.bloom_pruned_dirs("s.t", "key", 7)) == 1
+    assert len(cat2.bloom_pruned_dirs("s.t", "key", 120)) == 1
+    assert len(cat2.bloom_pruned_dirs("s.t", "key", 999_999_007)) == 0
+    # and never a false negative
+    assert cat2.read_point("s.t", "key", 7).count() == 1
+    assert cat2.read_point("s.t", "key", 120).count() == 1
 
 
 def test_bloom_probe_exotic_types_never_false_negative(spark, cat):
