@@ -77,8 +77,8 @@ class HadoopFS:
             return []
         return [str(st.getPath()) for st in self.fs.listStatus(self.path(p))]
 
-    def write_text(self, p: str, text: str) -> None:
-        out = self.fs.create(self.path(p), False)  # fail if exists
+    def write_text(self, p: str, text: str, overwrite: bool = False) -> None:
+        out = self.fs.create(self.path(p), overwrite)  # default: fail if exists
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
@@ -147,10 +147,32 @@ class ManifestCatalog:
         return sorted(out)
 
     def latest_manifest(self, name: str) -> dict | None:
-        versions = self._versions(name)
-        if not versions:
-            return None
-        return self.manifest_at(name, versions[-1])
+        """Newest committed manifest, in O(1 + writer-lag) instead of
+        an O(versions) directory listing: every publish drops a
+        ``_latest`` hint (last-writer-wins, advisory); the reader
+        verifies the hinted version exists and scans FORWARD over the
+        dense version sequence until the first gap — a stale hint
+        (lost overwrite race) costs a few existence probes, a
+        missing/corrupt hint falls back to the full listing. This is
+        the version-count axis of manifest-log growth (the Delta
+        ``_last_checkpoint`` move): without it every read of a
+        10k-commit table pays a 10k-entry listing."""
+        mdir = self._manifest_dir(name)
+        v = None
+        try:
+            v = int(self.fs.read_text(f"{mdir}/_latest").strip())
+            if not self.fs.exists(f"{mdir}/{_MANIFEST_FMT.format(v)}"):
+                v = None  # hint ahead of a crash-rolled-back publish
+        except Exception:
+            v = None
+        if v is None:
+            versions = self._versions(name)
+            if not versions:
+                return None
+            v = versions[-1]
+        while self.fs.exists(f"{mdir}/{_MANIFEST_FMT.format(v + 1)}"):
+            v += 1
+        return self.manifest_at(name, v)
 
     def manifest_at(self, name: str, version: int) -> dict:
         path = f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(version)}"
@@ -188,6 +210,14 @@ class ManifestCatalog:
         self.fs.write_text(tmp, json.dumps(manifest, indent=2, sort_keys=True))
         target = f"{mdir}/{_MANIFEST_FMT.format(version)}"
         if not self.fs.exists(target) and self.fs.rename(tmp, target):
+            # best-effort last-writer hint for O(1) latest_manifest;
+            # advisory only (stale → forward scan, torn/corrupt →
+            # listing fallback), so publish never fails on it
+            try:
+                self.fs.write_text(f"{mdir}/_latest", str(version),
+                                   overwrite=True)
+            except Exception:
+                pass
             return True
         self.fs.delete(tmp)
         return False

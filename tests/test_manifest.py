@@ -1245,3 +1245,41 @@ def test_maybe_vacuum_version_pressure_policy(spark, tmp_path):
     )
     assert deleted  # pre-compaction dirs reclaimed
     assert cat.read("t").count() == 10
+
+
+def test_latest_manifest_hint_is_advisory(spark, cat):
+    """The _latest hint is O(1)-read sugar, never truth: a STALE hint
+    (lost overwrite race / external writer) forward-scans to the real
+    latest over the dense version sequence, and a CORRUPT or missing
+    hint falls back to the full listing. Either failure must yield
+    exactly what the listing would."""
+    cat.replace_atomic(_df(spark, [(1, "a")]), "h.t")
+    cat.append(_df(spark, [(2, "b")]), "h.t")
+    cat.append(_df(spark, [(3, "c")]), "h.t")
+    mdir = cat._manifest_dir("h.t")
+    assert cat.latest_manifest("h.t")["version"] == 3
+    assert cat.fs.read_text(f"{mdir}/_latest").strip() == "3"
+
+    # stale hint: points at v1 — reader must forward-scan to 3
+    cat.fs.write_text(f"{mdir}/_latest", "1", overwrite=True)
+    assert cat.latest_manifest("h.t")["version"] == 3
+
+    # hint ahead of any committed version (crash before publish
+    # rolled back): exists-check fails -> listing fallback
+    cat.fs.write_text(f"{mdir}/_latest", "99", overwrite=True)
+    assert cat.latest_manifest("h.t")["version"] == 3
+
+    # corrupt hint -> listing fallback
+    cat.fs.write_text(f"{mdir}/_latest", "not-a-number", overwrite=True)
+    assert cat.latest_manifest("h.t")["version"] == 3
+
+    # missing hint -> listing fallback; next commit rewrites it
+    cat.fs.delete(f"{mdir}/_latest")
+    assert cat.latest_manifest("h.t")["version"] == 3
+    cat.append(_df(spark, [(4, "d")]), "h.t")
+    assert cat.fs.read_text(f"{mdir}/_latest").strip() == "4"
+    assert sorted(r.k for r in cat.read("h.t").collect()) == [1, 2, 3, 4]
+
+    # vacuum keeps the hint consistent with the retained tail
+    cat.vacuum("h.t", keep_versions=1, min_age_seconds=0)
+    assert cat.latest_manifest("h.t")["version"] == 4
