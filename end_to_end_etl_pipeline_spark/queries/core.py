@@ -2636,16 +2636,27 @@ def streaming_late_data_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("window_start"), "n", "sum_total")
     )
     sink = f"file://{root}/out"
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", sink)
-        .outputMode("append")  # emit each window exactly once, finalized
-        .option("checkpointLocation", f"file://{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(sink).localCheckpoint(eager=True)
+    # a stateful operator's partition count is frozen into the
+    # checkpoint at first start — under a plain driver session that
+    # is 200 tasks per micro-batch for a few thousand rows. Scope it
+    # down for the stream (self-configuring, like load()'s nanos
+    # conf) and restore so later queries see the session unchanged.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")  # emit each window once, finalized
+            .option("checkpointLocation", f"file://{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
 
 
 @register(
