@@ -60,6 +60,45 @@ def _dir_bytes(cat: ManifestCatalog, dirs) -> int:
     return total
 
 
+def _recall_at_k(cat, table, query_frames, k=10, nprobe=2):
+    """Mean recall@k of the FIXED-nprobe probe vs an exact
+    brute-force top-k over the whole store — the approximation half
+    of the rebalance claim (full-probe parity is exact by
+    construction; what concentration and splitting move is how much
+    a FIXED probe budget sees)."""
+    allrows = cat.read(table)
+    m = cat.latest_manifest(table)
+    id_col, vec_col = m["ivf_id_col"], m["ivf_vec_col"]
+
+    def _exact_l2_topk(q):
+        qv = [float(x) for x in q.first()[vec_col]]
+        lit = "array(%s)" % ",".join(f"{x!r}d" for x in qv)
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), F.expr(lit),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        rows = (
+            allrows.select(F.col(id_col).alias("mid"), d.alias("l2"))
+            .orderBy(F.col("l2").asc(), F.col("mid").asc())
+            .limit(k).collect()
+        )
+        return {r["mid"] for r in rows}
+
+    recalls = []
+    for q in query_frames:
+        truth = _exact_l2_topk(q)
+        got, _ = ivfpq_store_topk(
+            cat, table, q, "vec_id", "embedding",
+            k=k, nprobe=nprobe, shortlist_factor=10, exclude_self=False,
+        )
+        hits = {r["match_id"] for r in got.collect()}
+        recalls.append(len(hits & truth) / max(len(truth), 1))
+    return round(sum(recalls) / len(recalls), 3)
+
+
 def _probe(cat, table, query_frames, min_candidates):
     """Average PER-QUERY adaptive-probe cost over single-vector
     probes — a unioned multi-query probe set would hide the win (10
@@ -129,7 +168,8 @@ def main() -> None:
         ]
         min_cand = max(200, (n0 * args.factor) // 20)
 
-        print(json.dumps({"phase": "base", **_probe(cat, "ann.emb", queries, min_cand)}), flush=True)
+        print(json.dumps({"phase": "base", **_probe(cat, "ann.emb", queries, min_cand),
+                          "recall_at_10_nprobe2": _recall_at_k(cat, "ann.emb", queries)}), flush=True)
 
         # 10x concentrated stream: perturbed copies of the hot cell's
         # vectors (a popular topic keeps routing to the same cell),
@@ -156,7 +196,8 @@ def main() -> None:
             append_ivfpq_store(cat, batch, "ann.emb")
         m1 = cat.latest_manifest("ann.emb")
         print(json.dumps({"phase": "after_append",
-                          **_probe(cat, "ann.emb", queries, min_cand)}), flush=True)
+                          **_probe(cat, "ann.emb", queries, min_cand),
+                          "recall_at_10_nprobe2": _recall_at_k(cat, "ann.emb", queries)}), flush=True)
 
         # rebalance: split until no cell exceeds ~2x the original max
         pre_dirs = {d for ds in m1["bucket_dirs"].values() for d in ds}
@@ -184,7 +225,8 @@ def main() -> None:
         }), flush=True)
 
         print(json.dumps({"phase": "after_rebalance",
-                          **_probe(cat, "ann.emb", queries, min_cand)}), flush=True)
+                          **_probe(cat, "ann.emb", queries, min_cand),
+                          "recall_at_10_nprobe2": _recall_at_k(cat, "ann.emb", queries)}), flush=True)
 
         # balanced control: retrain cells over the union via k-means-
         # free route — reuse stored rows, assign by fresh 2-level...
@@ -197,7 +239,8 @@ def main() -> None:
         write_ivfpq_store(cat2, allrows, "vec_id", "embedding", "cell",
                           cb, "ann.emb", dim=dim)
         print(json.dumps({"phase": "balanced_control",
-                          **_probe(cat2, "ann.emb", queries, min_cand)}), flush=True)
+                          **_probe(cat2, "ann.emb", queries, min_cand),
+                          "recall_at_10_nprobe2": _recall_at_k(cat2, "ann.emb", queries)}), flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
