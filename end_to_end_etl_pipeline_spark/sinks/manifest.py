@@ -146,8 +146,8 @@ class ManifestCatalog:
                 out.append(int(base[len("manifest-") : -len(".json")]))
         return sorted(out)
 
-    def latest_manifest(self, name: str) -> dict | None:
-        """Newest committed manifest, in O(1 + writer-lag) instead of
+    def _latest_version(self, name: str) -> int | None:
+        """Newest committed version, in O(1 + writer-lag) instead of
         an O(versions) directory listing: every publish drops a
         ``_latest`` hint (last-writer-wins, advisory); the reader
         verifies the hinted version exists and scans FORWARD over the
@@ -155,8 +155,9 @@ class ManifestCatalog:
         (lost overwrite race) costs a few existence probes, a
         missing/corrupt hint falls back to the full listing. This is
         the version-count axis of manifest-log growth (the Delta
-        ``_last_checkpoint`` move): without it every read of a
-        10k-commit table pays a 10k-entry listing."""
+        ``_last_checkpoint`` move): without it every read of — and
+        every commit attempt against — a 10k-commit table pays a
+        10k-entry listing."""
         mdir = self._manifest_dir(name)
         v = None
         try:
@@ -172,7 +173,11 @@ class ManifestCatalog:
             v = versions[-1]
         while self.fs.exists(f"{mdir}/{_MANIFEST_FMT.format(v + 1)}"):
             v += 1
-        return self.manifest_at(name, v)
+        return v
+
+    def latest_manifest(self, name: str) -> dict | None:
+        v = self._latest_version(name)
+        return None if v is None else self.manifest_at(name, v)
 
     def manifest_at(self, name: str, version: int) -> dict:
         path = f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(version)}"
@@ -190,7 +195,8 @@ class ManifestCatalog:
         mdir = self._manifest_dir(name)
         self.fs.mkdirs(mdir)
         while True:
-            version = (self._versions(name)[-1] + 1) if self._versions(name) else 1
+            last = self._latest_version(name)
+            version = (last + 1) if last else 1
             if self._try_publish(name, manifest, version):
                 return version
 
