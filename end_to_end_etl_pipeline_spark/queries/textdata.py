@@ -1962,6 +1962,91 @@ def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c4_line_filtered_corpus",
+    oracle="""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+      FROM documents
+    ),
+    d2 AS (
+      SELECT doc_id,
+             CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+               [array_to_string(words[(i*5+1):(i*5+5)], ' ')
+                FOR i IN generate_series(0, CAST(ceil(len(words)/5.0) AS INT) - 1)]
+             END AS lines
+      FROM wl
+    ),
+    k AS (
+      SELECT doc_id, len(lines) AS n_lines,
+             list_filter(
+               lines,
+               l -> len(string_split(l, ' ')) = 5
+                    AND NOT list_contains(string_split(l, ' '), 'slow')
+             ) AS kept
+      FROM d2
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text,
+           CAST(n_lines AS INT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept
+    FROM k
+    WHERE len(kept) >= 3
+    """,
+    doc="C4-style line-level quality filtering (Raffel et al. C4 / "
+    "RefinedWeb line rules) with document reconstruction: split each "
+    "document into lines, KEEP a line only if it passes the per-line "
+    "rules, rebuild the document from surviving lines in order, and "
+    "keep only documents with >= 3 surviving lines (C4's >=3-"
+    "sentence page gate). The synthetic corpus has no punctuation or "
+    "newlines, so the CONFIG is corpus-adapted with identical plan "
+    "shape: re-line into 5-word lines (the shared line-query "
+    "derivation), 'full sentence' = exactly 5 words (C4's min-words "
+    "rule; short tail lines drop), and the blocklist term is 'slow' "
+    "(standing in for C4's javascript/lorem-ipsum phrase lists — a "
+    "one-literal config swap on real data). Plan: scan -> ONE "
+    "projection + filter, ZERO shuffles (plan-guarded) — line "
+    "filtering is embarrassingly parallel, which is exactly why C4 "
+    "runs it before anything that shuffles; at 100 TB this is a "
+    "map-only pass whose cost is the scan itself.",
+    tags=("parity", "text", "cleaning", "north-star"),
+)
+def c4_line_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    n_lines = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+    lines = F.when(
+        F.size(words) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+        )
+    )
+    kept = F.filter(
+        lines,
+        lambda line: (F.size(F.split(line, " ")) == 5)
+        & ~F.array_contains(F.split(line, " "), "slow"),
+    )
+    # ONE struct, then field-extract: sibling select columns sharing
+    # the nested-lambda `kept` subtree trip Spark 4.1's codegen
+    # subexpression elimination (mis-bound lambda variables — here
+    # size(kept) came back wrong while array_join(kept) was right);
+    # identical WHOLES dedup safely. Same fix as
+    # operators/text_dedup.dedup_lines_within_doc.
+    packed = F.struct(
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", packed.alias("__p"))
+        .select("doc_id", "__p.text", "__p.n_lines", "__p.n_kept")
+        .filter(F.col("n_kept") >= 3)
+    )
+
+
+@register(
     "line_dedup_corpus",
     oracle="""
     WITH wl AS (

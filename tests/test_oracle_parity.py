@@ -169,9 +169,12 @@ def test_driver_window_contract():
         "quality-classifier": {"quality_classifier_scores",
                                "doc_repetition_ratio"},
         # near_dup_pruned_corpus is the same curated-corpus-production
-        # shape as clean_corpus (corpus minus a filter, with lineage)
+        # shape as clean_corpus (corpus minus a filter, with lineage);
+        # c4_line_filtered_corpus is the line-level gate+rebuild of
+        # the same family
         "curation-lineage": {"corpus_funnel_audit", "clean_corpus",
-                             "near_dup_pruned_corpus"},
+                             "near_dup_pruned_corpus",
+                             "c4_line_filtered_corpus"},
         "sampling": {"curriculum_sample", "weighted_doc_sample",
                      "source_capped_docs", "doc_stratified_sample",
                      "lang_temperature_mix", "source_mix_plan"},

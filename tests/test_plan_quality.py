@@ -60,6 +60,17 @@ def test_dedup_exact_text_single_shuffle(spark):
     assert "partial_min_by" in plan or "HashAggregate" in plan
 
 
+def test_c4_line_filter_zero_shuffle(spark):
+    """C4-style line filtering must stay a map-only pass: scan ->
+    one projection+filter, NO Exchange, no Join — at 100 TB its cost
+    is the scan itself, which is why C4 runs it before anything that
+    shuffles."""
+    plan = _plan(spark, "c4_line_filtered_corpus")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_no_python_row_udfs_in_batch_queries(spark):
     # BatchEvalPython = row-at-a-time Python UDF — banned in the hot
     # path engine-wide. (ArrowEvalPython / mapInPandas are the
