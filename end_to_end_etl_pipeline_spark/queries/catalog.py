@@ -105,7 +105,11 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # order_value_percentiles, near_dup_clusters, bloom_seen_docs,
 # doc_span_overlap, line_dedup_corpus, simhash_near_dup.
 #
-# Slot accounting for the 14 rows that rotate OUT (every one green in
+# Also IN (late r07): c4_line_filtered_corpus — the NEW C4-style
+# line-level quality filter, in its shipping round, over
+# user_time_weighted_value (green r06, no family claim).
+#
+# Slot accounting for the 15 rows that rotate OUT (every one green in
 # CORRECTNESS_r06, every family still represented — test-asserted
 # below): cosine_topk_ivf_adaptive (ann → ann_store_rebalanced_topk),
 # scd2_member_delete (scd2 → streaming_scd2_dimension +
@@ -208,11 +212,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_key_skew_profile",
     # DQ: cross-table referential-integrity audit
     "referential_integrity_audit",
-    # event-sequence shapes: sessionization (oldest-evidence refresh)
-    # + time-weighted value; basket attribution keeps its keeper
+    # event-sequence shapes: sessionization (oldest-evidence refresh);
+    # basket attribution keeps its keeper. (user_time_weighted_value,
+    # green r06 and family-free, gave its slot to the NEW C4 line
+    # filter so the "driver row within one round of registration"
+    # invariant holds without r08 debt.)
     "user_sessions",
-    "user_time_weighted_value",
     "purchase_touch_attribution",
+    # NEW this round: C4-style line-level quality filtering (zero-
+    # shuffle gate+rebuild; curation-lineage family)
+    "c4_line_filtered_corpus",
     # TPC-H-shaped core: Q11 keeper + the two oldest-evidence core
     # rows (Q3-ish shipping priority, percentile profile)
     "excess_stock_suppliers",
