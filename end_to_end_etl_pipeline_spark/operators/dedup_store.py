@@ -121,20 +121,17 @@ class MinHashDedupStore:
         ``sig_old`` once per side — the old plan paid 4 extra joins
         (and re-derived the un-persisted probe signatures once per
         join); this one pays ``bands`` copies of a 16-long array per
-        doc, a few hundred bytes. band_hash stays the exact
-        ``lsh_bands`` expression, so bucketed-mode routing
-        (pmod(hash(band_hash))) and stored band rows keep matching."""
-        parts = []
-        for b in range(self.bands):
-            cols = ", ".join(f"m{b * self.rows + r}" for r in range(self.rows))
-            parts.append(f"{b}, md5(concat_ws('_', {cols}))")
-        stack = f"stack({self.bands}, {', '.join(parts)}) AS (band, band_hash)"
-        return sigs.select(
-            F.col(self.id_col),
-            F.expr(stack),
-            F.array(
-                *[F.col(f"m{k}") for k in range(self.num_hashes)]
-            ).alias("__sig"),
+        doc, a few hundred bytes. Built ON ``lsh_bands`` (its
+        ``carry`` hook), so band_hash is the same expression object
+        that wrote the stored band rows and feeds the
+        pmod(hash(band_hash)) routing — they cannot desynchronize."""
+        return lsh_bands(
+            sigs, self.id_col, self.bands, self.rows,
+            carry=[
+                F.array(
+                    *[F.col(f"m{k}") for k in range(self.num_hashes)]
+                ).alias("__sig")
+            ],
         )
 
     def _est_collisions(self, bands_a: DataFrame, bands_b: DataFrame) -> DataFrame:

@@ -594,11 +594,23 @@ def _apply_centroid_patch(catalog: "ManifestCatalog", table: str) -> None:
     )
     for _ in range(4):
         m = catalog.latest_manifest(table)
-        if not (m or {}).get("centroid_patch"):
+        cur = (m or {}).get("centroid_patch") or {}
+        if not cur:
             return
+        # Clear ONLY the entries this process actually folded into
+        # __centroids (same key AND same value). A concurrent
+        # rebalance may have committed new patch entries between our
+        # refresh and this clear; wiping the marker wholesale would
+        # leave those sub-cells permanently unroutable once the other
+        # process's own apply sees an empty patch and returns.
+        remaining = {
+            k: v for k, v in cur.items() if k not in patch or v != patch[k]
+        }
         payload = {
             k: v for k, v in m.items() if k not in ("version", "centroid_patch")
         }
+        if remaining:
+            payload["centroid_patch"] = remaining
         if catalog._commit_if(table, payload, m["version"]) is not None:
             return
     # couldn't win the clear race: harmless — the patch values equal

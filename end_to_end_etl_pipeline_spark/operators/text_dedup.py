@@ -216,19 +216,32 @@ def band_hashes_arr(
     )
 
 
-def lsh_bands(
-    signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4
-) -> DataFrame:
-    """Unpivot a signature into (id, band, band_hash): band_hash is
-    md5 of that band's ``_``-joined minhashes (separator keeps numeric
-    minhashes unambiguous). Docs agreeing on ALL rows of any band
-    share a (band, band_hash) bucket."""
+def band_stack_expr(bands: int, rows: int) -> str:
+    """THE band-hash expression — md5 of the band's ``_``-joined
+    minhash components, unpivoted via stack. Single source of truth:
+    stored band rows, bucketed-mode pmod routing, and probe-side band
+    derivation must all stay byte-identical or collision detection
+    silently desynchronizes (missed duplicates, no error)."""
     parts = []
     for b in range(bands):
         cols = ", ".join(f"m{b * rows + r}" for r in range(rows))
         parts.append(f"{b}, md5(concat_ws('_', {cols}))")
-    stack = f"stack({bands}, {', '.join(parts)}) AS (band, band_hash)"
-    return signatures.select(F.col(id_col), F.expr(stack))
+    return f"stack({bands}, {', '.join(parts)}) AS (band, band_hash)"
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4,
+    carry=(),
+) -> DataFrame:
+    """Unpivot a signature into (id, band, band_hash): band_hash is
+    md5 of that band's ``_``-joined minhashes (separator keeps numeric
+    minhashes unambiguous). Docs agreeing on ALL rows of any band
+    share a (band, band_hash) bucket. ``carry``: extra Columns
+    projected alongside (e.g. the signature array itself), so callers
+    never re-state the band expression to add a column."""
+    return signatures.select(
+        F.col(id_col), F.expr(band_stack_expr(bands, rows)), *carry
+    )
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:

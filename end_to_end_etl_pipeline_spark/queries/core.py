@@ -2596,8 +2596,20 @@ def streaming_late_data_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scratch_parent = "/tmp/spark_graft_streaming_late"
     os.makedirs(scratch_parent, exist_ok=True)
+    # reclaim only entries old enough that no live run can own them —
+    # the driver and a pytest session may run this query concurrently,
+    # and an unconditional wipe would delete the other's landing dirs
+    # mid-stream
+    import time
+
+    cutoff = time.time() - 3600
     for stale in os.listdir(scratch_parent):
-        shutil.rmtree(os.path.join(scratch_parent, stale), ignore_errors=True)
+        p = os.path.join(scratch_parent, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     root = tempfile.mkdtemp(dir=scratch_parent)
 
     orders = load(spark, sf_dir, "orders").select(

@@ -830,6 +830,14 @@ class ManifestCatalog:
         if bloom_cols:
             manifest["blooms"] = {data_dir: self._dir_blooms(data_dir, bloom_cols)}
         self._commit(name, manifest)
+        # A wholesale rewrite can legally land a different type for an
+        # existing column name (no schema-merge guard spans versions) —
+        # a stale cached type would hash bloom probes wrongly and
+        # silently prune a dir that holds the value. Drop this table's
+        # cached column types; sidecars key on (now-orphaned) dirs, so
+        # fresh dirs re-read naturally.
+        for key in [k for k in self._col_types if k[0] == name]:
+            del self._col_types[key]
 
     # reference-surface aliases (K1/K2)
     overwrite = replace_atomic
@@ -978,6 +986,10 @@ class ManifestCatalog:
 
     def drop(self, name: str) -> None:
         self.fs.delete(self.table_dir(name))
+        # A later table of the same name may carry different column
+        # types; stale entries would mis-hash its bloom probes.
+        for key in [k for k in self._col_types if k[0] == name]:
+            del self._col_types[key]
 
     def delete_where(self, name: str, col: str, values: Sequence) -> int:
         """Targeted row delete (the GDPR / right-to-be-forgotten path,

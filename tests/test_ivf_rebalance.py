@@ -233,3 +233,59 @@ def test_crash_between_commit_and_refresh_is_recoverable(
         for r in cat.read("rb.t__centroids").select("label").distinct().collect()
     }
     assert healed == {0, 1, 2}
+
+
+def test_concurrent_patch_entries_survive_the_clear(spark, tmp_path, monkeypatch):
+    """ADVICE r07 medium: process A folds patch P1 into __centroids;
+    process B commits a NEW patch entry (P2) between A's refresh and
+    A's CAS clear. A's clear must remove ONLY the entries it applied
+    — wiping the marker wholesale would leave P2's sub-cell
+    permanently unroutable (B's own apply then sees no patch)."""
+    import end_to_end_etl_pipeline_spark.operators.ivf_store as ivf
+
+    cat, _ = _skewed_store(spark, tmp_path)
+    # leave P1 = {1,2} pending (refresh stubbed out, as in a crash)
+    monkeypatch.setattr(ivf, "_apply_centroid_patch", lambda *a, **k: None)
+    rebalance_ivfpq_store(cat, "rb.t", max_cell_rows=30)
+    monkeypatch.undo()
+    p1 = dict(cat.latest_manifest("rb.t")["centroid_patch"])
+    assert set(p1) == {"1", "2"}
+
+    # B's commit lands between A's __centroids refresh and A's clear:
+    # intercept the refresh (replace_atomic on the side table) and
+    # CAS-append a fresh patch entry to the DATA manifest right after
+    real_replace = cat.replace_atomic
+    p2_vec = [0.25, 0.25, 0.8, 0.0]
+
+    def replace_then_race(df, name, *a, **k):
+        real_replace(df, name, *a, **k)
+        if name == "rb.t__centroids":
+            m = cat.latest_manifest("rb.t")
+            payload = {x: v for x, v in m.items() if x != "version"}
+            payload["centroid_patch"] = {
+                **(payload.get("centroid_patch") or {}), "99": p2_vec,
+            }
+            assert cat._commit_if("rb.t", payload, m["version"]) is not None
+
+    monkeypatch.setattr(cat, "replace_atomic", replace_then_race)
+    ivf._apply_centroid_patch(cat, "rb.t")
+    monkeypatch.undo()
+
+    # P1 cleared, P2 retained — not wiped
+    m = cat.latest_manifest("rb.t")
+    assert m.get("centroid_patch") == {"99": p2_vec}
+    # B's sub-cell is routable through the overlay right now...
+    labels = {
+        int(r["label"])
+        for r in ivf._routing_centroids(cat, "rb.t").select("label").collect()
+    }
+    assert 99 in labels and labels >= {0, 1, 2}
+    # ...and a later apply folds it in durably and clears the marker
+    ivf._apply_centroid_patch(cat, "rb.t")
+    m2 = cat.latest_manifest("rb.t")
+    assert not m2.get("centroid_patch")
+    healed = {
+        int(r["label"])
+        for r in cat.read("rb.t__centroids").select("label").distinct().collect()
+    }
+    assert 99 in healed

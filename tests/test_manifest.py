@@ -1283,3 +1283,31 @@ def test_latest_manifest_hint_is_advisory(spark, cat):
     # vacuum keeps the hint consistent with the retained tail
     cat.vacuum("h.t", keep_versions=1, min_age_seconds=0)
     assert cat.latest_manifest("h.t")["version"] == 4
+
+
+def test_column_type_cache_invalidated_on_replace(spark, cat):
+    """ADVICE r07 low: replace_atomic can legally land a DIFFERENT
+    type for an existing column name. A stale cached type would hash
+    bloom probes under the old type and silently prune a dir that
+    holds the value (false negative in read_point)."""
+    cat.append(
+        spark.createDataFrame([(7, "a"), (8, "b")], "key int, v string"),
+        "retype.t", bloom_cols=["key"],
+    )
+    assert cat.read_point("retype.t", "key", 7).count() == 1  # caches int
+
+    cat.replace_atomic(
+        spark.createDataFrame([("7", "a"), ("zz", "b")], "key string, v string"),
+        "retype.t", bloom_cols=["key"],
+    )
+    got = cat.read_point("retype.t", "key", "zz").collect()
+    assert [r.key for r in got] == ["zz"]
+    assert [r.key for r in cat.read_point("retype.t", "key", "7").collect()] == ["7"]
+
+    # drop + recreate under yet another type must also re-read
+    cat.drop("retype.t")
+    cat.append(
+        spark.createDataFrame([(99,)], "key bigint"), "retype.t",
+        bloom_cols=["key"],
+    )
+    assert cat.read_point("retype.t", "key", 99).count() == 1
