@@ -110,6 +110,125 @@ def decode_features(
     return df.select(id_col, bin_col).mapInPandas(decode, schema)
 
 
+def _le_hex(col, nbytes: int):
+    """Little-endian hex rendering of a non-negative integral Column
+    (uint8 pairs, LSB first) — the building block for fixed-offset
+    binary formats, all JVM expression."""
+    parts = [
+        F.format_string(
+            "%02X",
+            (col.cast("long") / F.lit(256 ** i)).cast("long") % 256,
+        )
+        for i in range(nbytes)
+    ]
+    return F.concat(*parts)
+
+
+def pcm16_wav_blob(samples, sample_rate: int = 8000):
+    """Canonical 44-byte-header mono PCM16 WAV blob from an
+    ``array<int>`` Column of samples — encoded ENTIRELY JVM-side
+    (hex assembly + one ``unhex``), so building a million audio
+    payloads is a projection, not a Python pass. Samples are taken
+    mod 2^16 (two's-complement int16 wire format).
+
+    This is the fixture-synthesis half of the audio path: the decode
+    half (:func:`decode_wav_stats`) parses the BYTES back by offset
+    per the public RIFF/WAVE spec — an independent numpy
+    implementation, so an encoder/decoder disagreement (offset,
+    endianness, header size) surfaces as a value mismatch."""
+    data_hex = F.array_join(
+        F.transform(samples, lambda x: _le_hex(F.pmod(x, F.lit(65536)), 2)),
+        "",
+    )
+    data_size = (F.size(samples) * 2).cast("long")
+    byte_rate = sample_rate * 2  # mono, 2 bytes/sample
+    header_hex = F.concat(
+        F.lit("52494646"),            # "RIFF"
+        _le_hex(data_size + 36, 4),   # chunk size
+        F.lit("57415645"),            # "WAVE"
+        F.lit("666D7420"),            # "fmt "
+        F.lit("10000000"),            # fmt chunk size = 16
+        F.lit("0100"),                # audio format = 1 (PCM)
+        F.lit("0100"),                # channels = 1
+        _le_hex(F.lit(sample_rate), 4),
+        _le_hex(F.lit(byte_rate), 4),
+        F.lit("0200"),                # block align = 2
+        F.lit("1000"),                # bits per sample = 16
+        F.lit("64617461"),            # "data"
+        _le_hex(data_size, 4),
+    )
+    return F.unhex(F.concat(header_hex, data_hex))
+
+
+def decode_wav_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL dependency-free audio decode: parse mono PCM16 WAV bytes
+    by fixed offset (RIFF/WAVE public spec — magic tags, fmt chunk,
+    sample rate, bits, data size) and emit per-payload sample stats.
+    Arrow-batched ``mapInPandas``; numpy ``frombuffer`` does the
+    int16-LE work, so a batch decodes at memcpy speed.
+
+    Output (1:1 with input; malformed/NULL payloads → NULL stats,
+    never dropped rows): ``n_samples``, ``sample_rate``,
+    ``peak_abs`` (max |sample|), ``sum_amp`` (exact int64 — callers
+    derive means JVM-side so float rounding stays in ONE engine).
+
+    Unlike the ``fake`` feature backend this is a real codec for a
+    real public format; JPEG/MP4 remain behind the
+    ``NotImplementedError`` seam (no codecs in this container)."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("n_samples", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("peak_abs", LongType()),
+            StructField("sum_amp", LongType()),
+        ]
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(b):
+            if b is None or len(b) < 44:
+                return (None, None, None, None)
+            bb = bytes(b)
+            if (
+                bb[0:4] != b"RIFF"
+                or bb[8:12] != b"WAVE"
+                or bb[12:16] != b"fmt "
+                or int.from_bytes(bb[20:22], "little") != 1   # PCM
+                or int.from_bytes(bb[22:24], "little") != 1   # mono
+                or int.from_bytes(bb[34:36], "little") != 16  # bits
+                or bb[36:40] != b"data"
+            ):
+                return (None, None, None, None)
+            rate = int.from_bytes(bb[24:28], "little")
+            dsize = int.from_bytes(bb[40:44], "little")
+            raw = bb[44 : 44 + dsize]
+            if len(raw) < dsize or dsize % 2:
+                return (None, None, None, None)  # truncated payload
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            if len(s) == 0:
+                return (0, rate, None, None)
+            return (len(s), rate, int(np.abs(s).max()), int(s.sum()))
+
+        for pdf in batches:
+            stats = [one(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_samples": [s[0] for s in stats],
+                    "sample_rate": [s[1] for s in stats],
+                    "peak_abs": [s[2] for s in stats],
+                    "sum_amp": [s[3] for s in stats],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,

@@ -2672,6 +2672,161 @@ def streaming_late_data_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_join_view_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events
+      WHERE event_type = 'view'
+        AND ((day(ts) <= 20 AND event_id % 3 != 0) OR day(ts) >= 21)
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ((day(ts) <= 20 AND event_id % 3 != 0) OR day(ts) >= 21)
+    )
+    SELECT v.user_id, v.view_id, v.view_ts,
+           p.purchase_id, p.purchase_ts, p.value
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 48 HOURS
+    """,
+    doc="Stream-STREAM interval join driver gate (streaming/jobs.py "
+    "stream_stream_join): two out-of-order pinned-mtime file streams "
+    "(views, purchases) joined within a [view_ts, view_ts+48h] band "
+    "under 71h watermarks on BOTH sides, one file per source per "
+    "micro-batch. Batch 1 lands days<=20 of each side; batch 2 lands "
+    "a fresh days-21..25 spacer on BOTH sides (advances the min-"
+    "watermark to ~day 23 AND forces eviction of all day<=4 state); "
+    "batch 3 lands a LATE file on EACH side (days<=4, event_id%3==0 "
+    "— behind the watermark by >2 weeks); batch 4 lands days 26..30 "
+    "(admitted — spacer views days 24-25 join these purchases from "
+    "STATE, proving cross-batch retention). Late exclusion is "
+    "deterministic BY CONSTRUCTION, not by drop-timing: empirically "
+    "(Spark 4.1) a late row can still join same-batch state before "
+    "eviction, so the spacer guarantees every candidate match of a "
+    "late row was evicted a full batch earlier — a late row "
+    "appearing in the output = watermark state management broken. "
+    "The DuckDB oracle is the interval join over exactly the "
+    "admitted row sets; a missing spacer-x-batch-4 pair = premature "
+    "state eviction. The band condition is load-bearing for memory "
+    "at 100 TB: buffered state tracks rate x (watermark + band), "
+    "not stream length.",
+    tags=("parity", "streaming", "stream-stream-join", "north-star"),
+)
+def streaming_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from end_to_end_etl_pipeline_spark.streaming.jobs import stream_stream_join
+
+    scratch_parent = "/tmp/spark_graft_streaming_ssjoin"
+    os.makedirs(scratch_parent, exist_ok=True)
+    cutoff = time.time() - 3600  # never reap a concurrent session's run
+    for stale in os.listdir(scratch_parent):
+        p = os.path.join(scratch_parent, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    events = load(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"), "value",
+    )
+
+    def land(df, sub: str, cond, mtime: int) -> None:
+        landing = os.path.join(root, sub)
+        before = set(os.listdir(landing)) if os.path.isdir(landing) else set()
+        df.filter(cond).coalesce(1).write.mode("append").parquet(
+            f"file://{landing}"
+        )
+        # pin modification times: the file source orders files by
+        # (modTime, path), and the late-drop claim is ORDER-sensitive
+        for f in set(os.listdir(landing)) - before:
+            if not f.startswith(("_", ".")):
+                os.utime(os.path.join(landing, f), (mtime, mtime))
+
+    # batch 1: the bulk of each side (advances both watermarks)
+    land(views, "views",
+         (F.dayofmonth("view_ts") <= 20) & (F.col("view_id") % 3 != 0),
+         1_000_000)
+    land(purchases, "purchases",
+         (F.dayofmonth("purchase_ts") <= 20) & (F.col("purchase_id") % 3 != 0),
+         1_000_000)
+    # batch 2: fresh spacer on BOTH sides — advances the min-watermark
+    # to ~day 23 and forces eviction of every day<=4 state row one
+    # full batch BEFORE the late files arrive
+    land(views, "views",
+         F.dayofmonth("view_ts").between(21, 25), 2_000_000)
+    land(purchases, "purchases",
+         F.dayofmonth("purchase_ts").between(21, 25), 2_000_000)
+    # batch 3: LATE files on BOTH sides (>2 weeks behind the
+    # watermark; every candidate match already evicted)
+    land(views, "views",
+         (F.dayofmonth("view_ts") <= 4) & (F.col("view_id") % 3 == 0),
+         3_000_000)
+    land(purchases, "purchases",
+         (F.dayofmonth("purchase_ts") <= 4) & (F.col("purchase_id") % 3 == 0),
+         3_000_000)
+    # batch 4: fresh tail — spacer views days 24-25 join these
+    # purchases from STATE (cross-batch retention)
+    land(views, "views", F.dayofmonth("view_ts") >= 26, 4_000_000)
+    land(purchases, "purchases", F.dayofmonth("purchase_ts") >= 26, 4_000_000)
+
+    v_stream = (
+        spark.readStream.schema("user_id long, view_id long, view_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"file://{root}/views")
+    )
+    p_stream = (
+        spark.readStream.schema(
+            "user_id long, purchase_id long, purchase_ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"file://{root}/purchases")
+    )
+    joined = stream_stream_join(
+        v_stream, p_stream, keys=["user_id"],
+        left_time="view_ts", right_time="purchase_ts",
+        watermark="71 hours", max_delay_seconds=48 * 3600,
+    ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts", "value")
+
+    sink = f"file://{root}/out"
+    # stateful-operator partition count freezes into the checkpoint at
+    # first start; scope it down for the stream and restore after (a
+    # concurrent query in THIS session would see 8 — fine under the
+    # driver's serial runner)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"file://{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+@register(
     "winsorized_price_stats",
     oracle="""
     WITH b AS (

@@ -77,7 +77,31 @@ class HadoopFS:
             return []
         return [str(st.getPath()) for st in self.fs.listStatus(self.path(p))]
 
+    @staticmethod
+    def _local(p: str):
+        """Local filesystem path for file:// or scheme-less URIs, else
+        None. Large manifests marshalled byte-by-byte through py4j
+        cost seconds at 10-100k dirs (measured: most of an 8.3 s
+        latest_manifest at 100k dirs was the 35 MB py4j transfer);
+        direct Python IO is what any real deployment's native client
+        (s3/hdfs bindings) would do."""
+        import urllib.parse
+
+        u = urllib.parse.urlparse(p)
+        if u.scheme in ("", "file"):
+            return urllib.parse.unquote(u.path) or p
+        return None
+
     def write_text(self, p: str, text: str, overwrite: bool = False) -> None:
+        local = self._local(p)
+        if local is not None:
+            import os
+
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            # "x" preserves the create-fails-if-exists contract
+            with open(local, "w" if overwrite else "x", encoding="utf-8") as f:
+                f.write(text)
+            return
         out = self.fs.create(self.path(p), overwrite)  # default: fail if exists
         try:
             out.write(bytearray(text.encode("utf-8")))
@@ -85,6 +109,10 @@ class HadoopFS:
             out.close()
 
     def read_text(self, p: str) -> str:
+        local = self._local(p)
+        if local is not None:
+            with open(local, encoding="utf-8") as f:
+                return f.read()
         stream = self.fs.open(self.path(p))
         try:
             # IOUtils drains the stream fully regardless of block size
@@ -126,6 +154,15 @@ class ManifestCatalog:
         # (table, col) -> DataType: committed column types are
         # immutable (see _column_type), so this never invalidates
         self._col_types: dict[tuple[str, str], object] = {}
+        # (table, version) -> parsed manifest. A committed version is
+        # immutable, so entries never go stale (drop() invalidates —
+        # a recreated table restarts at version 1). CONTRACT: the
+        # returned dict is shared — treat it as read-only; commit
+        # paths copy the maps they modify (they all do).
+        self._manifest_cache: dict[tuple[str, int], dict] = {}
+        # segment path -> loaded Segment (immutable files; see
+        # sinks/segments.py)
+        self._segment_cache: dict[str, object] = {}
 
     # -- layout ---------------------------------------------------------
     def table_dir(self, name: str) -> str:
@@ -180,8 +217,15 @@ class ManifestCatalog:
         return None if v is None else self.manifest_at(name, v)
 
     def manifest_at(self, name: str, version: int) -> dict:
-        path = f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(version)}"
-        return json.loads(self.fs.read_text(path))
+        key = (name, version)
+        m = self._manifest_cache.get(key)
+        if m is None:
+            path = f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(version)}"
+            m = json.loads(self.fs.read_text(path))
+            if len(self._manifest_cache) >= 8:  # bound driver RAM
+                self._manifest_cache.pop(next(iter(self._manifest_cache)))
+            self._manifest_cache[key] = m
+        return m
 
     def _commit(self, name: str, manifest: dict) -> int:
         """Last-writer-wins publish: write tmp, rename to the next
@@ -313,6 +357,12 @@ class ManifestCatalog:
     BLOOM_BITS = 4096  # floor (and the legacy fixed size)
     BLOOM_MAX_BITS = 1 << 21  # 2M bits = 256 KiB/dir/col ceiling
     BLOOM_HASHES = 3
+    # dirs per manifest segment checkpoint (sinks/segments.py). Once
+    # a table accumulates this many unsealed metadata-bearing dirs,
+    # append seals them into one immutable columnar file: planning
+    # cost drops from O(dirs) file opens + dict walks to O(dirs/1024)
+    # reads + numpy gathers (measured 240→100k-dir curve in SCALE.md)
+    SEGMENT_SIZE = 1024
     #: bitmaps whose total words (across the dir's bloom columns)
     #: reach this move to a per-dir SIDECAR file; smaller ones stay
     #: inline in the manifest JSON. The r07 metadata study: inline
@@ -422,6 +472,88 @@ class ManifestCatalog:
                 return None
             return int(bm["num_bits"]), entry["words"]
         return self._bloom_parse(bm)
+
+    # -- manifest segments (sinks/segments.py) ---------------------------
+    def _segment(self, manifest: dict, seg_id: str):
+        """Loaded (cached) Segment for one sealed-map id. Segment
+        files are immutable, so cache entries never go stale."""
+        path = (manifest.get("segments") or {})[seg_id]
+        seg = self._segment_cache.get(path)
+        if seg is None:
+            from end_to_end_etl_pipeline_spark.sinks.segments import load_segment
+
+            seg = load_segment(self, path)
+            self._segment_cache[path] = seg
+        return seg
+
+    def _stats_for(self, manifest: dict, d: str) -> dict:
+        """Per-dir {col: [lo, hi]} stats, tail-or-segment resolved."""
+        s = (manifest.get("stats") or {}).get(d)
+        if s is not None:
+            return s
+        seg_id = (manifest.get("sealed") or {}).get(d)
+        if seg_id is None:
+            return {}
+        try:
+            return self._segment(manifest, seg_id).stats_of(d)
+        except Exception:
+            return {}  # unreadable segment: planning keeps the dir
+
+    def _bloom_cols_for(self, manifest: dict, d: str) -> list[str]:
+        """Column names with a bloom for one dir, tail-or-segment."""
+        bm = (manifest.get("blooms") or {}).get(d)
+        if bm is not None:
+            return sorted(bm)
+        seg_id = (manifest.get("sealed") or {}).get(d)
+        if seg_id is None:
+            return []
+        try:
+            return sorted(self._segment(manifest, seg_id).bloom_cols_of(d))
+        except Exception:
+            return []
+
+    def _maybe_seal(
+        self, name: str, dirs, stats: dict, blooms: dict,
+        sealed: dict, segments: dict,
+    ) -> None:
+        """Seal the oldest SEGMENT_SIZE unsealed metadata-bearing dirs
+        into one segment file, moving their stats/bloom entries out of
+        the manifest JSON (mutates the four maps in place; called
+        inside append's CAS loop — a lost race re-derives, and the
+        orphaned segment file is vacuum-collected). The segment is
+        written BEFORE the manifest references it."""
+        from end_to_end_etl_pipeline_spark.sinks.segments import write_segment
+
+        while True:
+            candidates = [
+                d for d in dirs
+                if (d in stats or d in blooms) and d not in sealed
+            ]
+            if len(candidates) < self.SEGMENT_SIZE:
+                return
+            pick = candidates[: self.SEGMENT_SIZE]
+            rows = []
+            for d in pick:
+                rb = {}
+                for col, bm in (blooms.get(d) or {}).items():
+                    parsed = self._bloom_resolve(d, col, bm)
+                    if parsed is not None:  # unreadable sidecar →
+                        rb[col] = parsed    # seal stats-only (conservative)
+                rows.append((d, stats.get(d) or {}, rb))
+            seg_id, path = write_segment(self, name, rows)
+            segments[seg_id] = path
+            for d in pick:
+                stats.pop(d, None)
+                blooms.pop(d, None)
+                sealed[d] = seg_id
+
+    @staticmethod
+    def _prune_segments(sealed: dict, segments: dict) -> None:
+        """Drop segment registry entries no sealed dir references
+        (after rewrites removed their last dirs) — in place."""
+        live = set(sealed.values())
+        for sid in [s for s in segments if s not in live]:
+            del segments[sid]
 
     def _load_sidecars(self, dirs: Sequence[str]) -> None:
         """Bulk-load bloom sidecars into the per-dir cache. A probe
@@ -650,16 +782,36 @@ class ManifestCatalog:
             return probes[m]
 
         all_dirs = self._dirs(manifest)
+        sealed = manifest.get("sealed") or {}
+        tail = [d for d in all_dirs if d not in sealed]
         self._load_sidecars(
             [
                 d
-                for d in all_dirs
+                for d in tail
                 if isinstance((blooms.get(d) or {}).get(col), dict)
                 and (blooms.get(d) or {}).get(col, {}).get("sidecar")
             ]
         )
+        # sealed dirs: one vectorized probe per segment, then restore
+        # manifest dir order (segments are immutable and cached)
+        kept_sealed: set[str] = set()
+        for sid in dict.fromkeys(sealed[d] for d in all_dirs if d in sealed):
+            try:
+                seg = self._segment(manifest, sid)
+                kept_sealed.update(seg.bloom_kept(col, probe_for))
+            except Exception:
+                # unreadable segment: pruning is an IO optimization —
+                # keep every dir it covers rather than risk a false
+                # negative
+                kept_sealed.update(
+                    d for d in all_dirs if sealed.get(d) == sid
+                )
         kept = []
         for d in all_dirs:
+            if d in sealed:
+                if d in kept_sealed:
+                    kept.append(d)
+                continue
             parsed = self._bloom_resolve(d, col, (blooms.get(d) or {}).get(col))
             if parsed is None:
                 kept.append(d)
@@ -703,8 +855,22 @@ class ManifestCatalog:
         if manifest is None:
             raise FileNotFoundError(f"table {name} has no committed manifest")
         stats = manifest.get("stats") or {}
+        sealed = manifest.get("sealed") or {}
+        all_dirs = self._dirs(manifest)
+        # sealed dirs: vectorized range check per segment
+        kept_sealed: set[str] = set()
+        for sid in dict.fromkeys(sealed[d] for d in all_dirs if d in sealed):
+            try:
+                seg = self._segment(manifest, sid)
+                kept_sealed.update(seg.range_kept(col, lo, hi))
+            except Exception:
+                kept_sealed.update(d for d in all_dirs if sealed.get(d) == sid)
         kept = []
-        for d in self._dirs(manifest):
+        for d in all_dirs:
+            if d in sealed:
+                if d in kept_sealed:
+                    kept.append(d)
+                continue
             rng = (stats.get(d) or {}).get(col)
             if rng is None or rng[0] is None or rng[1] is None:
                 kept.append(d)
@@ -869,6 +1035,9 @@ class ManifestCatalog:
             blooms = dict((manifest or {}).get("blooms") or {})
             if new_blooms is not None:
                 blooms[data_dir] = new_blooms
+            sealed = dict((manifest or {}).get("sealed") or {})
+            segments = dict((manifest or {}).get("segments") or {})
+            self._maybe_seal(name, dirs, stats, blooms, sealed, segments)
             base = manifest["version"] if manifest else 0
             if self._commit_if(
                 name,
@@ -878,6 +1047,8 @@ class ManifestCatalog:
                     "n_buckets": None,
                     "stats": stats or None,
                     "blooms": blooms or None,
+                    "sealed": sealed or None,
+                    "segments": segments or None,
                 },
                 base,
             ):
@@ -987,9 +1158,13 @@ class ManifestCatalog:
     def drop(self, name: str) -> None:
         self.fs.delete(self.table_dir(name))
         # A later table of the same name may carry different column
-        # types; stale entries would mis-hash its bloom probes.
+        # types; stale entries would mis-hash its bloom probes. Its
+        # version numbers also restart at 1, so cached manifests for
+        # the old incarnation would shadow the new one's.
         for key in [k for k in self._col_types if k[0] == name]:
             del self._col_types[key]
+        for key in [k for k in self._manifest_cache if k[0] == name]:
+            del self._manifest_cache[key]
 
     def delete_where(self, name: str, col: str, values: Sequence) -> int:
         """Targeted row delete (the GDPR / right-to-be-forgotten path,
@@ -1059,15 +1234,19 @@ class ManifestCatalog:
             new_dirs = list(keep)
             stats = dict(manifest.get("stats") or {})
             blooms = dict(manifest.get("blooms") or {})
+            sealed = dict(manifest.get("sealed") or {})
+            segments = dict(manifest.get("segments") or {})
             old_stat_cols = sorted(
-                {c for d in affected for c in (stats.get(d) or {})}
+                {c for d in affected for c in self._stats_for(manifest, d)}
             )
             old_bloom_cols = sorted(
-                {c for d in affected for c in (blooms.get(d) or {})}
+                {c for d in affected for c in self._bloom_cols_for(manifest, d)}
             )
             for d in affected:
                 stats.pop(d, None)
                 blooms.pop(d, None)
+                sealed.pop(d, None)
+            self._prune_segments(sealed, segments)
             if after > 0:
                 data_dir = self._new_data_dir(name)
                 kept_rows.write.mode("overwrite").parquet(data_dir)
@@ -1079,7 +1258,8 @@ class ManifestCatalog:
             extras = {
                 k: v
                 for k, v in manifest.items()
-                if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
+                if k not in ("version", "dirs", "bucket_dirs", "stats",
+                             "blooms", "sealed", "segments")
             }
             if self._commit_if(
                 name,
@@ -1089,6 +1269,8 @@ class ManifestCatalog:
                     "bucket_dirs": None,
                     "stats": stats or None,
                     "blooms": blooms or None,
+                    "sealed": sealed or None,
+                    "segments": segments or None,
                 },
                 manifest["version"],
             ):
@@ -1184,15 +1366,19 @@ class ManifestCatalog:
             )
             stats = dict(manifest.get("stats") or {})
             blooms = dict(manifest.get("blooms") or {})
+            sealed = dict(manifest.get("sealed") or {})
+            segments = dict(manifest.get("segments") or {})
             old_stat_cols = sorted(
-                {c for d in affected for c in (stats.get(d) or {})}
+                {c for d in affected for c in self._stats_for(manifest, d)}
             )
             old_bloom_cols = sorted(
-                {c for d in affected for c in (blooms.get(d) or {})}
+                {c for d in affected for c in self._bloom_cols_for(manifest, d)}
             )
             for d in affected:
                 stats.pop(d, None)
                 blooms.pop(d, None)
+                sealed.pop(d, None)
+            self._prune_segments(sealed, segments)
             data_dir = self._new_data_dir(name)
             out.write.mode("overwrite").parquet(data_dir)
             new_dirs = keep + [data_dir]
@@ -1203,7 +1389,8 @@ class ManifestCatalog:
             extras = {
                 k: v
                 for k, v in manifest.items()
-                if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
+                if k not in ("version", "dirs", "bucket_dirs", "stats",
+                             "blooms", "sealed", "segments")
             }
             if self._commit_if(
                 name,
@@ -1213,6 +1400,8 @@ class ManifestCatalog:
                     "bucket_dirs": None,
                     "stats": stats or None,
                     "blooms": blooms or None,
+                    "sealed": sealed or None,
+                    "segments": segments or None,
                 },
                 manifest["version"],
             ):
@@ -1241,10 +1430,15 @@ class ManifestCatalog:
                 )
             stats = dict(manifest.get("stats") or {})
             blooms = dict(manifest.get("blooms") or {})
+            sealed = dict(manifest.get("sealed") or {})
+            segments = dict(manifest.get("segments") or {})
             all_dirs = self._dirs(manifest)
             drop, rewrite, keep = [], [], []
             for d in all_dirs:
-                rng = (stats.get(d) or {}).get(col)
+                # tail-or-segment: sealed dirs' stats live in their
+                # segment file — without the lookup every sealed dir
+                # would demote to the rewrite path
+                rng = self._stats_for(manifest, d).get(col)
                 if rng is None or rng[0] is None or rng[1] is None:
                     rewrite.append(d)  # unknown range: must look
                 elif rng[1] < lo or rng[0] > hi:
@@ -1286,14 +1480,17 @@ class ManifestCatalog:
                 else:
                     deleted += before - after
             old_stat_cols = sorted(
-                {c for d in drop + rewrite for c in (stats.get(d) or {})}
+                {c for d in drop + rewrite for c in self._stats_for(manifest, d)}
             )
             old_bloom_cols = sorted(
-                {c for d in drop + rewrite for c in (blooms.get(d) or {})}
+                {c for d in drop + rewrite
+                 for c in self._bloom_cols_for(manifest, d)}
             )
             for d in drop + rewrite:
                 stats.pop(d, None)
                 blooms.pop(d, None)
+                sealed.pop(d, None)
+            self._prune_segments(sealed, segments)
             if rewrite and after > 0:
                 data_dir = self._new_data_dir(name)
                 kept_rows.write.mode("overwrite").parquet(data_dir)
@@ -1307,7 +1504,8 @@ class ManifestCatalog:
             extras = {
                 k: v
                 for k, v in manifest.items()
-                if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
+                if k not in ("version", "dirs", "bucket_dirs", "stats",
+                             "blooms", "sealed", "segments")
             }
             if self._commit_if(
                 name,
@@ -1317,6 +1515,8 @@ class ManifestCatalog:
                     "bucket_dirs": None,
                     "stats": stats or None,
                     "blooms": blooms or None,
+                    "sealed": sealed or None,
+                    "segments": segments or None,
                 },
                 manifest["version"],
             ):
@@ -1529,7 +1729,10 @@ class ManifestCatalog:
                 extras = {
                     k: v
                     for k, v in manifest.items()
-                    if k not in ("version", "dirs", "bucket_dirs", "stats", "blooms")
+                    # a full rewrite starts metadata fresh: carrying
+                    # sealed/segments would pin dead segment files
+                    if k not in ("version", "dirs", "bucket_dirs", "stats",
+                                 "blooms", "sealed", "segments")
                 }
                 new = extras | {
                     "dirs": [data_dir], "bucket_dirs": None, "n_buckets": None,
@@ -1690,6 +1893,7 @@ class ManifestCatalog:
             return []
         retained = versions[-keep_versions:]
         referenced: set[str] = set()
+        referenced_segs: set[str] = set()
         for v in retained:
             m = json.loads(
                 self.fs.read_text(f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(v)}")
@@ -1705,6 +1909,8 @@ class ManifestCatalog:
                 while len(parts) > 1 and parts[-2] != "data":
                     parts.pop()
                 referenced.add(self.fs.qualified("/".join(parts)))
+            for p in (m.get("segments") or {}).values():
+                referenced_segs.add(self.fs.qualified(p))
         now_ms = int(_time.time() * 1000)
         deleted = []
         for p in self.fs.listdir(f"{self.table_dir(name)}/data"):
@@ -1712,6 +1918,16 @@ class ManifestCatalog:
                 continue
             if now_ms - self.fs.mtime_ms(p) < min_age_seconds * 1000:
                 continue  # possibly an in-flight writer's dir
+            self.fs.delete(p)
+            deleted.append(p)
+        # segment checkpoints referenced by no retained manifest
+        # (rewrites dropped their last sealed dir, or a lost CAS race
+        # orphaned the file) — same age floor protects in-flight seals
+        for p in self.fs.listdir(f"{self.table_dir(name)}/_segments"):
+            if self.fs.qualified(p) in referenced_segs:
+                continue
+            if now_ms - self.fs.mtime_ms(p) < min_age_seconds * 1000:
+                continue
             self.fs.delete(p)
             deleted.append(p)
         for v in versions:

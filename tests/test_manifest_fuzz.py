@@ -217,6 +217,13 @@ def test_manifest_crud_fuzz(spark, tmp_path_factory, shard):
         # per-dir sidecar path (write, probe, rewrite-recompute,
         # vacuum) while even shards keep the inline path covered
         cat.BLOOM_SIDECAR_MIN_WORDS = 0
+    if shard >= 2:
+        # upper shards force the r08 segment-checkpoint path: with
+        # 3+ metadata-bearing dirs, appends SEAL them into columnar
+        # segments, so every mutation also runs segment-resolved
+        # pruning, sealed-dir rewrites, and segment vacuuming
+        # (shard 3 = segments OVER sidecars, shard 2 = over inline)
+        cat.SEGMENT_SIZE = 3
     for i in range(per_shard):
         seq = shard * per_shard + i
         _run_sequence(spark, cat, f"fz.t{seq:03d}", MASTER_SEED + seq)

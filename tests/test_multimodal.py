@@ -106,3 +106,50 @@ def test_resize_payloads_bounded_output(spark):
         resize_payloads(
             with_binary_payload(docs, "text"), "doc_id", "payload", backend="pil"
         )
+
+
+def test_wav_blob_is_spec_exact_and_decoder_rejects_malformed(spark):
+    """The JVM-side encoder must produce byte-exact canonical WAV
+    (checked against a hand-built reference blob), and the numpy
+    decoder must NULL out malformed payloads instead of guessing."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_stats,
+        pcm16_wav_blob,
+    )
+
+    samples = [0, 1, -1, 32760, -32760, 12345]
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": [1], "s": [samples]})
+    ).select("pid", F.col("s").cast("array<int>").alias("s"))
+    blob = df.select(pcm16_wav_blob(F.col("s")).alias("wav")).collect()[0]["wav"]
+    ref = (
+        b"RIFF" + struct.pack("<I", 36 + 12) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 12)
+        + struct.pack("<6h", *samples)
+    )
+    assert bytes(blob) == ref
+
+    bad = [
+        (1, ref),                     # valid
+        (2, b"RIFX" + ref[4:]),       # wrong magic
+        (3, ref[:50]),                # truncated data section
+        (4, None),                    # NULL payload
+        (5, b"RIFF"),                 # shorter than a header
+    ]
+    pdf = pd.DataFrame({"pid": [r[0] for r in bad], "wav": [r[1] for r in bad]})
+    got = {
+        r["pid"]: (r["n_samples"], r["sample_rate"], r["peak_abs"], r["sum_amp"])
+        for r in decode_wav_stats(
+            spark.createDataFrame(pdf), "pid", "wav"
+        ).collect()
+    }
+    assert got[1] == (6, 8000, 32760, sum(samples))
+    for pid in (2, 3, 4, 5):
+        assert got[pid] == (None, None, None, None), pid
+    assert len(got) == 5  # 1:1 — malformed rows are nulled, not dropped
