@@ -332,8 +332,23 @@ def emit(
     }
     if canary_cold is not None:
         head["canary_sec"] = canary_cold
+        # canary-normalized COLD total (r08, VERDICT #7): cold totals
+        # swung ±16% with machine state; dividing by the median of
+        # the cold-pass canary samples makes round-over-round cold
+        # comparison direct (unitless: total in canary-multiples),
+        # as queries_warm_norm already does for the warm side
+        cold_canaries = [canary_cold] + [
+            c["sec"] for c in (canary_trace or []) if c["pass"] == "cold"
+        ]
+        head["value_norm"] = round(
+            sum(timings.values()) / max(statistics.median(cold_canaries), 1e-9),
+            2,
+        )
     if canary_warm:
         head["canary_warm_sec"] = round(min(canary_warm), 3)
+        head["warm_total_norm"] = round(
+            sum(warm_min.values()) / max(min(canary_warm), 1e-9), 2
+        )
     headline = json.dumps(head)
     print(headline)
     return headline

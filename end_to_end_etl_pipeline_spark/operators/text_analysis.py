@@ -346,6 +346,86 @@ def hashed_linear_score(
     )
 
 
+def hashed_doc_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int
+) -> DataFrame:
+    """Mean-pooled hashed bag-of-words features, the input both to
+    :func:`hashed_linear_score` inference and to
+    :func:`train_logreg_hashed`: (id, bucket, x, n_tokens) with
+    x = token-count-in-bucket / doc-token-count. One token explode +
+    one (id, bucket) agg; the per-doc normalizer is a window over the
+    SAME id partitioning, so no second shuffle."""
+    from pyspark.sql import Window
+
+    tok = _tokens(df, id_col, text_col)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("f:"), F.col("word"))), 1, 8), 16, 10)
+        .cast("long") % dim
+    ).cast("int")
+    per = tok.withColumn("bucket", bucket).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(id_col)
+    return per.select(
+        F.col(id_col),
+        "bucket",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w)).alias("x"),
+        F.sum("cnt").over(w).alias("n_tokens"),
+    )
+
+
+def train_logreg_hashed(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    dim: int,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> list[float]:
+    """IN-ENGINE logistic-regression training over the hashed feature
+    space — full-batch gradient descent as ``iters`` fixed
+    aggregation rounds (the Lloyd's/BPE playbook: per step ONE
+    doc-key agg for margins + ONE dim-key agg for the gradient; the
+    ``dim``-float weight vector is the only driver state, collected
+    and re-broadcast each step — model-parameter scale, never data
+    scale).
+
+        w <- w - lr/N * sum_d (sigmoid(w.x_d) - y_d) * x_d
+
+    ``features`` = :func:`hashed_doc_features` output; ``labels`` =
+    (id, y double 0/1). Docs with zero tokens carry no feature rows
+    and are excluded from N — exactly the set the oracle replays.
+    The feature frame is localCheckpoint'd once so the per-iteration
+    plans stay flat instead of stacking ``iters`` joins deep.
+
+    Upgrades the classifier family from inference-only plumbing
+    (md5 stand-in weights) to trained weights; inference still runs
+    through :func:`hashed_linear_score`'s broadcast-join shape."""
+    fl = features.join(labels, id_col).localCheckpoint(eager=True)
+    n_docs = fl.select(id_col).distinct().count()
+    spark = features.sparkSession
+    w = [0.0] * dim
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            list(enumerate(w)), "bucket int, weight double"
+        )
+        z = (
+            fl.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("x") * F.col("weight")).alias("z"))
+        )
+        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y"))
+        grad = (
+            fl.join(z, id_col)
+            .groupBy("bucket")
+            .agg((F.sum(err * F.col("x")) / F.lit(float(n_docs))).alias("g"))
+            .collect()
+        )
+        for r in grad:
+            w[r["bucket"]] -= lr * float(r["g"])
+    return w
+
+
 #: script name -> (Java regex char class, RE2/DuckDB char class).
 #: Same Unicode script property, two spellings: Java wants
 #: \p{IsLatin}, RE2 wants \p{Latin}. Order is the deterministic

@@ -90,146 +90,109 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # in r01/r02 — rotate behind them.
 # ---------------------------------------------------------------------------
 
-# r07 rotation (VERDICT r06 "Next round" #1): the five r06-registered
-# queries that could not take a slot rotate IN — ann_store_rebalanced_topk
-# (IVF hot-cell split conformance), streaming_scd2_dimension
-# (foreachBatch SCD2 ≡ batch oracle), incremental_dedup_ingest_bucketed
-# (band-bucketed twin, identical oracle as the plain store),
-# vocab_drift_psi (per-word PSI drift), corpus_datacard (one-frame
-# datasheet) — restoring the invariant that every registered query
-# holds a driver row within one round of registration. Also IN: the
-# NEW streaming_late_data_revenue watermark gate (VERDICT #6 — late/
-# out-of-order rows vs the watermark contract; new family, lands in
-# the window its shipping round) and the eight OLDEST-evidence rows
-# (last green r02/r03): user_sessions, shipping_priority,
-# order_value_percentiles, near_dup_clusters, bloom_seen_docs,
-# doc_span_overlap, line_dedup_corpus, simhash_near_dup.
+# r08 rotation (VERDICT r07 "Next round" #2 + #3 + #4 + #5).
 #
-# Also IN (late r07): c4_line_filtered_corpus — the NEW C4-style
-# line-level quality filter, in its shipping round, over
-# user_time_weighted_value (green r06, no family claim).
+# STANDING ROTATION POLICY (from r08 on): each round the window =
+# (a) every query REGISTERED this round, in its shipping round (the
+#     r06 invariant: driver row within one round of registration);
+# (b) one representative per operator family (test-asserted below,
+#     tests/test_oracle_parity.py) — preferring, within each family,
+#     the member with the OLDEST driver evidence, so family slots
+#     double as freshness rotation;
+# (c) every remaining slot to the globally oldest-evidence queries.
+# With 171+ queries and 50 slots this bounds driver-evidence age at
+# roughly ceil(registry/50) + keeper-pinned rounds; the r02 cohort
+# (39 rows after r07) clears at ~14 rotations/round. All rotated-in
+# rows are pre-verified under a plain driver-faithful session before
+# the swap (established r05 practice).
 #
-# Slot accounting for the 15 rows that rotate OUT (every one green in
-# CORRECTNESS_r06, every family still represented — test-asserted
-# below): cosine_topk_ivf_adaptive (ann → ann_store_rebalanced_topk),
-# scd2_member_delete (scd2 → streaming_scd2_dimension +
-# orders_pit_dimension_join), vocab_oov_rates (vocab →
-# vocab_drift_psi), incremental_dedup_ingest (→ the bucketed twin,
-# same oracle), order_price_equidepth_bins (profiling →
-# corpus_datacard + join_key_skew_profile), within_doc_line_dedup
-# (exact-dedup → line_dedup_corpus), price_quantile_sketch (sketch →
-# bloom_seen_docs), embedding_downsample + embedding_hadamard (vector
-# hygiene, no family claim), important_part_value (core-joins →
-# excess_stock_suppliers), daily_event_gapfill +
-# daily_value_forward_fill (event shapes, no family claim),
-# lang_temperature_mix + source_mix_plan (sampling →
-# doc_stratified_sample).
+# IN this round: the THREE r08-registered queries —
+# streaming_join_view_purchase (NEW stream-stream-join family: banded
+# interval join, two watermarked sides, spacer-batch-deterministic
+# late exclusion), wav_pcm_decode_stats (REAL WAV-PCM16 codec leg of
+# multimodal), quality_classifier_trained (in-engine logreg training)
+# — plus the 14 oldest-evidence rows: text_quality (r01),
+# customer_account_tiers, customer_balance_deciles,
+# customer_order_distribution, discounted_brand_revenue,
+# doc_word_counts, dq_orders_clean, event_props_stats,
+# large_volume_orders, purchase_last_view_asof (all r02), and the
+# four r03 family picks ann_recall_trained_cells (ann slot),
+# doc_bigram_logppl (text-analysis slot), orders_column_profile
+# (profiling slot), local_supplier_volume (core-joins slot).
 #
-# r08 rotation guidance: refresh the next-oldest evidence (rows whose
-# last green is r03/r04) over same-family r06/r07-green rows, keeping
-# every family represented; any NEW operator family lands in the
-# window the round it ships.
+# OUT (every one green in CORRECTNESS_r07; every family still
+# represented — test-asserted): text_scan_roundtrip (no family
+# claim), streaming_scd2_dimension (scd2 -> orders_pit_dimension_join
+# keeps the family; the streaming-bridge family keeps
+# streaming_priority_revenue), orders_targeted_update (storage ->
+# orders_retention_expiry), near_dup_pruned_corpus + near_dup_clusters
+# + simhash_near_dup (near-dedup -> doc_span_overlap;
+# curation-lineage -> c4_line_filtered_corpus),
+# ann_store_rebalanced_topk (ann -> ann_recall_trained_cells),
+# doc_unigram_logppl (text-analysis -> doc_bigram_logppl),
+# doc_repetition_ratio (quality-classifier -> the trained gate),
+# corpus_datacard + join_key_skew_profile (profiling ->
+# orders_column_profile), binary_doc_stats (multimodal -> the real
+# codec gate), excess_stock_suppliers (core-joins ->
+# local_supplier_volume), user_sessions + shipping_priority +
+# order_value_percentiles + referential_integrity_audit +
+# medallion-adjacent keepers with r07 evidence and no family debt.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # medallion e2e flagship (scan→DQ→SCD2→gold KPIs in one row)
+    # r08-registered queries, in their shipping round
+    "streaming_join_view_purchase",
+    "wav_pcm_decode_stats",
+    "quality_classifier_trained",
+    # family slots taken by their OLDEST-evidence member (r03)
+    "ann_recall_trained_cells",
+    "doc_bigram_logppl",
+    "orders_column_profile",
+    "local_supplier_volume",
+    # asof family slot + r02 evidence refresh in one
+    "purchase_last_view_asof",
+    # family keepers (most recent green, no stale member exists)
     "medallion_gold_fact",
-    # sources: multiline JSON / CSV / ORC / text round-trips
     "json_scan_roundtrip",
     "csv_scan_roundtrip",
     "orc_scan_roundtrip",
-    "text_scan_roundtrip",
-    # SCD family: the streaming foreachBatch SCD2 bridge (NEW slot —
-    # order-sensitive stream answering the batch oracle exactly; also
-    # the streaming-bridge family) and the point-in-time dimension
-    # join (as-of against SCD2 validity intervals)
-    "streaming_scd2_dimension",
     "orders_pit_dimension_join",
-    # storage-engine CRUD gates (sinks/manifest.py): retention expiry
-    # via stats-pruned delete_range and targeted update_where
-    "orders_retention_expiry",
-    "orders_targeted_update",
-    # streaming gates — foreachBatch materialized view (ivm slot,
-    # green r06) + the NEW watermark/late-data contract gate (out-of-
-    # order event stream; oracle admits exactly the rows the
-    # watermark contract admits)
-    "streaming_priority_revenue",
-    "streaming_late_data_revenue",
-    # dedup: exact line dedup (oldest-evidence refresh, last green
-    # r02/r03) + near-dup (LSH-pruned corpus — also the curated-
-    # corpus-production shape; plus the three r02/r03-evidence rows:
-    # connected clusters, span overlap, simhash) + semantic
-    # contamination + the BAND-BUCKETED incremental store twin
-    # (identical oracle as the plain mode, green r06)
     "line_dedup_corpus",
-    "near_dup_pruned_corpus",
-    "near_dup_clusters",
     "doc_span_overlap",
-    "simhash_near_dup",
     "semantic_split_contamination",
     "incremental_dedup_ingest_bucketed",
-    # ANN: the hot-cell rebalance conformance gate (split loses
-    # nothing; arrangement-independent oracle) takes the family slot
-    "ann_store_rebalanced_topk",
-    # embedding transforms: distributed Lloyd k-means keeps the
-    # kmeans-vectors slot
-    "embedding_kmeans_clusters",
-    # retrieval stack: tf-idf keyword inverted-index similarity takes
-    # the lexical slot; hybrid RRF fusion, the GROUPED MMR twin,
-    # cross-encoder seam, nDCG eval, hard negatives, preference pairs
     "keyword_doc_similarity",
     "hybrid_doc_retrieval",
     "mmr_diverse_rerank_grouped",
     "crossencoder_rerank_topk",
-    "bm25_ndcg_eval",
     "hard_negative_mining",
-    "preference_pair_mining",
-    # text analysis: unigram LM perplexity (family slot) + repetition
-    # ratio (the Gopher quality signal — quality-classifier slot)
-    "doc_unigram_logppl",
-    "doc_repetition_ratio",
-    # privacy + feature prep (singleton families)
+    "bm25_ndcg_eval",
     "customer_kanonymity",
+    "preference_pair_mining",
     "priority_target_encoding",
-    # corpus curation: decontaminated train split (splits slot),
-    # token-budget packed bin manifests (packing slot), stratified
-    # sampling (sampling slot)
-    "decontaminated_train_split",
-    "packed_bin_manifests",
-    "doc_stratified_sample",
-    # importance selection (singleton family) + vocab drift PSI (NEW
-    # vocab slot) + the one-frame corpus datacard (profiling)
-    "dsir_importance_scores",
-    "vocab_drift_psi",
-    "corpus_datacard",
-    # tokenizer training: the batched scale path
-    "bpe_merge_rules_batched",
-    # multimodal binary
-    "binary_doc_stats",
-    # sketches: streaming bloom-filter membership takes the family
-    # slot (oldest-evidence refresh, last green r02/r03)
+    "orders_retention_expiry",
+    "embedding_kmeans_clusters",
     "bloom_seen_docs",
-    # profiling: join-key skew profile (the pre-flight you run before
-    # choosing a salting strategy)
-    "join_key_skew_profile",
-    # DQ: cross-table referential-integrity audit
-    "referential_integrity_audit",
-    # event-sequence shapes: sessionization (oldest-evidence refresh);
-    # basket attribution keeps its keeper. (user_time_weighted_value,
-    # green r06 and family-free, gave its slot to the NEW C4 line
-    # filter so the "driver row within one round of registration"
-    # invariant holds without r08 debt.)
-    "user_sessions",
-    "purchase_touch_attribution",
-    # NEW this round: C4-style line-level quality filtering (zero-
-    # shuffle gate+rebuild; curation-lineage family)
     "c4_line_filtered_corpus",
-    # TPC-H-shaped core: Q11 keeper + the two oldest-evidence core
-    # rows (Q3-ish shipping priority, percentile profile)
-    "excess_stock_suppliers",
-    "shipping_priority",
-    "order_value_percentiles",
-    # entity resolution + grouped Python model fit
+    "doc_stratified_sample",
+    "dsir_importance_scores",
+    "packed_bin_manifests",
+    "decontaminated_train_split",
+    "vocab_drift_psi",
+    "bpe_merge_rules_batched",
+    "streaming_priority_revenue",
+    "streaming_late_data_revenue",
     "customer_record_linkage",
+    "purchase_touch_attribution",
     "event_type_value_trend",
+    # oldest-evidence fillers (r01/r02)
+    "text_quality",
+    "customer_account_tiers",
+    "customer_balance_deciles",
+    "customer_order_distribution",
+    "discounted_brand_revenue",
+    "doc_word_counts",
+    "dq_orders_clean",
+    "event_props_stats",
+    "large_volume_orders",
 )
 
 

@@ -2478,6 +2478,120 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(docs, "doc_id", "text", weights, dim=512)
 
 
+def _logreg_oracle(dim: int, iters: int, lr: float, thresh: int) -> str:
+    """Unrolled-CTE replay of train_logreg_hashed's fixed gradient
+    iterations (the Lloyd's/BPE oracle pattern): w0 = zeros; per
+    step, per-doc margins then the per-bucket mean-error gradient;
+    final margins from w{iters}."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    z{t} AS (SELECT doc_id, sum(x * weight) AS z
+             FROM fl JOIN w{t - 1} USING (bucket) GROUP BY doc_id),
+    g{t} AS (SELECT f.bucket,
+                    sum((1.0 / (1.0 + exp(-z.z)) - f.y) * f.x)
+                      / (SELECT n FROM nn) AS g
+             FROM fl f JOIN z{t} z USING (doc_id) GROUP BY f.bucket),
+    w{t} AS (SELECT w.bucket, w.weight - {lr} * coalesce(g.g, 0.0) AS weight
+             FROM w{t - 1} w LEFT JOIN g{t} g USING (bucket)),""")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS word
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             ({_nibble_int("md5('f:' || word)", 1)} % {dim}) AS bucket,
+             count(*) AS cnt
+      FROM tok GROUP BY 1, 2
+    ),
+    featx AS (
+      SELECT doc_id, bucket,
+             CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id) AS x,
+             CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
+      FROM feat
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= {thresh} THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ),
+    fl AS (SELECT f.*, l.y FROM featx f JOIN lab l USING (doc_id)),
+    nn AS (SELECT count(DISTINCT doc_id) AS n FROM fl),
+    w0 AS (SELECT unnest(generate_series(0, {dim - 1})) AS bucket,
+                  0.0 AS weight),{"".join(steps)}
+    zf AS (
+      SELECT f.doc_id,
+             any_value(f.n_tokens) AS n_tokens,
+             any_value(f.y) AS y,
+             sum(f.x * w.weight) AS z
+      FROM fl f JOIN w{iters} w USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(round(CAST(z AS DECIMAL(20,10)), 6) AS DOUBLE) AS margin,
+           z >= 0 AS keep,
+           y AS label
+    FROM zf
+    """
+
+
+@register(
+    "quality_classifier_trained",
+    oracle=_logreg_oracle(dim=64, iters=3, lr=0.5, thresh=250),
+    doc="TRAINED quality classifier (VERDICT r07 #5 — upgrades the "
+    "family from inference plumbing to training + inference): "
+    "logistic regression over the 64-bucket hashed feature space, "
+    "trained IN-ENGINE by 3 full-batch gradient steps on a planted-"
+    "label corpus (y = length >= 250), then scored through the same "
+    "broadcast-join inference shape as quality_classifier_scores. "
+    "Each step is ONE doc-key agg (margins) + ONE bucket-key agg "
+    "(gradient) with the 64-float weight vector as the only driver "
+    "state (operators/text_analysis.train_logreg_hashed — the "
+    "Lloyd's/BPE fixed-iteration playbook); the oracle replays the "
+    "identical iterations as unrolled CTEs. 100-TB shape: per step, "
+    "two map-side-partial aggs over the cached feature frame; "
+    "nothing scales with vocabulary or iterations but the broadcast "
+    "of 64 floats.",
+    tags=("parity", "text", "north-star"),
+)
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.text_analysis import (
+        hashed_doc_features,
+        train_logreg_hashed,
+    )
+
+    dim, iters, lr, thresh = 64, 3, 0.5, 250
+    docs = _spread(load(spark, sf_dir, "documents"))
+    feats = hashed_doc_features(docs, "doc_id", "text", dim)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.length("text") >= thresh, 1.0).otherwise(0.0).alias("y"),
+    )
+    w = train_logreg_hashed(feats, labels, "doc_id", dim, iters=iters, lr=lr)
+    wdf = spark.createDataFrame(list(enumerate(w)), "bucket int, weight double")
+    z = (
+        feats.join(labels, "doc_id")
+        .join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("n_tokens")).alias("n_tokens"),
+            F.any_value(F.col("y")).alias("y"),
+            F.sum(F.col("x") * F.col("weight")).alias("z"),
+        )
+    )
+    return z.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("z").cast("decimal(20,10)"), 6)
+        .cast("double")
+        .alias("margin"),
+        (F.col("z") >= 0).alias("keep"),
+        F.col("y").alias("label"),
+    )
+
+
 def _bloom_pos_sql(h_expr: str, key_expr: str, num_bits: int) -> str:
     """DuckDB bit position matching operators/sketches._bloom_pos."""
     hx = f"md5(CAST({h_expr} AS VARCHAR) || ':' || {key_expr})"

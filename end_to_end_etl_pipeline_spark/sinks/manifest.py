@@ -124,6 +124,32 @@ class HadoopFS:
     def rename(self, src: str, dst: str) -> bool:
         return bool(self.fs.rename(self.path(src), self.path(dst)))
 
+    def rename_exclusive(self, src: str, dst: str) -> bool:
+        """Atomically claim ``dst`` with ``src``'s content; False if
+        ``dst`` already exists. This is THE commit primitive — a
+        check-then-rename is NOT enough on a local filesystem, where
+        POSIX rename() silently OVERWRITES an existing destination:
+        two writers racing the same version slot would both 'win' and
+        one commit's dirs would be lost (caught by the two-writer
+        fuzz). Local path: link(2) — atomic exclusive by contract.
+        JVM path: HDFS rename returns false onto an existing
+        destination (the Delta/Iceberg commit assumption); object
+        stores without atomic claim semantics need a coordination
+        service, same as Delta on S3."""
+        sl, dl = self._local(src), self._local(dst)
+        if sl is not None and dl is not None:
+            import os
+
+            try:
+                os.link(sl, dl)
+            except FileExistsError:
+                return False
+            os.unlink(sl)
+            return True
+        return not self.exists(dst) and bool(
+            self.fs.rename(self.path(src), self.path(dst))
+        )
+
     def delete(self, p: str) -> None:
         self.fs.delete(self.path(p), True)
 
@@ -259,7 +285,7 @@ class ManifestCatalog:
         tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}"
         self.fs.write_text(tmp, json.dumps(manifest, indent=2, sort_keys=True))
         target = f"{mdir}/{_MANIFEST_FMT.format(version)}"
-        if not self.fs.exists(target) and self.fs.rename(tmp, target):
+        if self.fs.rename_exclusive(tmp, target):
             # best-effort last-writer hint for O(1) latest_manifest;
             # advisory only (stale → forward scan, torn/corrupt →
             # listing fallback), so publish never fails on it
@@ -485,6 +511,33 @@ class ManifestCatalog:
             seg = load_segment(self, path)
             self._segment_cache[path] = seg
         return seg
+
+    def _prefetch_segments(self, manifest: dict, seg_ids) -> None:
+        """Bulk-load missing segments concurrently (pyarrow releases
+        the GIL on file IO; an object store serves parallel GETs) —
+        a 100k-dir table has ~100 segments and loading them serially
+        would put a multi-second cold stall on the first plan."""
+        paths = {
+            (manifest.get("segments") or {}).get(s)
+            for s in seg_ids
+        } - {None}
+        missing = [p for p in paths if p not in self._segment_cache]
+        if len(missing) <= 1:
+            return  # single load: no pool overhead
+        from concurrent.futures import ThreadPoolExecutor
+
+        from end_to_end_etl_pipeline_spark.sinks.segments import load_segment
+
+        def one(p):
+            try:
+                return p, load_segment(self, p)
+            except Exception:
+                return p, None  # resolver keeps the dirs conservatively
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for p, seg in ex.map(one, missing):
+                if seg is not None:
+                    self._segment_cache[p] = seg
 
     def _stats_for(self, manifest: dict, d: str) -> dict:
         """Per-dir {col: [lo, hi]} stats, tail-or-segment resolved."""
@@ -795,7 +848,9 @@ class ManifestCatalog:
         # sealed dirs: one vectorized probe per segment, then restore
         # manifest dir order (segments are immutable and cached)
         kept_sealed: set[str] = set()
-        for sid in dict.fromkeys(sealed[d] for d in all_dirs if d in sealed):
+        seg_ids = dict.fromkeys(sealed[d] for d in all_dirs if d in sealed)
+        self._prefetch_segments(manifest, seg_ids)
+        for sid in seg_ids:
             try:
                 seg = self._segment(manifest, sid)
                 kept_sealed.update(seg.bloom_kept(col, probe_for))
@@ -859,7 +914,9 @@ class ManifestCatalog:
         all_dirs = self._dirs(manifest)
         # sealed dirs: vectorized range check per segment
         kept_sealed: set[str] = set()
-        for sid in dict.fromkeys(sealed[d] for d in all_dirs if d in sealed):
+        seg_ids = dict.fromkeys(sealed[d] for d in all_dirs if d in sealed)
+        self._prefetch_segments(manifest, seg_ids)
+        for sid in seg_ids:
             try:
                 seg = self._segment(manifest, sid)
                 kept_sealed.update(seg.range_kept(col, lo, hi))

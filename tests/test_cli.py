@@ -119,10 +119,15 @@ def test_bench_emit_contract(tmp_path, capsys, monkeypatch):
     assert out[-1] == returned
     head = json.loads(out[-1])
     assert {"metric", "value", "unit", "queries", "warm_total_sec", "sf",
-            "canary_sec", "canary_warm_sec"} <= set(head)
+            "canary_sec", "canary_warm_sec", "value_norm",
+            "warm_total_norm"} <= set(head)
     assert head["unit"] == "sec" and head["sf"] == 0.1
     assert head["canary_sec"] == 0.8
     assert head["canary_warm_sec"] == 0.5
+    # normalized totals: cold vs the MEDIAN of cold-pass canaries
+    # (0.8, 0.8, 2.4 -> 0.8), warm vs the warm-canary min (0.5)
+    assert head["value_norm"] == round(40 * 1.234 / 0.8, 2)
+    assert head["warm_total_norm"] == round(40 * 1.0 / 0.5, 2)
     assert len(out[-1]) < 4096, "headline line must survive tail capture"
     # the details line is deliberately NOT bare JSON
     assert out[-2].startswith("BENCH_DETAILS ")

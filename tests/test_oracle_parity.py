@@ -165,9 +165,13 @@ def test_driver_window_contract():
             "doc_pii_redacted", "doc_script_profile", "doc_unigram_logppl",
         },
         # doc_repetition_ratio is a Gopher repetition signal — the
-        # quality-scoring surface the classifier's features come from
+        # quality-scoring surface the classifier's features come from;
+        # quality_classifier_trained is the in-engine TRAINED path
+        # (logreg gradient steps as aggregations) over the same
+        # hashed feature space
         "quality-classifier": {"quality_classifier_scores",
-                               "doc_repetition_ratio"},
+                               "doc_repetition_ratio",
+                               "quality_classifier_trained"},
         # near_dup_pruned_corpus is the same curated-corpus-production
         # shape as clean_corpus (corpus minus a filter, with lineage);
         # c4_line_filtered_corpus is the line-level gate+rebuild of
@@ -190,7 +194,10 @@ def test_driver_window_contract():
                       "corpus_datacard"},
         "bpe": {"bpe_merge_rules", "bpe_merge_rules_batched",
                 "bpe_token_freqs"},
-        "multimodal": {"binary_doc_stats", "doc_frame_samples"},
+        # wav_pcm_decode_stats is the REAL codec leg (JVM-side WAV
+        # encode -> numpy byte-offset decode, blob-free oracle)
+        "multimodal": {"binary_doc_stats", "doc_frame_samples",
+                       "wav_pcm_decode_stats"},
         # streaming_priority_revenue feeds the SAME apply_agg_delta
         # state machinery from a real stream — it is both the ivm
         # family's slot and the streaming bridge's driver gate
@@ -202,6 +209,10 @@ def test_driver_window_contract():
         # finalization) — a separate claim from the foreachBatch
         # bridges, which never exercise event-time state eviction
         "streaming-watermark": {"streaming_late_data_revenue"},
+        # stream-STREAM interval join: two watermarked unbounded
+        # sides, banded join condition bounding state, late exclusion
+        # deterministic by spacer-batch construction
+        "stream-stream-join": {"streaming_join_view_purchase"},
         "entity-resolution": {"customer_record_linkage"},
         "core-joins": {"min_cost_supplier", "local_supplier_volume",
                        "excess_stock_suppliers", "important_part_value"},

@@ -423,3 +423,28 @@ def test_vocab_drift_psi_broadcasts_vocab_no_row_udfs(spark):
     assert "CartesianProduct" not in plan
     # map-side partial aggregation on the token stream
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_wav_encode_is_projection_decode_arrow_only(spark):
+    """The WAV path's scale claims: encoding a payload per order is a
+    pure projection (no Exchange before the mapInPandas decode — at
+    100 TB the cost is the scan), and Python touches bytes only
+    through Arrow (ArrowEvalPython/mapInPandas), never a row UDF."""
+    plan = _plan(spark, "wav_pcm_decode_stats")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    # scan -> encode -> decode is map-only; the only shuffle-free
+    # contract is everything BEFORE the decode: no join anywhere
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_trained_classifier_inference_broadcasts_weights(spark):
+    """quality_classifier_trained's INFERENCE plan: the 64-float
+    weight table must broadcast into the token stream (never a
+    shuffle side), and no Python row UDFs anywhere — training and
+    scoring are pure JVM aggregation."""
+    plan = _plan(spark, "quality_classifier_trained")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
