@@ -10,11 +10,16 @@ worker gets columnar batches, and size partitions so a batch of
 payloads fits executor memory (``spark.sql.files.maxPartitionBytes``
 down, or ``repartition`` up, for multi-MB payloads).
 
-This container has no image/audio codecs, so the decode *backend* is
-stubbed: ``backend="fake"`` produces deterministic features (real
-Spark plumbing — schema, Arrow batching, UDF signature — exercised by
-tests); any other backend raises ``NotImplementedError`` at the seam
-where PIL/torchvision/ffmpeg would slot in.
+Codec status (r08): two REAL dependency-free codecs are wired —
+mono PCM16 WAV (:func:`pcm16_wav_blob` / :func:`decode_wav_stats`)
+and uncompressed 24bpp BMP (:func:`bmp24_blob` /
+:func:`decode_bmp_stats`), both encoding JVM-side and decoding raw
+bytes by public-spec fixed offsets with numpy, driver-gated against
+blob-free oracles. COMPRESSED formats (JPEG/MP4/...) remain behind
+``NotImplementedError`` seams with deterministic ``fake`` stand-ins
+(this container ships no PIL/ffmpeg); the Spark plumbing — schema,
+Arrow batching, UDF signatures, 1:1 null contracts — is identical
+either way.
 """
 
 from __future__ import annotations
@@ -223,6 +228,130 @@ def decode_wav_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     "sample_rate": [s[1] for s in stats],
                     "peak_abs": [s[2] for s in stats],
                     "sum_amp": [s[3] for s in stats],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema)
+
+
+def bmp24_blob(width, height, pixel):
+    """Canonical 54-byte-header uncompressed 24bpp BMP blob, encoded
+    ENTIRELY JVM-side. ``width``/``height`` are positive int Columns;
+    ``pixel(x, y, c)`` returns the byte value (0-255 Column) of
+    channel ``c`` (0=B, 1=G, 2=R — BMP is BGR) at image coordinates
+    (x, y) with y=0 the TOP row. Rows are emitted bottom-up with
+    4-byte padding, per the public spec — the decoder
+    (:func:`decode_bmp_stats`) re-derives both from the raw bytes."""
+    pad = (4 - (width * 3) % 4) % 4
+    row_hex = lambda y: F.concat(  # noqa: E731
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), width - 1),
+                lambda x: F.concat(
+                    F.format_string("%02X", pixel(x, y, F.lit(0))),
+                    F.format_string("%02X", pixel(x, y, F.lit(1))),
+                    F.format_string("%02X", pixel(x, y, F.lit(2))),
+                ),
+            ),
+            "",
+        ),
+        F.repeat(F.lit("00"), pad),
+    )
+    img_size = ((width * 3 + pad) * height).cast("long")
+    header_hex = F.concat(
+        F.lit("424D"),                       # "BM"
+        _le_hex(img_size + 54, 4),           # file size
+        F.lit("00000000"),                   # reserved
+        _le_hex(F.lit(54), 4),               # pixel data offset
+        _le_hex(F.lit(40), 4),               # DIB header size
+        _le_hex(width.cast("long"), 4),      # width (positive)
+        _le_hex(height.cast("long"), 4),     # height (bottom-up)
+        F.lit("0100"),                       # planes = 1
+        F.lit("1800"),                       # bpp = 24
+        _le_hex(F.lit(0), 4),                # compression = BI_RGB
+        _le_hex(img_size, 4),
+        _le_hex(F.lit(2835), 4),             # x ppm
+        _le_hex(F.lit(2835), 4),             # y ppm
+        _le_hex(F.lit(0), 4),                # palette colors
+        _le_hex(F.lit(0), 4),                # important colors
+    )
+    # bottom-up row order: memory row 0 is image row height-1
+    body_hex = F.array_join(
+        F.transform(F.sequence(height - 1, F.lit(0), F.lit(-1)), row_hex), ""
+    )
+    return F.unhex(F.concat(header_hex, body_hex))
+
+
+def decode_bmp_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL dependency-free image decode: parse uncompressed 24bpp
+    BMP bytes by fixed offset (public BITMAPFILEHEADER/
+    BITMAPINFOHEADER spec — magic, pixel offset, dimensions, planes,
+    bpp, compression), honoring row PADDING and BOTTOM-UP row order,
+    and emit per-payload pixel stats via Arrow-batched
+    ``mapInPandas`` + numpy reshape (memcpy-speed per batch).
+
+    Output (1:1; malformed/NULL payloads → NULL stats): ``width``,
+    ``height``, per-channel exact byte sums ``sum_b/sum_g/sum_r``
+    (means derive JVM-side), and ``top_row_sum`` — the byte sum of
+    the TOP image row, which is the LAST memory row: a decoder that
+    ignores bottom-up order or row padding gets this wrong even when
+    the whole-image sums accidentally agree."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("sum_b", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_r", LongType()),
+            StructField("top_row_sum", LongType()),
+        ]
+    )
+    NULLS = (None,) * 6
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(b):
+            if b is None or len(b) < 54:
+                return NULLS
+            bb = bytes(b)
+            u32 = lambda o: int.from_bytes(bb[o : o + 4], "little")  # noqa: E731
+            u16 = lambda o: int.from_bytes(bb[o : o + 2], "little")  # noqa: E731
+            if (
+                bb[0:2] != b"BM"
+                or u32(14) < 40        # DIB header size
+                or u16(26) != 1        # planes
+                or u16(28) != 24       # bpp
+                or u32(30) != 0        # BI_RGB only
+            ):
+                return NULLS
+            off, w, h = u32(10), u32(18), u32(22)
+            if w <= 0 or h <= 0 or h > 2**24:  # top-down (negative h) unsupported
+                return NULLS
+            stride = (3 * w + 3) // 4 * 4
+            data = bb[off : off + stride * h]
+            if len(data) < stride * h:
+                return NULLS  # truncated
+            arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+            pix = arr[:, : 3 * w].reshape(h, w, 3).astype(np.int64)
+            sums = pix.sum(axis=(0, 1))
+            return (w, h, int(sums[0]), int(sums[1]), int(sums[2]),
+                    int(pix[h - 1].sum()))  # last memory row = TOP image row
+
+        for pdf in batches:
+            stats = [one(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [s[0] for s in stats],
+                    "height": [s[1] for s in stats],
+                    "sum_b": [s[2] for s in stats],
+                    "sum_g": [s[3] for s in stats],
+                    "sum_r": [s[4] for s in stats],
+                    "top_row_sum": [s[5] for s in stats],
                 }
             )
 

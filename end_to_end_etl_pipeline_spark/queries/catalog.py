@@ -138,9 +138,12 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # order_value_percentiles + referential_integrity_audit +
 # medallion-adjacent keepers with r07 evidence and no family debt.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r08-registered queries, in their shipping round
+    # r08-registered queries, in their shipping round (the BMP gate
+    # took the last filler's slot — registration invariant outranks
+    # one more stale refresh; large_volume_orders rotates in r09)
     "streaming_join_view_purchase",
     "wav_pcm_decode_stats",
+    "bmp_image_decode_stats",
     "quality_classifier_trained",
     # family slots taken by their OLDEST-evidence member (r03)
     "ann_recall_trained_cells",
@@ -192,7 +195,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_word_counts",
     "dq_orders_clean",
     "event_props_stats",
-    "large_volume_orders",
 )
 
 

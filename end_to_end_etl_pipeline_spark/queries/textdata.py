@@ -554,6 +554,89 @@ def wav_pcm_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bmp_image_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT p_partkey,
+             1 + p_partkey % 7 AS width,
+             1 + p_partkey % 5 AS height,
+             unnest(generate_series(
+               0, (1 + p_partkey % 7) * (1 + p_partkey % 5) * 3 - 1)) AS i
+      FROM part
+    ),
+    v AS (
+      SELECT p_partkey, width, height,
+             i // (3 * width) AS y,
+             i % 3 AS c,
+             (p_partkey * 31 + (i // (3 * width)) * 17
+              + ((i // 3) % width) * 7 + (i % 3) * 3) % 256 AS v
+      FROM g
+    )
+    SELECT p_partkey AS payload_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           round(CAST(round(CAST(
+             CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS DOUBLE)
+               / (any_value(width) * any_value(height))
+             AS DECIMAL(20,8)), 6) AS DOUBLE), 6) AS mean_b,
+           round(CAST(round(CAST(
+             CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS DOUBLE)
+               / (any_value(width) * any_value(height))
+             AS DECIMAL(20,8)), 6) AS DOUBLE), 6) AS mean_g,
+           round(CAST(round(CAST(
+             CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS DOUBLE)
+               / (any_value(width) * any_value(height))
+             AS DECIMAL(20,8)), 6) AS DOUBLE), 6) AS mean_r,
+           CAST(sum(CASE WHEN y = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS top_row_sum
+    FROM v GROUP BY p_partkey
+    """,
+    doc="REAL image decode gate (the BMP leg of the codec seam, "
+    "pairing wav_pcm_decode_stats): per part, an uncompressed 24bpp "
+    "BMP is assembled ENTIRELY JVM-side (operators/multimodal."
+    "bmp24_blob — header + bottom-up padded rows as one hex "
+    "projection) from deterministic per-pixel bytes, then decoded "
+    "BACK from raw bytes by the dependency-free numpy codec "
+    "(decode_bmp_stats): magic/planes/bpp/compression checks, "
+    "pixel-offset header field, row STRIDE padding, BOTTOM-UP row "
+    "order. The oracle replays the pixel-generator arithmetic "
+    "without seeing the blob; top_row_sum (the TOP image row = LAST "
+    "memory row) makes bottom-up/padding handling hash-visible even "
+    "when whole-image channel sums agree. 100-TB shape: encode is a "
+    "projection, decode is Arrow-batched mapInPandas, 1:1, no "
+    "shuffle.",
+    tags=("parity", "multimodal", "north-star"),
+)
+def bmp_image_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        bmp24_blob,
+        decode_bmp_stats,
+    )
+
+    parts = load(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    width = (pk % 7 + 1).cast("int")
+    height = (pk % 5 + 1).cast("int")
+
+    def pixel(x, y, c):
+        return F.pmod(pk * 31 + y * 17 + x * 7 + c * 3, F.lit(256)).cast("int")
+
+    payloads = parts.select(
+        pk.alias("payload_id"),
+        bmp24_blob(width, height, pixel).alias("img"),
+    )
+    dec = decode_bmp_stats(payloads, "payload_id", "img")
+    area = F.col("width") * F.col("height")
+    return dec.select(
+        "payload_id", "width", "height",
+        F.round(F.col("sum_b") / area, 6).alias("mean_b"),
+        F.round(F.col("sum_g") / area, 6).alias("mean_g"),
+        F.round(F.col("sum_r") / area, 6).alias("mean_r"),
+        "top_row_sum",
+    )
+
+
+@register(
     "near_dup_clusters",
     oracle=_clusters_oracle(),
     doc="Transitive near-dup clustering: connected components over the "

@@ -153,3 +153,66 @@ def test_wav_blob_is_spec_exact_and_decoder_rejects_malformed(spark):
     for pid in (2, 3, 4, 5):
         assert got[pid] == (None, None, None, None), pid
     assert len(got) == 5  # 1:1 — malformed rows are nulled, not dropped
+
+
+def test_bmp_blob_is_spec_exact_and_decoder_handles_layout(spark):
+    """Encoder checked against a hand-built reference BMP (3x2,
+    bottom-up rows, 4-byte stride padding); decoder must reject
+    malformed payloads and honor padding + bottom-up order."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        bmp24_blob,
+        decode_bmp_stats,
+    )
+
+    w, h = 3, 2
+
+    def pixel(x, y, c):
+        return (F.lit(0) + x * 7 + y * 17 + c * 3).cast("int")
+
+    df = spark.range(1).select(F.col("id").alias("pid"))
+    blob = bytes(
+        df.select(
+            bmp24_blob(F.lit(w).cast("int"), F.lit(h).cast("int"), pixel)
+            .alias("img")
+        ).collect()[0]["img"]
+    )
+    stride = 12  # 3*3=9 -> padded to 12
+    ref_hdr = (
+        b"BM" + struct.pack("<I", 54 + stride * h) + b"\x00" * 4
+        + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                      2835, 2835, 0, 0)
+    )
+    px = lambda x, y, c: (x * 7 + y * 17 + c * 3) % 256  # noqa: E731
+    def row(y):
+        r = b"".join(
+            bytes([px(x, y, 0), px(x, y, 1), px(x, y, 2)]) for x in range(w)
+        )
+        return r + b"\x00" * (stride - len(r))
+    ref = ref_hdr + row(1) + row(0)  # bottom-up: image row 1 first
+    assert blob == ref
+
+    bad = [
+        (1, ref),
+        (2, b"XX" + ref[2:]),   # wrong magic
+        (3, ref[:-5]),          # truncated pixel data
+        (4, None),
+    ]
+    pdf = pd.DataFrame({"pid": [r[0] for r in bad], "img": [r[1] for r in bad]})
+    got = {
+        r["pid"]: (r["width"], r["height"], r["sum_b"], r["sum_g"],
+                   r["sum_r"], r["top_row_sum"])
+        for r in decode_bmp_stats(spark.createDataFrame(pdf), "pid", "img").collect()
+    }
+    exp_sums = [
+        sum(px(x, y, c) for x in range(w) for y in range(h)) for c in range(3)
+    ]
+    exp_top = sum(px(x, 0, c) for x in range(w) for c in range(3))
+    assert got[1] == (w, h, *exp_sums, exp_top)
+    for pid in (2, 3, 4):
+        assert got[pid] == (None,) * 6, pid

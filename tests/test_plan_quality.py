@@ -448,3 +448,14 @@ def test_trained_classifier_inference_broadcasts_weights(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bmp_encode_is_projection_decode_arrow_only(spark):
+    """Same contract as the WAV leg: JVM-side encode is a pure
+    projection, Python touches bytes only through Arrow, no shuffle
+    anywhere in encode->decode."""
+    plan = _plan(spark, "bmp_image_decode_stats")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
