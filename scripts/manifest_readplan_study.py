@@ -157,7 +157,8 @@ def build_synthetic(
     return gen_sec
 
 
-def measure(cat: ManifestCatalog, table: str, n_dirs: int) -> dict:
+def measure(cat: ManifestCatalog, table: str, n_dirs: int,
+            check_hit_dir: bool = True) -> dict:
     # every reader's first step: hint + full JSON parse (cold), then
     # the version-keyed cache hit every later read in the same
     # process pays (warm)
@@ -188,7 +189,8 @@ def measure(cat: ManifestCatalog, table: str, n_dirs: int) -> dict:
     t0 = time.time()
     kept_hit = cat.bloom_pruned_dirs(table, "key", hit)
     hit_warm_sec = time.time() - t0
-    assert any(d.endswith(f"{n_dirs - 2:08d}") for d in kept_hit), "hit dir lost"
+    if check_hit_dir:  # synthetic dirs are index-named; real dirs are uuids
+        assert any(d.endswith(f"{n_dirs - 2:08d}") for d in kept_hit), "hit dir lost"
 
     # one append's manifest cost at this size: payload rebase +
     # serialize + CAS publish (the data write itself is dir-local and
