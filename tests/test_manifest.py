@@ -1311,3 +1311,32 @@ def test_column_type_cache_invalidated_on_replace(spark, cat):
         bloom_cols=["key"],
     )
     assert cat.read_point("retype.t", "key", 99).count() == 1
+
+
+def test_rename_exclusive_is_an_atomic_claim(spark, cat, tmp_path):
+    """The commit primitive: under contention exactly ONE claimant
+    may win a target, and the winner's content is intact (POSIX
+    rename() overwrites — the r08 two-writer fuzz caught the old
+    check-then-rename losing a committed version to a racer)."""
+    import threading
+
+    base = f"file://{tmp_path}/claims"
+    for rnd in range(20):
+        target = f"{base}/slot-{rnd}"
+        wins = []
+
+        def claim(w: int) -> None:
+            src = f"{base}/tmp-{rnd}-{w}"
+            cat.fs.write_text(src, f"writer-{w}")
+            if cat.fs.rename_exclusive(src, target):
+                wins.append(w)
+            else:
+                cat.fs.delete(src)
+
+        ts = [threading.Thread(target=claim, args=(w,)) for w in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1, f"round {rnd}: winners={wins}"
+        assert cat.fs.read_text(target) == f"writer-{wins[0]}"
