@@ -1990,6 +1990,9 @@ class ManifestCatalog:
         for v in versions:
             if v not in retained:
                 self.fs.delete(f"{self._manifest_dir(name)}/{_MANIFEST_FMT.format(v)}")
+                # a cached manifest for a vacuumed version would let
+                # manifest_at() succeed while the data dirs are gone
+                self._manifest_cache.pop((name, v), None)
         return deleted
 
 
