@@ -585,6 +585,18 @@ class ManifestCatalog:
             if len(candidates) < self.SEGMENT_SIZE:
                 return
             pick = candidates[: self.SEGMENT_SIZE]
+            # bulk-load the picks' sidecars first: _bloom_resolve
+            # would otherwise read them one file at a time (1024
+            # serial round trips on an object store)
+            self._load_sidecars(
+                [
+                    d for d in pick
+                    if any(
+                        isinstance(bm, dict) and bm.get("sidecar")
+                        for bm in (blooms.get(d) or {}).values()
+                    )
+                ]
+            )
             rows = []
             for d in pick:
                 rb = {}
