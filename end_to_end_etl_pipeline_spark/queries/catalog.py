@@ -106,16 +106,19 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # rows are pre-verified under a plain driver-faithful session before
 # the swap (established r05 practice).
 #
-# IN this round: the THREE r08-registered queries —
+# IN this round: the FIVE r08-registered queries (incl. the BMP
+# codec gate and the custom-stateful sessionization gate, each taking
+# a filler slot — registration invariant outranks two more stale
+# refreshes; large_volume_orders / event_props_stats rotate in r09) —
 # streaming_join_view_purchase (NEW stream-stream-join family: banded
 # interval join, two watermarked sides, spacer-batch-deterministic
 # late exclusion), wav_pcm_decode_stats (REAL WAV-PCM16 codec leg of
 # multimodal), quality_classifier_trained (in-engine logreg training)
-# — plus the 14 oldest-evidence rows: text_quality (r01),
+# — plus the 12 oldest-evidence rows: text_quality (r01),
 # customer_account_tiers, customer_balance_deciles,
 # customer_order_distribution, discounted_brand_revenue,
-# doc_word_counts, dq_orders_clean, event_props_stats,
-# large_volume_orders, purchase_last_view_asof (all r02), and the
+# doc_word_counts, dq_orders_clean, purchase_last_view_asof (all
+# r02), and the
 # four r03 family picks ann_recall_trained_cells (ann slot),
 # doc_bigram_logppl (text-analysis slot), orders_column_profile
 # (profiling slot), local_supplier_volume (core-joins slot).
@@ -142,6 +145,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # took the last filler's slot — registration invariant outranks
     # one more stale refresh; large_volume_orders rotates in r09)
     "streaming_join_view_purchase",
+    "streaming_view_sessions",
     "wav_pcm_decode_stats",
     "bmp_image_decode_stats",
     "quality_classifier_trained",
@@ -194,7 +198,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "discounted_brand_revenue",
     "doc_word_counts",
     "dq_orders_clean",
-    "event_props_stats",
 )
 
 

@@ -2827,6 +2827,130 @@ def streaming_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_view_sessions",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, epoch_ms(ts) AS tms
+      FROM events WHERE event_type = 'view'
+    ),
+    mx AS (SELECT max(tms) AS m FROM v),
+    s AS (
+      SELECT user_id, tms,
+             CASE WHEN lag(tms) OVER w IS NULL
+                    OR tms - lag(tms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+    ),
+    g AS (
+      SELECT user_id, tms,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid, min(tms) AS start_ms, max(tms) AS end_ms,
+             count(*) AS n_events
+      FROM g GROUP BY user_id, sid
+    ),
+    nxt AS (
+      SELECT *,
+             lead(sid) OVER (PARTITION BY user_id ORDER BY start_ms)
+               IS NOT NULL AS has_next
+      FROM sess
+    )
+    SELECT user_id,
+           make_timestamp(start_ms * 1000) AS session_start,
+           make_timestamp(end_ms * 1000) AS session_end,
+           n_events
+    FROM nxt, mx
+    WHERE has_next OR end_ms + 1800000 < mx.m - 7620000
+    """,
+    doc="CUSTOM-STATEFUL streaming driver gate — the "
+    "applyInPandasWithState axis (streaming/jobs.sessionize), the "
+    "one streaming semantics the built-in operators can't express: "
+    "per-user gap sessionization (30 min) with one open session per "
+    "key as typed state, closed either by an in-batch gap or by "
+    "EVENT-TIME TIMEOUT when the watermark (127 min, deliberately "
+    "not gap-aligned so no timeout can tie it) passes the session "
+    "deadline. The view stream lands as two pinned-mtime files "
+    "(days<=15, then >=16: open sessions must survive the batch "
+    "boundary in the state store) and availableNow's finalize batch "
+    "fires the remaining timeouts at the terminal watermark. The "
+    "DuckDB oracle is gaps-and-islands sessionization plus the "
+    "EXACT emission rule: a session appears iff a later session for "
+    "the same user exists (gap-closed) OR its deadline cleared the "
+    "final watermark (timeout-closed) — an open-tail session "
+    "appearing = premature flush; a missing cross-batch session = "
+    "state lost at the boundary. At 100 TB: state per key is ONE "
+    "open session evicted by the watermark; memory tracks active "
+    "users, not stream length.",
+    tags=("parity", "streaming", "stateful", "north-star"),
+)
+def streaming_view_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from end_to_end_etl_pipeline_spark.streaming.jobs import sessionize
+
+    scratch_parent = "/tmp/spark_graft_streaming_sessions"
+    os.makedirs(scratch_parent, exist_ok=True)
+    cutoff = time.time() - 3600
+    for stale in os.listdir(scratch_parent):
+        p = os.path.join(scratch_parent, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    views = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts")
+    landing = os.path.join(root, "landing")
+
+    def land(cond, mtime: int) -> None:
+        before = set(os.listdir(landing)) if os.path.isdir(landing) else set()
+        views.filter(cond).coalesce(1).write.mode("append").parquet(
+            f"file://{landing}"
+        )
+        for f in set(os.listdir(landing)) - before:
+            if not f.startswith(("_", ".")):
+                os.utime(os.path.join(landing, f), (mtime, mtime))
+
+    land(F.dayofmonth("ts") <= 15, 1_000_000)
+    land(F.dayofmonth("ts") >= 16, 2_000_000)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"file://{landing}")
+    )
+    sessions = sessionize(
+        stream, "user_id", "ts", gap_minutes=30, watermark="127 minutes"
+    )
+    sink = f"file://{root}/out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"file://{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+@register(
     "winsorized_price_stats",
     oracle="""
     WITH b AS (

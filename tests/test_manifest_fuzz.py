@@ -432,3 +432,82 @@ def test_two_writer_cas_fuzz(spark, tmp_path_factory, shard):
             got_p = [r["id"] for r in
                      reader.read_point(tbl, "id", probe).collect()]
             assert got_p == [probe], f"seed={seed} probe={probe} got={got_p}"
+
+
+@pytest.mark.parametrize("shard", range(2))
+def test_two_writer_bucketed_cas_fuzz(spark, tmp_path_factory, shard):
+    """Two-writer concurrency on the BUCKETED surface — what the
+    IVF / dedup / text-index stores sit on: racing append_bucketed
+    calls CAS-merge per-bucket dir lists AND read-modify-write an
+    extras_fn counter (the ivf_store cell_counts contract). Writers
+    own disjoint id ranges, so the final content and per-cell counts
+    are interleaving-independent; what can break is a lost bucket-dir
+    merge or a clobbered counter increment on CAS retry."""
+    import threading
+
+    per_shard = 6
+    root = tmp_path_factory.mktemp(f"two_writer_bk_{shard}")
+    for i in range(per_shard):
+        seed = MASTER_SEED + 9000 + shard * per_shard + i
+        rng = random.Random(seed)
+        tbl = f"twb.t{shard}_{i:03d}"
+        cats = [ManifestCatalog(spark, f"file://{root}") for _ in range(2)]
+        progs = []
+        for w in range(2):
+            base, batches = w * 10_000, []
+            for _ in range(rng.randint(2, 4)):
+                n = rng.randint(4, 9)
+                batches.append(list(range(base, base + n)))
+                base += n
+            progs.append(batches)
+        errors: list = []
+
+        def run(w: int) -> None:
+            try:
+                for batch in progs[w]:
+                    pdf = pd.DataFrame(
+                        {"id": batch, "cell": [k % N_CELLS for k in batch]}
+                    )
+                    counts: dict[str, int] = {}
+                    for k in batch:
+                        counts[str(k % N_CELLS)] = counts.get(str(k % N_CELLS), 0) + 1
+
+                    def merge(cur, _counts=counts):
+                        base = dict((cur or {}).get("cell_counts") or {})
+                        for c, n in _counts.items():
+                            base[c] = base.get(c, 0) + n
+                        return {"cell_counts": base}
+
+                    cats[w].append_bucketed(
+                        spark.createDataFrame(pdf).coalesce(1), tbl,
+                        F.col("cell"), N_CELLS, ["cell"],
+                        bucket_fn="identity", extras_fn=merge,
+                    )
+            except Exception as e:
+                errors.append((w, e))
+
+        threads = [threading.Thread(target=run, args=(w,)) for w in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, f"seed={seed} errors={errors}"
+
+        reader = ManifestCatalog(spark, f"file://{root}")
+        want = sorted(k for p in progs for b in p for k in b)
+        got = sorted(r["id"] for r in reader.read(tbl).select("id").collect())
+        assert got == want, f"seed={seed}\ngot={got}\nwant={want}"
+        m = reader.latest_manifest(tbl)
+        model_counts: dict[str, int] = {}
+        for k in want:
+            model_counts[str(k % N_CELLS)] = model_counts.get(str(k % N_CELLS), 0) + 1
+        assert {c: int(n) for c, n in (m.get("cell_counts") or {}).items()
+                if int(n)} == model_counts, f"seed={seed}"
+        # bucket-pruned read equals the model filtered to that cell
+        cell = rng.randrange(N_CELLS)
+        got_c = sorted(
+            r["id"] for r in reader.read(tbl, buckets=[cell]).select("id").collect()
+        )
+        assert got_c == [k for k in want if k % N_CELLS == cell], f"seed={seed}"
+        vs = reader._versions(tbl)
+        assert vs == list(range(1, len(vs) + 1)), f"seed={seed} versions={vs}"

@@ -214,6 +214,10 @@ def test_driver_window_contract():
         # sides, banded join condition bounding state, late exclusion
         # deterministic by spacer-batch construction
         "stream-stream-join": {"streaming_join_view_purchase"},
+        # applyInPandasWithState custom stateful operator: typed
+        # per-key state + event-time timeout eviction — the streaming
+        # semantics the built-in operators can't express
+        "streaming-stateful": {"streaming_view_sessions"},
         "entity-resolution": {"customer_record_linkage"},
         "core-joins": {"min_cost_supplier", "local_supplier_volume",
                        "excess_stock_suppliers", "important_part_value"},
