@@ -178,3 +178,42 @@ def test_manifest_json_contains_no_sealed_bitmaps(spark, cat):
               if "words" in (bm.get("key") or {})]
     assert inline == [m["dirs"][-1]]
     assert len(raw) < 20_000
+
+
+def test_segment_loader_handles_multi_chunk_parquet(spark, tmp_path):
+    """A segment file with several row groups comes back as
+    multi-chunk Arrow columns — the flat-words offset assembly must
+    splice chunks correctly or probes silently mis-read bitmaps."""
+    import pyarrow.parquet as pq
+
+    from end_to_end_etl_pipeline_spark.sinks.segments import (
+        Segment,
+        load_segment,
+        write_segment,
+    )
+
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    rows = []
+    for i in range(10):
+        words = {str(w): (i + 1) * (w + 1) for w in range(0, 128, 3)}
+        rows.append(
+            (f"file:///d/{i:04d}", {"ts": [i * 10, i * 10 + 9]},
+             {"key": (4096, words)})
+        )
+    seg_id, path = write_segment(cat, "sg.mc", rows)
+    local = path.replace("file://", "")
+    one = pq.read_table(local)
+    pq.write_table(one, f"{local}/part-00000.parquet", row_group_size=3)
+
+    seg = load_segment(cat, path)
+    assert len(one.column("dir").chunks) >= 1
+    big = Segment(pq.read_table(f"{local}/part-00000.parquet"))
+    # identical probes chunked vs not: range + a planted bloom word
+    for lo, hi in ((0, 9), (45, 52), (200, 300)):
+        assert seg.range_kept("ts", lo, hi) == big.range_kept("ts", lo, hi)
+
+    def probe_for(nb):
+        return [(0, 0), (3, 1)]  # word 0 bit 0, word 3 bit 1
+
+    assert seg.bloom_kept("key", probe_for) == big.bloom_kept("key", probe_for)
+    assert seg.stats_of("file:///d/0004") == {"ts": [40, 49]}
