@@ -888,3 +888,62 @@ def test_takedown_bridge_wired_to_scd2_member_deletion(spark, tmp_path):
     for k in (0, 2, 4):
         assert rows[k][0] is True
     assert len(rows) == 6  # no rows lost, none duplicated
+
+
+def test_file_source_batching_contract(spark, tmp_path):
+    """The driver-gated streaming queries (late-data, stream-stream
+    join, stateful sessions) all assume: maxFilesPerTrigger=1 is
+    honored under Trigger.AvailableNow (one file per micro-batch, in
+    (modTime, path) order), and the watermark used by batch N is the
+    one computed from data through batch N-1. If a Spark upgrade
+    changes any of that, fail HERE with a readable message instead of
+    as a cryptic oracle hash mismatch in the driver window."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    root = tmp_path / "batching"
+    landing = root / "landing"
+    T0 = 1_700_000_000_000  # ms epoch, arbitrary fixed
+    for i, mtime in enumerate((1_000_000, 2_000_000, 3_000_000)):
+        pdf = pd.DataFrame({"k": [i], "ts": [pd.Timestamp((T0 + i * 3_600_000) * 10**6)]})
+        before = set(os.listdir(landing)) if landing.is_dir() else set()
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            f"file://{landing}"
+        )
+        for f in set(os.listdir(landing)) - before:
+            if not f.startswith(("_", ".")):
+                os.utime(landing / f, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"file://{landing}")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"file://{root}/out")
+        .outputMode("append")
+        .option("checkpointLocation", f"file://{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 3, (
+        "maxFilesPerTrigger=1 no longer yields one file per micro-batch "
+        f"under AvailableNow: {[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}"
+    )
+    assert all(p["numInputRows"] == 1 for p in data_batches)
+    # watermark lags one batch: zero for the first data batch, then
+    # strictly advancing as each prior batch's max event time lands
+    wms = [p["eventTime"].get("watermark") for p in data_batches]
+    assert wms[0] == "1970-01-01T00:00:00.000Z", wms
+    assert wms[1] < wms[2], wms
+    # append mode + final watermark: the first two windows finalized
+    out = spark.read.parquet(f"file://{root}/out")
+    assert out.count() == 2
