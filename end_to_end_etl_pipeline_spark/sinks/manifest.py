@@ -509,8 +509,18 @@ class ManifestCatalog:
             from end_to_end_etl_pipeline_spark.sinks.segments import load_segment
 
             seg = load_segment(self, path)
-            self._segment_cache[path] = seg
+            self._cache_segment(path, seg)
         return seg
+
+    #: max cached segments (~8 MB numpy each at 1024 dirs x 32k-bit
+    #: blooms): 512 ≈ 4 GB ceiling — covers a 500k-dir working set
+    #: before FIFO eviction, vs unbounded growth across many tables
+    SEGMENT_CACHE_MAX = 512
+
+    def _cache_segment(self, path: str, seg) -> None:
+        if len(self._segment_cache) >= self.SEGMENT_CACHE_MAX:
+            self._segment_cache.pop(next(iter(self._segment_cache)))
+        self._segment_cache[path] = seg
 
     def _prefetch_segments(self, manifest: dict, seg_ids) -> None:
         """Bulk-load missing segments concurrently (pyarrow releases
@@ -537,7 +547,7 @@ class ManifestCatalog:
         with ThreadPoolExecutor(max_workers=8) as ex:
             for p, seg in ex.map(one, missing):
                 if seg is not None:
-                    self._segment_cache[p] = seg
+                    self._cache_segment(p, seg)
 
     def _stats_for(self, manifest: dict, d: str) -> dict:
         """Per-dir {col: [lo, hi]} stats, tail-or-segment resolved."""
