@@ -449,6 +449,157 @@ def overlap_f1_scorer(qtexts, dtexts):
     return pd.Series(out)
 
 
+#: The trained cross-encoder's pair-feature contract. Three text-pair
+#: features plus an implicit bias, derived from the repo-wide
+#: tokenization convention (split on single spaces, drop empties,
+#: distinct): with qn=|Q|, dn=|D|, i=|Q∩D| —
+#:   f1  = 2i/(qn+dn)        token-overlap F1 (0 when either empty)
+#:   jac = i/(qn+dn-i)       Jaccard over the union (0 when both empty)
+#:   ld  = |qn-dn|/(qn+dn)   length-ratio distance (0 when both empty)
+#: All three are integer-ratio doubles (one correctly-rounded IEEE
+#: divide each), so the JVM expressions used for TRAINING, the pandas
+#: arithmetic used for INFERENCE, and a DuckDB oracle replay produce
+#: bit-identical values — that equality is what makes the trained
+#: seam value-gated end to end. Any edit here must change
+#: pairwise_ce_features, _pair_feature_triples, and the conformance
+#: oracle together.
+CE_FEATURES: tuple[str, ...] = ("f1", "jac", "ld")
+
+
+def pairwise_ce_features(
+    pairs: DataFrame, qtext_col: str, dtext_col: str
+) -> DataFrame:
+    """Append the :data:`CE_FEATURES` columns to a candidate-pair
+    frame, JVM-side (array_distinct/array_intersect projections —
+    zero shuffles, used by the training path so the gradient scan
+    never leaves codegen)."""
+    def toks(c: str):
+        return F.array_distinct(
+            F.filter(F.split(F.col(c), " "), lambda w: w != "")
+        )
+
+    qn = F.size(toks(qtext_col))
+    dn = F.size(toks(dtext_col))
+    i = F.size(F.array_intersect(toks(qtext_col), toks(dtext_col)))
+    both = qn + dn
+    # ONE struct, then field-extract: sibling select columns sharing
+    # nested-lambda subtrees (the filter(split(...)) token sets here)
+    # trip Spark 4.1's codegen subexpression elimination (mis-bound
+    # lambda variables); identical WHOLES dedup safely. Same fix as
+    # c4_line_filtered_corpus / dedup_lines_within_doc.
+    packed = F.struct(
+        F.when(both == 0, F.lit(0.0))
+        .otherwise(F.lit(2.0) * i / both)
+        .alias("f1"),
+        F.when(both - i == 0, F.lit(0.0))
+        .otherwise(i.cast("double") / (both - i))
+        .alias("jac"),
+        F.when(both == 0, F.lit(0.0))
+        .otherwise(F.abs(qn - dn).cast("double") / both)
+        .alias("ld"),
+    )
+    return pairs.select("*", packed.alias("__f")).select(
+        "*", *[F.col(f"__f.{c}").alias(c) for c in CE_FEATURES]
+    ).drop("__f")
+
+
+def _ce_z(weights: list[float]):
+    """The linear margin as a Column, with a PINNED left-associative
+    add order (bias + w1·f1 + w2·jac + w3·ld) — the same order the
+    pandas scorer and the SQL oracle use, so the three engines agree
+    to the last ulp given equal features and weights."""
+    z = F.lit(float(weights[0]))
+    for w, c in zip(weights[1:], CE_FEATURES):
+        z = z + F.lit(float(w)) * F.col(c)
+    return z
+
+
+def train_pairwise_logreg(
+    feats: DataFrame,
+    label_col: str,
+    iters: int = 3,
+    lr: float = 2.0,
+    weight_col: str | None = None,
+) -> list[float]:
+    """IN-ENGINE pairwise logistic regression over the fixed
+    :data:`CE_FEATURES` space — full-batch gradient descent as
+    ``iters`` aggregation rounds (the train_logreg_hashed /
+    Lloyd's / BPE fixed-iteration playbook, but DENSE: the feature
+    dim is a compile-time constant, so each step needs no weight
+    join at all — the current weights enter the plan as literals and
+    the whole step is ONE whole-stage-codegen aggregate producing
+    1+len(CE_FEATURES) doubles).
+
+        w <- w - lr/N * Σ_p (sigmoid(w·x_p) - y_p) * x_p
+
+    ``feats`` = :func:`pairwise_ce_features` output plus a 0/1 double
+    ``label_col``. With ``weight_col`` the gradient is the WEIGHTED
+    error sum (no 1/N — the caller normalizes the weights; the
+    standard use is balanced class weights 1/(2·n_pos) / 1/(2·n_neg),
+    without which a rare-positive pair set trains all weights
+    negative and the 'trained' ranking inverts). Returns
+    [bias, w_f1, w_jac, w_ld]. Driver state is those 4 floats;
+    nothing scales with the pair count but the one scan per step, so
+    100 TB of candidate pairs trains at scan speed × iters. The
+    caller should localCheckpoint/cache ``feats`` — every step
+    re-scans it."""
+    denom = None if weight_col is not None else float(feats.count())
+    w = [0.0] * (1 + len(CE_FEATURES))
+    for _ in range(iters):
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-_ce_z(w))) - F.col(label_col)
+        if weight_col is not None:
+            err = err * F.col(weight_col)
+
+        def grad(x, j):
+            s = F.sum(err * x) if x is not None else F.sum(err)
+            return (s if denom is None else s / F.lit(denom)).alias(f"g{j}")
+
+        row = feats.agg(
+            grad(None, 0),
+            *[grad(F.col(c), j + 1) for j, c in enumerate(CE_FEATURES)],
+        ).first()
+        for j in range(len(w)):
+            w[j] -= lr * float(row[f"g{j}"])
+    return w
+
+
+def _pair_feature_triples(q: str, d: str) -> tuple[float, float, float]:
+    """(f1, jac, ld) for one text pair, Python-side — the INFERENCE
+    half of the :data:`CE_FEATURES` contract (same single-space
+    tokenization, same integer-ratio divides as the JVM training
+    expressions)."""
+    qw = {w for w in q.split(" ") if w}
+    dw = {w for w in d.split(" ") if w}
+    qn, dn, i = len(qw), len(dw), len(qw & dw)
+    both = qn + dn
+    f1 = 0.0 if both == 0 else 2.0 * i / both
+    jac = 0.0 if both - i == 0 else float(i) / (both - i)
+    ld = 0.0 if both == 0 else float(abs(qn - dn)) / both
+    return f1, jac, ld
+
+
+def trained_linear_scorer(weights: list[float]):
+    """Wrap TRAINED :func:`train_pairwise_logreg` weights as a
+    ``(qtext_series, dtext_series) -> score_series`` callable for
+    :func:`cross_encoder_rerank` — the same closure-capture shape a
+    sentence-transformers model drops into, but with the model being
+    the engine's own trained parameters, so the full train→deploy
+    loop runs through the real Arrow seam. The margin uses the pinned
+    left-associative order of ``_ce_z``."""
+    import pandas as pd
+
+    b, wf, wj, wl = (float(x) for x in weights)
+
+    def scorer(qtexts, dtexts):
+        out = []
+        for q, d in zip(qtexts, dtexts):
+            f1, jac, ld = _pair_feature_triples(q, d)
+            out.append(b + wf * f1 + wj * jac + wl * ld)
+        return pd.Series(out, dtype="float64")
+
+    return scorer
+
+
 def cross_encoder_rerank(
     pairs: DataFrame,
     query_col: str,

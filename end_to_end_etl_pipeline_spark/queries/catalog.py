@@ -106,10 +106,12 @@ from end_to_end_etl_pipeline_spark.queries import dedup_store_queries  # noqa: E
 # rows are pre-verified under a plain driver-faithful session before
 # the swap (established r05 practice).
 #
-# IN this round: the FIVE r08-registered queries (incl. the BMP
+# IN this round: the SIX r08-registered queries (incl. the BMP
 # codec gate and the custom-stateful sessionization gate, each taking
 # a filler slot — registration invariant outranks two more stale
-# refreshes; large_volume_orders / event_props_stats rotate in r09) —
+# refreshes; large_volume_orders / event_props_stats rotate in r09;
+# crossencoder_trained_rerank takes its own family's slot from the
+# r07-green crossencoder_rerank_topk) —
 # streaming_join_view_purchase (NEW stream-stream-join family: banded
 # interval join, two watermarked sides, spacer-batch-deterministic
 # late exclusion), wav_pcm_decode_stats (REAL WAV-PCM16 codec leg of
@@ -169,7 +171,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "keyword_doc_similarity",
     "hybrid_doc_retrieval",
     "mmr_diverse_rerank_grouped",
-    "crossencoder_rerank_topk",
+    # rerank-seam family slot: the r08-registered TRAINED gate
+    # (in-engine balanced logreg through the same Arrow seam)
+    # supersedes crossencoder_rerank_topk (green r07) — registration
+    # invariant + strictly-stronger claim, family still covered
+    "crossencoder_trained_rerank",
     "hard_negative_mining",
     "bm25_ndcg_eval",
     "customer_kanonymity",

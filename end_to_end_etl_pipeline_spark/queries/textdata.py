@@ -3809,6 +3809,159 @@ def crossencoder_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pairwise_ce_oracle(iters: int, lr: float) -> str:
+    """Unrolled-CTE replay of train_pairwise_logreg over the
+    crossencoder pair set (the _logreg_oracle pattern, dense
+    variant): w0 = zeros; per step the per-pair BALANCED-weighted
+    sigmoid errors (wt = 1/(2·n_pos) or 1/(2·n_neg) — the weights
+    sum to 1, so there is no extra 1/N), the 4-component gradient,
+    and the literal-arithmetic weight update — then the final
+    margins from w{iters} through the SAME pinned left-associative
+    b + wf*f1 + wj*jac + wl*ld the Spark trainer and the pandas
+    inference scorer use."""
+    z = "w.b + w.wf*f1 + w.wj*jac + w.wl*ld"
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    g{t} AS (
+      SELECT sum(e) AS g0, sum(e * f1) AS g1,
+             sum(e * jac) AS g2, sum(e * ld) AS g3
+      FROM (SELECT (1.0 / (1.0 + exp(-({z}))) - y) * wt AS e, f1, jac, ld
+            FROM xw CROSS JOIN w{t - 1} w)
+    ),
+    w{t} AS (SELECT w.b - {lr} * g.g0 AS b, w.wf - {lr} * g.g1 AS wf,
+                    w.wj - {lr} * g.g2 AS wj, w.wl - {lr} * g.g3 AS wl
+             FROM w{t - 1} w CROSS JOIN g{t} g),""")
+    return f"""
+    WITH q AS (
+      SELECT doc_id - 100 AS query_id, text AS qtext FROM documents
+      WHERE doc_id BETWEEN 100 AND 104
+    ),
+    cand AS (
+      SELECT doc_id % 100 AS query_id, doc_id, text FROM documents
+      WHERE doc_id % 100 <= 4
+    ),
+    p AS (
+      SELECT c.query_id, c.doc_id,
+             list_distinct(list_filter(string_split(q.qtext, ' '),
+                                       w -> length(w) > 0)) AS qw,
+             list_distinct(list_filter(string_split(c.text, ' '),
+                                       w -> length(w) > 0)) AS dw,
+             CASE WHEN c.doc_id = c.query_id + 100
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM cand c JOIN q USING (query_id)
+    ),
+    cnt AS (
+      SELECT query_id, doc_id, y, len(qw) AS qn, len(dw) AS dn,
+             len(list_intersect(qw, dw)) AS i
+      FROM p
+    ),
+    x AS (
+      SELECT query_id, doc_id, y,
+             CASE WHEN qn + dn = 0 THEN 0.0
+                  ELSE 2.0 * i / (qn + dn) END AS f1,
+             CASE WHEN qn + dn - i = 0 THEN 0.0
+                  ELSE CAST(i AS DOUBLE) / (qn + dn - i) END AS jac,
+             CASE WHEN qn + dn = 0 THEN 0.0
+                  ELSE CAST(abs(qn - dn) AS DOUBLE) / (qn + dn) END AS ld
+      FROM cnt
+    ),
+    npos AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x WHERE y = 1.0),
+    nneg AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x WHERE y <> 1.0),
+    xw AS (
+      SELECT *, CASE WHEN y = 1.0
+                     THEN 1.0 / (2.0 * (SELECT n FROM npos))
+                     ELSE 1.0 / (2.0 * (SELECT n FROM nneg)) END AS wt
+      FROM x
+    ),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS wf, 0.0 AS wj, 0.0 AS wl),{"".join(steps)}
+    zf AS (
+      SELECT query_id, doc_id, round({z}, 6) AS ce_score
+      FROM x CROSS JOIN w{iters} w
+    )
+    SELECT query_id, doc_id, ce_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ce_score DESC, doc_id) AS INT)
+             AS rank
+    FROM zf
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY ce_score DESC, doc_id) <= 10
+    """
+
+
+@register(
+    "crossencoder_trained_rerank",
+    oracle=_pairwise_ce_oracle(iters=3, lr=2.0),
+    doc="TRAINED cross-encoder rerank (closes the r07 'stand-in "
+    "scorer by design' soft spot the way quality_classifier_trained "
+    "closed the quality seam): a pairwise logistic scorer over the "
+    "fixed 3-feature text-pair space (token-overlap F1, Jaccard, "
+    "length-ratio distance — operators/retrieval.CE_FEATURES) is "
+    "trained IN-ENGINE by 3 balanced-class-weighted full-batch "
+    "gradient steps on the crossencoder candidate pairs (planted "
+    "labels: the query's own source doc is the positive; balancing "
+    "is what keeps the rare-positive gradient from driving every "
+    "weight negative), then the TRAINED weights score "
+    "the same pairs through the REAL cross_encoder_rerank Arrow "
+    "seam (mapInPandas closure capture — the exact drop-in shape a "
+    "sentence-transformers model uses), so the full train->deploy "
+    "loop is value-gated, not just the inference plumbing. Each "
+    "gradient step is ONE codegen aggregate (dense features enter "
+    "as literals — no weight join at all); driver state is 4 "
+    "floats. The oracle replays the identical iterations as "
+    "unrolled CTEs and the identical pinned-order margin. 100-TB "
+    "shape: training cost is iters scans of the (bounded) candidate "
+    "pair frame, inference is one Arrow pass over it.",
+    tags=("parity", "text", "search", "north-star"),
+)
+def crossencoder_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        cross_encoder_rerank,
+        pairwise_ce_features,
+        train_pairwise_logreg,
+        trained_linear_scorer,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = docs.filter(F.col("doc_id").between(100, 104)).select(
+        (F.col("doc_id") - 100).alias("query_id"), F.col("text").alias("qtext")
+    )
+    cand = docs.withColumn("query_id", F.col("doc_id") % 100).filter(
+        F.col("query_id") <= 4
+    )
+    pairs = cand.join(F.broadcast(q), "query_id")
+    feats = (
+        pairwise_ce_features(pairs, "qtext", "text")
+        .withColumn(
+            "y",
+            F.when(
+                F.col("doc_id") == F.col("query_id") + 100, 1.0
+            ).otherwise(0.0),
+        )
+        .select("query_id", "doc_id", "f1", "jac", "ld", "y")
+        .localCheckpoint(eager=True)
+    )
+    # balanced class weights (positives are 1-in-candidates rare;
+    # unweighted training drives every weight negative and inverts
+    # the learned ranking) — wt sums to 1 so the trainer skips 1/N
+    counts = feats.agg(
+        F.sum("y").alias("np"), F.count(F.lit(1)).alias("n")
+    ).first()
+    n_pos = float(counts["np"])
+    n_neg = float(counts["n"]) - n_pos
+    feats = feats.withColumn(
+        "wt",
+        F.when(F.col("y") == 1.0, F.lit(1.0 / (2.0 * n_pos))).otherwise(
+            F.lit(1.0 / (2.0 * n_neg))
+        ),
+    )
+    w = train_pairwise_logreg(feats, "y", iters=3, lr=2.0, weight_col="wt")
+    return cross_encoder_rerank(
+        pairs, "query_id", "doc_id", "qtext", "text",
+        scorer=trained_linear_scorer(w), topk=10,
+    )
+
+
 @register(
     "preference_pair_mining",
     oracle="""

@@ -142,7 +142,8 @@ def test_driver_window_contract():
         "hybrid-retrieval": {"hybrid_doc_retrieval"},
         "diversified-retrieval": {"mmr_diverse_rerank",
                                   "mmr_diverse_rerank_grouped"},
-        "rerank-seam": {"crossencoder_rerank_topk"},
+        "rerank-seam": {"crossencoder_rerank_topk",
+                        "crossencoder_trained_rerank"},
         "hard-negatives": {"hard_negative_mining"},
         "retrieval-eval": {"bm25_ndcg_eval"},
         "privacy": {"customer_kanonymity"},

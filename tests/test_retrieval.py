@@ -408,3 +408,79 @@ def test_mmr_grouped_preserves_non_double_rel_type(spark):
     assert sorted(map(tuple, grp.collect())) == sorted(
         map(tuple, flat.collect())
     )
+
+
+def test_pairwise_ce_features_jvm_matches_pandas_contract(spark):
+    """The CE_FEATURES contract: the JVM training expressions and the
+    pandas inference arithmetic must agree bit-for-bit — tabs/newlines
+    count as token characters (single-space split), duplicates
+    collapse, empties guard to 0.0. Also regression-guards the Spark
+    4.1 codegen subexpression-elimination bug (sibling columns sharing
+    the nested-lambda token subtrees) via the one-struct pattern."""
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        _pair_feature_triples,
+        pairwise_ce_features,
+    )
+
+    rows = [
+        (1, "a b c", "a b d"),
+        (2, "a a b", "a b b"),         # duplicate tokens collapse
+        (3, "a\tb c", "a b"),          # tab is part of a token
+        (4, "", "a b"),                # empty query
+        (5, " ", ""),                  # both empty after filtering
+        (6, "x y z w", "x"),           # strong length mismatch
+    ]
+    df = spark.createDataFrame(rows, "id long, q string, d string")
+    got = {
+        r["id"]: (r["f1"], r["jac"], r["ld"])
+        for r in pairwise_ce_features(df, "q", "d").collect()
+    }
+    for id_, q, d in rows:
+        assert got[id_] == _pair_feature_triples(q, d), (id_, q, d)
+
+
+def test_train_pairwise_logreg_learns_separable_pairs(spark):
+    """On a separable pair set the trained weights must (a) strictly
+    reduce the balanced logistic loss vs w=0 and (b) score every
+    positive above every negative through the REAL trained scorer."""
+    import math
+
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        _pair_feature_triples,
+        pairwise_ce_features,
+        train_pairwise_logreg,
+        trained_linear_scorer,
+    )
+
+    rows = []
+    for i in range(8):  # positives: near-identical texts
+        rows.append((i, f"alpha beta gamma tok{i}", f"alpha beta gamma tok{i}", 1.0))
+    for i in range(24):  # negatives: disjoint texts
+        rows.append((100 + i, f"alpha p{i} q{i}", f"zeta r{i} s{i} t{i} u{i}", 0.0))
+    df = spark.createDataFrame(rows, "id long, q string, d string, y double")
+    feats = pairwise_ce_features(df, "q", "d").withColumn(
+        "wt", F.when(F.col("y") == 1.0, 1.0 / 16.0).otherwise(1.0 / 48.0)
+    )
+    w = train_pairwise_logreg(feats, "y", iters=5, lr=2.0, weight_col="wt")
+    scorer = trained_linear_scorer(w)
+
+    def loss(weights):
+        total = 0.0
+        for _, q, d, y in rows:
+            f1, jac, ld = _pair_feature_triples(q, d)
+            z = weights[0] + weights[1] * f1 + weights[2] * jac + weights[3] * ld
+            p = 1.0 / (1.0 + math.exp(-z))
+            wt = 1.0 / 16.0 if y == 1.0 else 1.0 / 48.0
+            total -= wt * (y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+        return total
+
+    assert loss(w) < loss([0.0] * 4)
+    import pandas as pd
+
+    scores = scorer(
+        pd.Series([q for _, q, _, _ in rows]),
+        pd.Series([d for _, _, d, _ in rows]),
+    )
+    pos = [s for s, (_, _, _, y) in zip(scores, rows) if y == 1.0]
+    neg = [s for s, (_, _, _, y) in zip(scores, rows) if y == 0.0]
+    assert min(pos) > max(neg)
