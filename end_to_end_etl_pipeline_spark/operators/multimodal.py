@@ -331,6 +331,12 @@ def decode_bmp_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             off, w, h = u32(10), u32(18), u32(22)
             if w <= 0 or h <= 0 or h > 2**24:  # top-down (negative h) unsupported
                 return NULLS
+            # pixel offset must clear the 54-byte headers and land in
+            # the payload: off=0 would slice header bytes as pixels
+            # and return confident garbage instead of the documented
+            # malformed -> NULL contract
+            if off < 54 or off > len(bb):
+                return NULLS
             stride = (3 * w + 3) // 4 * 4
             data = bb[off : off + stride * h]
             if len(data) < stride * h:

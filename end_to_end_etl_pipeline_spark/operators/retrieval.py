@@ -558,6 +558,10 @@ def train_pairwise_logreg(
             grad(None, 0),
             *[grad(F.col(c), j + 1) for j, c in enumerate(CE_FEATURES)],
         ).first()
+        if row["g0"] is None:  # sum over zero rows is NULL
+            raise ValueError(
+                "train_pairwise_logreg: empty training set (no pairs)"
+            )
         for j in range(len(w)):
             w[j] -= lr * float(row[f"g{j}"])
     return w

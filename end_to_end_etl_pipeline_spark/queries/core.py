@@ -2703,12 +2703,20 @@ def streaming_late_data_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch 3 lands a LATE file on EACH side (days<=4, event_id%3==0 "
     "— behind the watermark by >2 weeks); batch 4 lands days 26..30 "
     "(admitted — spacer views days 24-25 join these purchases from "
-    "STATE, proving cross-batch retention). Late exclusion is "
-    "deterministic BY CONSTRUCTION, not by drop-timing: empirically "
-    "(Spark 4.1) a late row can still join same-batch state before "
-    "eviction, so the spacer guarantees every candidate match of a "
-    "late row was evicted a full batch earlier — a late row "
-    "appearing in the output = watermark state management broken. "
+    "STATE, proving cross-batch retention). Late exclusion rests on "
+    "two mechanisms: (a) input-side drop — a row is judged late "
+    "against the watermark its batch STARTS with, and by batch 3 "
+    "the min-watermark covers ~day 20, so day<=4 rows on both sides "
+    "are filtered before the join (measured: 18 in-band late-x-late "
+    "candidate pairs exist at sf0.01 — the two late files land in "
+    "the SAME micro-batch — and zero emit; this is what excludes "
+    "late-x-late pairs, which no state eviction could, and why the "
+    "late files must land AFTER the watermark has advanced — in "
+    "batch 1 they would legitimately join); (b) the spacer evicted "
+    "every STORED day<=4 candidate one full batch before the late "
+    "files arrive, covering late-x-stored-state matches "
+    "independently of drop timing. A late row appearing in the "
+    "output = watermark semantics broken. "
     "The DuckDB oracle is the interval join over exactly the "
     "admitted row sets; a missing spacer-x-batch-4 pair = premature "
     "state eviction. The band condition is load-bearing for memory "

@@ -62,6 +62,16 @@ class HadoopFS:
         self._conf = spark._jsc.hadoopConfiguration()
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self.fs = self._Path(base_uri).getFileSystem(self._conf)
+        # Resolved ONCE from the root's actual filesystem: the python
+        # fast path must agree with the JVM ops about which backend a
+        # path names. Deciding per-path from the URI scheme alone
+        # split-brained scheme-less roots on clusters where
+        # fs.defaultFS is not file: (manifests written to local disk,
+        # exists/listdir answered by HDFS).
+        try:
+            self._fs_is_local = str(self.fs.getScheme()) == "file"
+        except Exception:
+            self._fs_is_local = False
 
     def path(self, p: str):
         return self._Path(p)
@@ -77,20 +87,22 @@ class HadoopFS:
             return []
         return [str(st.getPath()) for st in self.fs.listStatus(self.path(p))]
 
-    @staticmethod
-    def _local(p: str):
-        """Local filesystem path for file:// or scheme-less URIs, else
-        None. Large manifests marshalled byte-by-byte through py4j
-        cost seconds at 10-100k dirs (measured: most of an 8.3 s
-        latest_manifest at 100k dirs was the 35 MB py4j transfer);
-        direct Python IO is what any real deployment's native client
-        (s3/hdfs bindings) would do."""
+    def _local(self, p: str):
+        """Local filesystem path when the catalog's resolved
+        filesystem is local, else None. Large manifests marshalled
+        byte-by-byte through py4j cost seconds at 10-100k dirs
+        (measured: most of an 8.3 s latest_manifest at 100k dirs was
+        the 35 MB py4j transfer); direct Python IO is what any real
+        deployment's native client (s3/hdfs bindings) would do.
+        Gated on the ROOT's filesystem, not the path's URI scheme —
+        a scheme-less path must take the same backend as the JVM
+        ops, which resolve it against the root fs."""
+        if not self._fs_is_local:
+            return None
         import urllib.parse
 
         u = urllib.parse.urlparse(p)
-        if u.scheme in ("", "file"):
-            return urllib.parse.unquote(u.path) or p
-        return None
+        return urllib.parse.unquote(u.path) or p
 
     def write_text(self, p: str, text: str, overwrite: bool = False) -> None:
         local = self._local(p)

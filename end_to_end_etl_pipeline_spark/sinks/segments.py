@@ -37,18 +37,9 @@ Databricks/Delta, whose checkpoint files this mirrors).
 from __future__ import annotations
 
 import json
-import urllib.parse
 import uuid
 
 import numpy as np
-
-
-def _local_path(p: str) -> str | None:
-    """Filesystem path for file:// / scheme-less URIs, else None."""
-    u = urllib.parse.urlparse(p)
-    if u.scheme in ("", "file"):
-        return urllib.parse.unquote(u.path) or p
-    return None
 
 
 def _dense_words(num_bits: int, words: dict) -> np.ndarray:
@@ -56,6 +47,20 @@ def _dense_words(num_bits: int, words: dict) -> np.ndarray:
     for w, bits in words.items():
         arr[int(w)] = int(bits)
     return arr
+
+
+def _segment_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("dir", pa.string()),
+            ("stats_json", pa.string()),
+            ("bloom_cols", pa.list_(pa.string())),
+            ("bloom_num_bits", pa.list_(pa.int64())),
+            ("bloom_words", pa.list_(pa.int64())),
+        ]
+    )
 
 
 def write_segment(catalog, table: str, rows: list[tuple]) -> tuple[str, str]:
@@ -92,7 +97,7 @@ def write_segment(catalog, table: str, rows: list[tuple]) -> tuple[str, str]:
             "bloom_words": pa.array(recs["bloom_words"], pa.list_(pa.int64())),
         }
     )
-    local = _local_path(path)
+    local = catalog.fs._local(path)
     if local is not None:
         import os
 
@@ -101,8 +106,12 @@ def write_segment(catalog, table: str, rows: list[tuple]) -> tuple[str, str]:
         os.makedirs(local, exist_ok=True)
         pq.write_table(t, f"{local}/part-00000.parquet")
     else:
-        # non-local filesystem: one metadata-scale Spark job
-        catalog.spark.createDataFrame(t.to_pandas()).coalesce(1).write.mode(
+        # non-local filesystem: one metadata-scale Spark job. Hand
+        # Spark the Arrow table DIRECTLY — a pandas round-trip would
+        # degrade the list<int64>/list<string> columns to object
+        # arrays and re-infer the element types (an all-stats segment
+        # with empty bloom_cols lists has nothing to infer from).
+        catalog.spark.createDataFrame(t).coalesce(1).write.mode(
             "overwrite"
         ).parquet(path)
     return seg_id, path
@@ -117,6 +126,13 @@ class Segment:
 
     def __init__(self, table):
         self.dirs: list[str] = table.column("dir").to_pylist()
+        # O(1) dir lookups for the rewrite paths: delete/update over a
+        # big table calls stats_of/bloom_cols_of per affected dir, and
+        # list.index over 1024 long URI strings per call is an O(n^2)
+        # driver stall at scale
+        self._dir_idx: dict[str, int] = {
+            d: i for i, d in enumerate(self.dirs)
+        }
         n = len(self.dirs)
         self._stats: dict[str, tuple[list, list, np.ndarray]] = {}
         per_dir_stats = [json.loads(s) for s in table.column("stats_json").to_pylist()]
@@ -137,12 +153,18 @@ class Segment:
         chunks, offsets, base = [], np.zeros(n + 1, dtype=np.int64), 0
         i = 0
         for ch in flat_col.chunks:
-            vals = ch.values.to_numpy(zero_copy_only=False)
-            chunks.append(vals)
             offs = ch.offsets.to_numpy(zero_copy_only=False)
+            # a SLICED chunk carries physical offsets into the full
+            # child array (offs[0] > 0) — rebase both the values
+            # window and the offsets, or probes silently read the
+            # wrong bitmap words (false-negative pruning)
+            vals = ch.values.to_numpy(zero_copy_only=False)[
+                offs[0] : offs[-1]
+            ]
+            chunks.append(vals)
             k = len(ch)
-            offsets[i : i + k + 1] = base + offs
-            base += offs[-1]
+            offsets[i : i + k + 1] = base + (offs - offs[0])
+            base += offs[-1] - offs[0]
             i += k
         self._flat = (
             np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
@@ -206,21 +228,18 @@ class Segment:
 
     # -- slow-path per-dir metadata (rewrite paths) ---------------------
     def stats_of(self, d: str) -> dict:
-        try:
-            return self._per_dir_stats[self.dirs.index(d)]
-        except ValueError:
-            return {}
+        i = self._dir_idx.get(d)
+        return {} if i is None else self._per_dir_stats[i]
 
     def bloom_cols_of(self, d: str) -> list[str]:
-        try:
-            i = self.dirs.index(d)
-        except ValueError:
+        i = self._dir_idx.get(d)
+        if i is None:
             return []
         return [c for c, (nb, st) in self._blooms.items() if st[i] >= 0]
 
 
 def load_segment(catalog, path: str) -> Segment:
-    local = _local_path(path)
+    local = catalog.fs._local(path)
     if local is not None:
         import pyarrow.parquet as pq
 
@@ -228,4 +247,6 @@ def load_segment(catalog, path: str) -> Segment:
     import pyarrow as pa
 
     pdf = catalog.spark.read.parquet(path).toPandas()
-    return Segment(pa.Table.from_pandas(pdf))
+    # pin the exact layout: pandas object columns of (possibly empty)
+    # lists have nothing to infer element types from
+    return Segment(pa.Table.from_pandas(pdf, schema=_segment_schema()))

@@ -202,18 +202,33 @@ def test_segment_loader_handles_multi_chunk_parquet(spark, tmp_path):
         )
     seg_id, path = write_segment(cat, "sg.mc", rows)
     local = path.replace("file://", "")
-    one = pq.read_table(local)
+    one = pq.read_table(local)  # SINGLE-chunk control, read pre-rewrite
     pq.write_table(one, f"{local}/part-00000.parquet", row_group_size=3)
 
     seg = load_segment(cat, path)
-    assert len(one.column("dir").chunks) >= 1
-    big = Segment(pq.read_table(f"{local}/part-00000.parquet"))
-    # identical probes chunked vs not: range + a planted bloom word
+    multi = pq.read_table(f"{local}/part-00000.parquet")
+    assert len(multi.column("bloom_words").chunks) > 1, "rewrite must chunk"
+    assert len(one.column("bloom_words").chunks) == 1, "control must not"
+    ctrl = Segment(one)
     for lo, hi in ((0, 9), (45, 52), (200, 300)):
-        assert seg.range_kept("ts", lo, hi) == big.range_kept("ts", lo, hi)
+        assert seg.range_kept("ts", lo, hi) == ctrl.range_kept("ts", lo, hi)
 
-    def probe_for(nb):
-        return [(0, 0), (3, 1)]  # word 0 bit 0, word 3 bit 1
+    # word 0 holds (i+1): bit 0 set for even i, bit 1 set for
+    # i in {1,2,5,6,9} — NONEMPTY i-dependent keep sets, so a chunk
+    # splicing bug that shifts words can't hide behind all-drop or
+    # all-keep (ground truth asserted, not just control equality)
+    for probe, expect in (
+        ([(0, 0)], [0, 2, 4, 6, 8]),
+        ([(0, 1)], [1, 2, 5, 6, 9]),
+        ([(0, 0), (0, 1)], [2, 6]),
+    ):
+        kept = seg.bloom_kept("key", lambda nb, p=probe: p)
+        assert kept == [f"file:///d/{i:04d}" for i in expect], probe
+        assert kept == ctrl.bloom_kept("key", lambda nb, p=probe: p)
 
-    assert seg.bloom_kept("key", probe_for) == big.bloom_kept("key", probe_for)
     assert seg.stats_of("file:///d/0004") == {"ts": [40, 49]}
+    # sliced-chunk handling: physical offsets must be rebased
+    sliced = Segment(multi.slice(4))
+    assert sliced.bloom_kept("key", lambda nb: [(0, 0)]) == [
+        f"file:///d/{i:04d}" for i in (4, 6, 8)
+    ]
