@@ -252,6 +252,64 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     assert got == {(1, 10), (2, 10)}
 
 
+def test_stream_stream_left_outer_emits_null_after_eviction(spark, tmp_path):
+    """leftOuter stream-stream join: an unmatched LEFT row emits its
+    NULL-padded result only once the watermark proves no match can
+    still arrive (state eviction), while rows still inside the state
+    window emit nothing — the semantics axis the inner-join test
+    can't see. Two pinned-mtime batches: data, then a far-future
+    spacer that advances the watermark past the unmatched view's
+    eviction bound; the spacer's own rows stay in live state and must
+    NOT emit."""
+    import os
+
+    from end_to_end_etl_pipeline_spark.streaming import (
+        read_stream_files,
+        stream_stream_join,
+    )
+
+    vd, pd_ = str(tmp_path / "views"), str(tmp_path / "purch")
+    _write_batch(vd, "a.json", [
+        {"view_id": 1, "vts": "2026-01-01T00:00:00Z", "user_id": 1},
+        {"view_id": 2, "vts": "2026-01-01T00:10:00Z", "user_id": 2},  # no match
+    ])
+    _write_batch(pd_, "a.json", [
+        {"purchase_id": 10, "pts": "2026-01-01T00:30:00Z", "user_id": 1},
+    ])
+    _write_batch(vd, "b.json", [
+        {"view_id": 9, "vts": "2026-01-01T12:00:00Z", "user_id": 9},  # spacer
+    ])
+    _write_batch(pd_, "b.json", [
+        {"purchase_id": 80, "pts": "2026-01-01T12:00:00Z", "user_id": 8},
+    ])
+    for d in (vd, pd_):
+        os.utime(os.path.join(d, "a.json"), (1_000_000, 1_000_000))
+        os.utime(os.path.join(d, "b.json"), (2_000_000, 2_000_000))
+
+    views = read_stream_files(
+        spark, vd, "view_id bigint, vts timestamp, user_id bigint",
+        max_files_per_trigger=1,
+    )
+    purch = read_stream_files(
+        spark, pd_, "purchase_id bigint, pts timestamp, user_id bigint",
+        max_files_per_trigger=1,
+    )
+    joined = stream_stream_join(
+        views, purch, ["user_id"], "vts", "pts",
+        watermark="2 hours", max_delay_seconds=3600, how="leftOuter",
+    )
+    q = (joined.writeStream.format("memory").queryName("attrib_outer")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_ssj_outer"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.view_id, r.purchase_id) for r in
+           spark.table("attrib_outer").collect()}
+    # view 2: evicted by the spacer-advanced watermark -> NULL row;
+    # view 9 (spacer): still inside live state -> absent
+    assert got == {(1, 10), (2, None)}
+
+
 def test_windowed_counts_drops_late_events_in_append(spark, tmp_path):
     """Watermark contract: once the watermark has advanced past a
     window, later-arriving events for it are DROPPED, and the window
