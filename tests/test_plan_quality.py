@@ -459,3 +459,42 @@ def test_bmp_encode_is_projection_decode_arrow_only(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Exchange" not in plan, plan
+
+
+def test_pairwise_ce_gradient_step_is_one_codegen_aggregate(spark):
+    """The trained cross-encoder's claim: each gradient step is ONE
+    whole-stage-codegen aggregate over the feature frame — no weight
+    join (weights enter as literals), no Python in the scan (the
+    features are array_intersect projections), exactly one shuffle
+    (partial -> final agg)."""
+    from end_to_end_etl_pipeline_spark.operators.retrieval import (
+        CE_FEATURES,
+        _ce_z,
+        pairwise_ce_features,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, "a b c", "a b"), (2, "x y", "x z")],
+        "id long, q string, d string",
+    )
+    feats = pairwise_ce_features(pairs, "q", "d").withColumn(
+        "y", F.lit(1.0)
+    )
+    w = [0.1, 0.2, 0.3, 0.4]
+    err = F.lit(1.0) / (F.lit(1.0) + F.exp(-_ce_z(w))) - F.col("y")
+    step = feats.agg(
+        F.sum(err).alias("g0"),
+        *[F.sum(err * F.col(c)).alias(f"g{j+1}")
+          for j, c in enumerate(CE_FEATURES)],
+    )
+    plan = step._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan, "weights must enter as literals, not a join"
+    # formatted mode names each node twice (tree + detail): one
+    # physical Exchange == 2 mentions; partial->final agg only
+    assert plan.count("Exchange") <= 2, plan
+    assert "HashAggregate" in plan
