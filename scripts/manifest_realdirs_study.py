@@ -74,6 +74,15 @@ def main() -> None:
         out["segments"] = len(m.get("segments") or {})
         out["append_sec_median"] = round(sorted(append_secs)[len(append_secs) // 2], 3)
         out["append_sec_max"] = round(max(append_secs), 3)  # the sealing append
+        # per-decile medians expose the append-cost TREND vs dir count
+        # (the O(dirs) manifest-serialization residual): a flat list =
+        # sealing keeps appends constant-cost; a rising tail = the
+        # manifest-list split becomes worth building
+        k = max(1, len(append_secs) // 10)
+        out["append_sec_decile_medians"] = [
+            round(sorted(append_secs[i : i + k])[len(append_secs[i : i + k]) // 2], 3)
+            for i in range(0, len(append_secs) - k + 1, k)
+        ]
         print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
