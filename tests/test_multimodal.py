@@ -202,6 +202,12 @@ def test_bmp_blob_is_spec_exact_and_decoder_handles_layout(spark):
         (2, b"XX" + ref[2:]),   # wrong magic
         (3, ref[:-5]),          # truncated pixel data
         (4, None),
+        # pixel offset pointing INTO the header: without the off>=54
+        # guard this sliced header bytes as pixels and returned
+        # confident garbage instead of NULLs
+        (5, ref[:10] + struct.pack("<I", 0) + ref[14:]),
+        # pixel offset past the payload end
+        (6, ref[:10] + struct.pack("<I", len(ref) + 1) + ref[14:]),
     ]
     pdf = pd.DataFrame({"pid": [r[0] for r in bad], "img": [r[1] for r in bad]})
     got = {
@@ -214,5 +220,5 @@ def test_bmp_blob_is_spec_exact_and_decoder_handles_layout(spark):
     ]
     exp_top = sum(px(x, 0, c) for x in range(w) for c in range(3))
     assert got[1] == (w, h, *exp_sums, exp_top)
-    for pid in (2, 3, 4):
+    for pid in (2, 3, 4, 5, 6):
         assert got[pid] == (None,) * 6, pid
