@@ -459,8 +459,13 @@ def overlap_f1_scorer(qtexts, dtexts):
 #: All three are integer-ratio doubles (one correctly-rounded IEEE
 #: divide each), so the JVM expressions used for TRAINING, the pandas
 #: arithmetic used for INFERENCE, and a DuckDB oracle replay produce
-#: bit-identical values — that equality is what makes the trained
-#: seam value-gated end to end. Any edit here must change
+#: bit-identical FEATURE values. The training-step gradient SUMS over
+#: those features are partition-order-dependent (Spark) vs
+#: DuckDB-order (oracle), so the trained weights — and hence the
+#: deployed margins — agree only to ~6dp up to summation-order ulps;
+#: the conformance gate rounds scores to 6dp and breaks rank ties
+#: deterministically, accepting the same residual ulp risk the
+#: train_logreg_hashed oracle documents. Any edit here must change
 #: pairwise_ce_features, _pair_feature_triples, and the conformance
 #: oracle together.
 CE_FEATURES: tuple[str, ...] = ("f1", "jac", "ld")

@@ -3947,8 +3947,15 @@ def crossencoder_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = feats.agg(
         F.sum("y").alias("np"), F.count(F.lit(1)).alias("n")
     ).first()
-    n_pos = float(counts["np"])
+    n_pos = float(counts["np"] or 0.0)
     n_neg = float(counts["n"]) - n_pos
+    if n_pos == 0.0 or n_neg == 0.0:
+        raise ValueError(
+            "crossencoder_trained_rerank: balanced pairwise training "
+            f"needs both classes, got n_pos={n_pos:g} n_neg={n_neg:g} "
+            "(the planted relevance labels require documents.doc_id "
+            "100-104 plus non-relevant candidates at this scale factor)"
+        )
     feats = feats.withColumn(
         "wt",
         F.when(F.col("y") == 1.0, F.lit(1.0 / (2.0 * n_pos))).otherwise(

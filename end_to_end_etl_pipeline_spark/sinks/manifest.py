@@ -96,12 +96,18 @@ class HadoopFS:
         deployment's native client (s3/hdfs bindings) would do.
         Gated on the ROOT's filesystem, not the path's URI scheme —
         a scheme-less path must take the same backend as the JVM
-        ops, which resolve it against the root fs."""
+        ops, which resolve it against the root fs. An explicitly
+        remote-schemed URI (hdfs://, s3a://, ...) is never local,
+        even under a local root: answering its path component here
+        would read/write a same-named local file — the inverse
+        split-brain of the py4j fast path this method exists for."""
         if not self._fs_is_local:
             return None
         import urllib.parse
 
         u = urllib.parse.urlparse(p)
+        if u.scheme not in ("", "file"):
+            return None
         return urllib.parse.unquote(u.path) or p
 
     def write_text(self, p: str, text: str, overwrite: bool = False) -> None:

@@ -133,6 +133,15 @@ class Segment:
         self._dir_idx: dict[str, int] = {
             d: i for i, d in enumerate(self.dirs)
         }
+        # Segments are one-row-per-dir by construction; a malformed
+        # duplicate would make dict lookups (last-wins) silently
+        # answer from a different row than the positional probe
+        # arrays — fail loud instead.
+        if len(self._dir_idx) != len(self.dirs):
+            raise ValueError(
+                "corrupt segment: duplicate dir rows "
+                f"({len(self.dirs)} rows, {len(self._dir_idx)} distinct)"
+            )
         n = len(self.dirs)
         self._stats: dict[str, tuple[list, list, np.ndarray]] = {}
         per_dir_stats = [json.loads(s) for s in table.column("stats_json").to_pylist()]
