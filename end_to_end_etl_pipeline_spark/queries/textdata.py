@@ -637,6 +637,94 @@ def bmp_image_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_image_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT c_custkey,
+             2 + c_custkey % 6 AS width,
+             1 + c_custkey % 7 AS height,
+             unnest(generate_series(
+               0, (2 + c_custkey % 6) * (1 + c_custkey % 7) * 3 - 1)) AS i
+      FROM customer
+    ),
+    v AS (
+      SELECT c_custkey, width, height,
+             i // (3 * width) AS y,
+             i % 3 AS c,
+             (c_custkey * 13 + (i // (3 * width)) * 19
+              + ((i // 3) % width) * 5 + (i % 3) * 7) % 256 AS v
+      FROM g
+    )
+    SELECT c_custkey AS payload_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           round(CAST(round(CAST(
+             CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS DOUBLE)
+               / (any_value(width) * any_value(height))
+             AS DECIMAL(20,8)), 6) AS DOUBLE), 6) AS mean_r,
+           round(CAST(round(CAST(
+             CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS DOUBLE)
+               / (any_value(width) * any_value(height))
+             AS DECIMAL(20,8)), 6) AS DOUBLE), 6) AS mean_g,
+           round(CAST(round(CAST(
+             CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS DOUBLE)
+               / (any_value(width) * any_value(height))
+             AS DECIMAL(20,8)), 6) AS DOUBLE), 6) AS mean_b,
+           CAST(sum(CASE WHEN y = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS top_row_sum
+    FROM v GROUP BY c_custkey
+    """,
+    doc="REAL COMPRESSED-image decode gate (VERDICT r08 #4 — the PNG "
+    "leg closing the 'compressed bytes -> pixels' story with zero "
+    "new dependencies): per customer, a non-interlaced 8-bit RGB PNG "
+    "is assembled ENTIRELY JVM-side (operators/multimodal."
+    "png_rgb8_blob — per-row scanline FILTERS y%5 so all five "
+    "public-spec filters incl. Paeth are exercised, a valid zlib "
+    "stream framed as stored deflate blocks with an exact "
+    "F.aggregate adler32, and real chunk CRCs via F.crc32), then "
+    "decoded BACK by the stdlib-only codec (decode_png_stats): "
+    "signature, mandatory per-chunk crc32 verification, IHDR "
+    "validation, zlib.decompress, and the five scanline unfilters. "
+    "The oracle replays the pixel-generator arithmetic without "
+    "seeing the blob; top_row_sum (PNG row 0 = the FIRST scanline — "
+    "top-down, the opposite of BMP) makes row-order and unfilter "
+    "bugs hash-visible even when whole-image channel sums agree. "
+    "100-TB shape: encode is a projection, decode is Arrow-batched "
+    "mapInPandas, 1:1, no shuffle. The NotImplementedError seam now "
+    "covers only genuinely DCT/entropy-coded formats (JPEG/MP4).",
+    tags=("parity", "multimodal", "north-star"),
+)
+def png_image_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        decode_png_stats,
+        png_rgb8_blob,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    width = (ck % 6 + 2).cast("int")
+    height = (ck % 7 + 1).cast("int")
+
+    def pixel(x, y, c):
+        return F.pmod(ck * 13 + y * 19 + x * 5 + c * 7, F.lit(256)).cast("int")
+
+    payloads = cust.select(
+        ck.alias("payload_id"),
+        png_rgb8_blob(width, height, pixel).alias("png"),
+    )
+    dec = decode_png_stats(payloads, "payload_id", "png")
+    area = F.col("width") * F.col("height")
+    return dec.select(
+        "payload_id", "width", "height", "channels",
+        F.round(F.col("sum_r") / area, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / area, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / area, 6).alias("mean_b"),
+        "top_row_sum",
+    )
+
+
+@register(
     "near_dup_clusters",
     oracle=_clusters_oracle(),
     doc="Transitive near-dup clustering: connected components over the "

@@ -222,3 +222,156 @@ def test_bmp_blob_is_spec_exact_and_decoder_handles_layout(spark):
     assert got[1] == (w, h, *exp_sums, exp_top)
     for pid in (2, 3, 4, 5, 6):
         assert got[pid] == (None,) * 6, pid
+
+
+def test_png_blob_is_spec_exact_and_decoder_verifies_structure(spark):
+    """The JVM-side PNG encoder must be byte-exact against an
+    independent Python reference (struct + zlib.crc32 + manual
+    filtering + stored-block framing), and the decoder must verify
+    chunk CRCs, reject malformed/interlaced/16-bit payloads, decode
+    REAL-deflate (not just stored-block) streams and the RGBA color
+    type, and unfilter all five scanline filters."""
+    import struct
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        decode_png_stats,
+        png_rgb8_blob,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    def ref_png(pid, w, h, px):
+        raw = b""
+        for y in range(h):
+            ft = y % 5
+            line = []
+            for i in range(3 * w):
+                x, c = i // 3, i % 3
+                r = px(x, y, c)
+                left = px(x - 1, y, c) if x > 0 else 0
+                up = px(x, y - 1, c) if y > 0 else 0
+                ul = px(x - 1, y - 1, c) if x > 0 and y > 0 else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = left
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                line.append((r - pred) % 256)
+            raw += bytes([ft]) + bytes(line)
+        z = b"\x78\x01"
+        nb = (len(raw) + 65534) // 65535
+        for k in range(nb):
+            blk = raw[k * 65535 : (k + 1) * 65535]
+            z += (
+                bytes([1 if k == nb - 1 else 0])
+                + struct.pack("<HH", len(blk), 65535 - len(blk))
+                + blk
+            )
+        z += struct.pack(">I", zlib.adler32(raw))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr) + chunk(b"IDAT", z) + chunk(b"IEND", b"")
+        )
+
+    # byte-exactness: h=6 > 5 exercises ALL FIVE filter types
+    w, h = 4, 6
+    px = lambda x, y, c: (11 + x * 5 + y * 19 + c * 7) % 256  # noqa: E731
+    df = spark.range(1).select(F.lit(11).alias("pid"))
+    blob = bytes(
+        df.select(
+            png_rgb8_blob(
+                F.lit(w).cast("int"), F.lit(h).cast("int"),
+                lambda x, y, c: F.pmod(
+                    F.lit(11) + x * 5 + y * 19 + c * 7, F.lit(256)
+                ).cast("int"),
+            ).alias("png")
+        ).collect()[0]["png"]
+    )
+    ref = ref_png(11, w, h, px)
+    assert blob == ref
+
+    # an RGBA fixture with REAL deflate compression (zlib.compress,
+    # not stored blocks) — the decoder must accept any valid stream
+    rw, rh = 3, 7
+    apx = lambda x, y, c: (3 * x + 5 * y + 11 * c + 1) % 256  # noqa: E731
+    araw = b""
+    for y in range(rh):
+        araw += b"\x00" + bytes(
+            apx(x, y, c) for x in range(rw) for c in range(4)
+        )
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", rw, rh, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(araw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+    # flip ONE pixel byte inside IDAT without fixing the CRC: the
+    # decoder's mandatory crc32 verification must reject it
+    idat_off = ref.index(b"IDAT") + 4 + 10
+    bad_crc = ref[:idat_off] + bytes([ref[idat_off] ^ 0xFF]) + ref[idat_off + 1 :]
+    interlaced_ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    interlaced = (
+        ref[:8] + chunk(b"IHDR", interlaced_ihdr) + ref[8 + 25 :]
+    )
+    sixteen_bit = (
+        ref[:8]
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + ref[8 + 25 :]
+    )
+    bad = [
+        (1, ref),
+        (2, rgba),
+        (3, b"\x89PNX" + ref[4:]),  # wrong signature
+        (4, ref[:-6]),              # truncated (IEND chopped)
+        (5, None),
+        (6, bad_crc),
+        (7, interlaced),
+        (8, sixteen_bit),
+        (9, ref[:8] + ref[33:]),    # first chunk is IDAT, no IHDR
+    ]
+    pdf = pd.DataFrame(
+        {"pid": [r[0] for r in bad], "png": [r[1] for r in bad]}
+    )
+    got = {
+        r["pid"]: (
+            r["width"], r["height"], r["channels"],
+            r["sum_r"], r["sum_g"], r["sum_b"], r["top_row_sum"],
+        )
+        for r in decode_png_stats(
+            spark.createDataFrame(pdf), "pid", "png"
+        ).collect()
+    }
+    sums = [
+        sum(px(x, y, c) for x in range(w) for y in range(h)) for c in range(3)
+    ]
+    top = sum(px(x, 0, c) for x in range(w) for c in range(3))
+    assert got[1] == (w, h, 3, *sums, top)
+    asums = [
+        sum(apx(x, y, c) for x in range(rw) for y in range(rh))
+        for c in range(3)
+    ]
+    atop = sum(apx(x, 0, c) for x in range(rw) for c in range(3))
+    assert got[2] == (rw, rh, 4, *asums, atop)
+    for pid in (3, 4, 5, 6, 7, 8, 9):
+        assert got[pid] == (None,) * 7, pid
+    assert len(got) == 9  # 1:1 — malformed rows are nulled, not dropped

@@ -199,7 +199,8 @@ def test_driver_window_contract():
         # codec legs (JVM-side encode -> numpy byte-offset decode,
         # blob-free oracles)
         "multimodal": {"binary_doc_stats", "doc_frame_samples",
-                       "wav_pcm_decode_stats", "bmp_image_decode_stats"},
+                       "wav_pcm_decode_stats", "bmp_image_decode_stats",
+                       "png_image_decode_stats"},
         # streaming_priority_revenue feeds the SAME apply_agg_delta
         # state machinery from a real stream — it is both the ivm
         # family's slot and the streaming bridge's driver gate

@@ -461,6 +461,18 @@ def test_bmp_encode_is_projection_decode_arrow_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_png_encode_is_projection_decode_arrow_only(spark):
+    """Same contract as the WAV/BMP legs, now for the COMPRESSED
+    codec: the zlib framing + adler32 + chunk CRCs all fold into the
+    JVM projection (no Exchange, no join), and Python touches bytes
+    only through Arrow-batched mapInPandas."""
+    plan = _plan(spark, "png_image_decode_stats")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
+
+
 def test_pairwise_ce_gradient_step_is_one_codegen_aggregate(spark):
     """The trained cross-encoder's claim: each gradient step is ONE
     whole-stage-codegen aggregate over the feature frame — no weight
