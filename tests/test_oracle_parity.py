@@ -229,5 +229,39 @@ def test_driver_window_contract():
                                "purchase_touch_attribution"},
         "grouped-models": {"event_type_value_trend"},
     }
-    missing = [f for f, alts in families.items() if not alts & window]
+    # FRESHNESS EXEMPTION (r09 policy amendment, queries/catalog.py):
+    # a family whose EVERY member holds a driver hash-green row from
+    # the last two recorded rounds has nothing to refresh and does
+    # not consume a window slot that round — that is what lets the
+    # stale-evidence cohort clear at ~27 rows/round instead of ~14.
+    # Computed from the repo's CORRECTNESS_r*.json files so it
+    # tracks reality: the moment a family's evidence ages past two
+    # rounds, this assertion starts demanding a slot again.
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    rounds: set[int] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.add(rnd)
+        for q, v in json.load(open(f)).items():
+            if v.get("hash_match"):
+                last_green[q] = max(last_green.get(q, 0), rnd)
+    floor = (max(rounds) - 1) if rounds else 0
+    exempt = {
+        f
+        for f, mems in families.items()
+        if mems and all(last_green.get(q, 0) >= floor for q in mems)
+    }
+    missing = [
+        f for f, alts in families.items()
+        if f not in exempt and not alts & window
+    ]
     assert not missing, f"families with no driver-window representative: {missing}"
