@@ -35,11 +35,16 @@ TABLES = (
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single-FILE parquet; Spark-built lakes
+        # (scale studies) are parquet DIRECTORIES of part files —
+        # DuckDB needs a glob for the latter
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     # .df() is the driver-faithful fetch: HUGEINT -> float64,
     # out-of-range timestamps raise here.
     df = con.execute(sql).df()
