@@ -10,8 +10,12 @@ Batch construction (content-deterministic, mirrors
 ``textdata._variant_corpus``):
 
 * batch 1 — the whole ``documents`` table;
-* batch 2 — a near-dup of every 5th doc (id+1M, first 7 chars
-  dropped) plus a fresh doc per every 9th (id+2M, text reversed).
+* batch 2 — a near-dup of every 5th doc (id shifted by
+  s = max(doc_id)+1M, first 7 chars dropped) plus a fresh doc per
+  every 9th (id+2s, text reversed). The shift derives from the
+  corpus so the batch id spaces stay disjoint at any scale factor
+  (the r09 sf1 parity study caught a hardcoded 1M boundary
+  misclassifying key-shifted copies).
 
 The query returns batch 2's rejections ``(doc_id, dup_of,
 est_jaccard)`` — the store's observable contract: which incoming docs
@@ -49,11 +53,21 @@ def _dedup_store_oracle() -> str:
         f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(_SK)
     )
     return f"""
-    WITH b2 AS (
-      SELECT doc_id + 1000000 AS doc_id, substr(text, 8) AS text
+    WITH mx AS (
+      -- batch-2 id shift derived from the CORPUS, not hardcoded:
+      -- the r09 sf1 parity study caught the old literal 1000000
+      -- boundary misclassifying key-shifted copy docs (ids >= 1e9)
+      -- as batch-2 rows; deriving s > max(doc_id) keeps the batch
+      -- spaces disjoint at any scale factor or id layout
+      SELECT max(doc_id) + 1000000 AS s FROM documents
+    ),
+    b2 AS (
+      SELECT doc_id + (SELECT s FROM mx) AS doc_id,
+             substr(text, 8) AS text
       FROM documents WHERE doc_id % 5 = 0
       UNION ALL
-      SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text
+      SELECT doc_id + 2 * (SELECT s FROM mx) AS doc_id,
+             reverse(text) AS text
       FROM documents WHERE doc_id % 9 = 0
     ),
     allc AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM b2),
@@ -93,7 +107,7 @@ def _dedup_store_oracle() -> str:
     -- ingest 1 (empty store): X rejected iff any qualifying Y < X
     rej1 AS (
       SELECT DISTINCT idb AS doc_id FROM qual
-      WHERE ida < 1000000 AND idb < 1000000
+      WHERE ida < (SELECT s FROM mx) AND idb < (SELECT s FROM mx)
     ),
     store AS (
       SELECT doc_id FROM documents
@@ -104,7 +118,8 @@ def _dedup_store_oracle() -> str:
     rvs AS (
       SELECT idb AS doc_id, min(ida) AS dup_of, max(est) AS est_jaccard
       FROM qual
-      WHERE idb >= 1000000 AND ida IN (SELECT doc_id FROM store)
+      WHERE idb >= (SELECT s FROM mx)
+        AND ida IN (SELECT doc_id FROM store)
       GROUP BY idb
     ),
     -- ingest 2 within-batch (one-hop greedy: the lower side must not
@@ -112,7 +127,7 @@ def _dedup_store_oracle() -> str:
     rnn AS (
       SELECT idb AS doc_id, min(ida) AS dup_of, max(est) AS est_jaccard
       FROM qual
-      WHERE ida >= 1000000 AND idb >= 1000000
+      WHERE ida >= (SELECT s FROM mx) AND idb >= (SELECT s FROM mx)
         AND ida NOT IN (SELECT doc_id FROM rvs)
       GROUP BY idb
     ),
@@ -147,15 +162,18 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(dir=_SCRATCH_PARENT)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # id shift derived from the corpus (one max agg, metadata-scale),
+    # mirroring the oracle's mx CTE — see _dedup_store_oracle
+    shift = int(docs.agg(F.max("doc_id")).first()[0]) + 1000000
     b2 = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (F.col("doc_id") + shift).alias("doc_id"),
             F.expr("substring(text, 8)").alias("text"),
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 9 == 0).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
+                (F.col("doc_id") + 2 * shift).alias("doc_id"),
                 F.reverse("text").alias("text"),
             )
         )
@@ -202,15 +220,18 @@ def incremental_dedup_ingest_bucketed(
     root = tempfile.mkdtemp(dir=parent)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # id shift derived from the corpus (one max agg, metadata-scale),
+    # mirroring the oracle's mx CTE — see _dedup_store_oracle
+    shift = int(docs.agg(F.max("doc_id")).first()[0]) + 1000000
     b2 = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (F.col("doc_id") + shift).alias("doc_id"),
             F.expr("substring(text, 8)").alias("text"),
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 9 == 0).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
+                (F.col("doc_id") + 2 * shift).alias("doc_id"),
                 F.reverse("text").alias("text"),
             )
         )
