@@ -289,3 +289,113 @@ def test_concurrent_patch_entries_survive_the_clear(spark, tmp_path, monkeypatch
         for r in cat.read("rb.t__centroids").select("label").distinct().collect()
     }
     assert 99 in healed
+
+
+def test_maybe_rebalance_racing_appends(spark, tmp_path):
+    """VERDICT r08 #6, the third named maintenance op: writer A
+    streams append_ivfpq_store batches while writer B loops
+    maybe_rebalance from a SEPARATE catalog instance. Rebalance
+    rewrites hot cells' dirs while appends CAS-merge new dirs into
+    the same bucket map — the interleavings that could lose a batch,
+    double-apply a split patch, or desync cell_counts. Invariants
+    after quiescence: the stored id set is exactly seed ∪ appends,
+    manifest cell_counts match the actual per-cell group counts, and
+    a full probe returns byte-identical top-k to a FRESH write-once
+    store over the same rows and codebook (cell arrangement is
+    immaterial by contract)."""
+    import threading
+
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        append_ivfpq_store,
+        maybe_rebalance,
+    )
+
+    cat_a, emb = _skewed_store(spark, tmp_path, n=60)
+    cat_b = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+
+    def _batch(base: int, n: int):
+        rows = []
+        for j in range(n):
+            i = base + j
+            blob = i % 2
+            vec = [0.0, 1.0 if blob == 0 else 0.0,
+                   0.0 if blob == 0 else 1.0, 0.0]
+            rows.append((i, [v + 0.01 * (i % 7) for v in vec], 1))
+        return _emb(spark, rows)
+
+    batches = [_batch(1000 + 20 * b, 12) for b in range(4)]
+    errors: list = []
+
+    def run_appends() -> None:
+        try:
+            for b, df in enumerate(batches):
+                append_ivfpq_store(cat_a, df, "rb.t", batch_id=b)
+        except Exception as e:
+            errors.append(("append", e))
+
+    def run_rebalance() -> None:
+        try:
+            for _ in range(3):
+                maybe_rebalance(cat_b, "rb.t", max_cell_rows=20)
+        except Exception as e:
+            errors.append(("rebalance", e))
+
+    threads = [
+        threading.Thread(target=run_appends),
+        threading.Thread(target=run_rebalance),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    reader = ManifestCatalog(spark, f"file://{tmp_path}/lake")
+    stored = reader.read("rb.t")
+    got_ids = sorted(r["vec_id"] for r in stored.select("vec_id").collect())
+    want_ids = sorted(
+        set(range(60)) | {1000 + 20 * b + j for b in range(4) for j in range(12)}
+    )
+    assert got_ids == want_ids  # nothing lost, nothing doubled
+
+    m = reader.latest_manifest("rb.t")
+    actual = {
+        str(int(r["cell"])): int(r["n"])
+        for r in stored.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {c: int(n) for c, n in m["cell_counts"].items() if int(n)} == actual
+
+    # arrangement-independence: full probe over the raced store must
+    # equal a write-once store over the same rows + codebook
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        _codebook_from_manifest,
+        ivf_assign_cells,
+        _routing_centroids,
+    )
+
+    n_cells = len(m["cell_counts"])
+    queries = _emb(
+        spark,
+        [(9001, [0.0, 1.0, 0.02, 0.0], 1), (9002, [1.0, 0.03, 0.0, 0.0], 0)],
+    )
+    raced, _ = ivfpq_store_topk(
+        reader, "rb.t", queries, "vec_id", "embedding",
+        k=5, nprobe=n_cells,
+    )
+    cb = _codebook_from_manifest(m)
+    cat_fresh = ManifestCatalog(spark, f"file://{tmp_path}/fresh")
+    cent = _routing_centroids(reader, "rb.t", m)
+    all_rows = stored.select("vec_id", "embedding")
+    assigned = ivf_assign_cells(cent, all_rows, "vec_id", "embedding",
+                                out_col="cell")
+    write_ivfpq_store(
+        cat_fresh, assigned, "vec_id", "embedding", "cell", cb,
+        "rb.fresh", dim=4,
+    )
+    fresh, _ = ivfpq_store_topk(
+        cat_fresh, "rb.fresh", queries, "vec_id", "embedding",
+        k=5, nprobe=len(cat_fresh.latest_manifest("rb.fresh")["cell_counts"]),
+    )
+    key = lambda r: (r["query_id"], r["match_id"])  # noqa: E731
+    assert sorted((r.asDict() for r in raced.collect()), key=key) == \
+        sorted((r.asDict() for r in fresh.collect()), key=key)
