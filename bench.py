@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     # strategy (the pq_topk/ivfpq_store_topk pattern, applied to
     # driver-coordinated iteration instead of index amortization)
     "mmr_diverse_rerank",
+    # round 9 (additive): the compressed-codec path — JVM-side PNG
+    # encode (filters/zlib/CRCs as one projection) -> stdlib-zlib
+    # Arrow-batched decode; pins codec throughput round-over-round
+    "png_image_decode_stats",
 ]
 
 N_WARM_RUNS = 3
