@@ -110,8 +110,10 @@ PARITY_QUERIES = [
     # streaming gates (file streams built from sf_dir content)
     "streaming_priority_revenue",
     "streaming_late_data_revenue",
-    # codec gate: 1.5M JVM-encoded payloads through the Arrow decode
+    # codec gates: 1.5M WAV / 150k PNG JVM-encoded payloads through
+    # the Arrow decode
     "wav_pcm_decode_stats",
+    "png_image_decode_stats",
 ]
 
 
@@ -197,13 +199,22 @@ def main() -> None:
         "--lake", default=None, help="reuse an already-built scaled lake"
     )
     ap.add_argument("--skip-aqe-probe", action="store_true")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep EVERY oracle-backed registry query (full-coverage "
+        "mode; oracle replay cost, not the engine, dominates)",
+    )
     args = ap.parse_args()
 
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = create_spark_session(app_name="scale_parity_study")
     spark.sparkContext.setLogLevel("ERROR")
     out = args.lake or tempfile.mkdtemp(prefix="scale_parity_")
-    names = args.queries or PARITY_QUERIES
+    if args.all:
+        names = [n for n, q in REGISTRY.items() if q.oracle is not None]
+    else:
+        names = args.queries or PARITY_QUERIES
     summary: dict[str, dict] = {}
     try:
         if not args.lake:
