@@ -9,6 +9,12 @@ Determinism rules for oracle-matched queries:
 * alias every computed column identically on both sides;
 * round double aggregates (sums → 2dp on cent-valued data, ratios →
   6dp) so Spark/DuckDB summation-order ulp differences vanish;
+  CAVEAT (r09 sf1 sweep): with 10x+ rows per group a 2dp-rounded
+  DOUBLE sum can still land a summation-order ulp across a .xx5
+  boundary — for exactly-cent-valued columns prefer an EXACT
+  decimal pipeline on BOTH sides (CAST each term to its true scale,
+  multiply/sum in decimal, round, CAST to DOUBLE last); see
+  nation_trade_volume / product_profit for the template;
 * never use current_date/now in matched queries — anchor literals;
 * deterministic tie-breaks on every window ordering.
 """

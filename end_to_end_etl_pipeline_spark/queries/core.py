@@ -1046,7 +1046,13 @@ def salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           -- EXACT decimal sum (r09 sf1 sweep: the double sum tripped
+           -- a one-cent .xx5 boundary by summation-order ulps at 10x
+           -- rows; money columns are exact at these scales, so the
+           -- decimal pipeline is order-free on both engines)
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1093,9 +1099,16 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("l_year"),
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(3,2)")
+                   - F.col("l_discount").cast("decimal(3,2)"))
+            ),
+            2,
         )
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -1403,8 +1416,14 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation,
            CAST(year(o.o_orderdate) AS INT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+           -- EXACT decimal sum (r09 sf1 sweep caught the double sum a
+           -- cent off at 10x rows — see nation_trade_volume)
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                          - CAST(0.6 AS DECIMAL(2,1))
+                            * CAST(p.p_retailprice AS DECIMAL(12,2))
+                            * CAST(l.l_quantity AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS profit
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1434,8 +1453,11 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice"
     )
     profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+        - F.lit(0.6).cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
     )
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -1445,7 +1467,7 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
-    ).agg(F.round(F.sum(profit), 2).alias("profit"))
+    ).agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
 
 
 @register(
