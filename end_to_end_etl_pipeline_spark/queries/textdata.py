@@ -698,20 +698,24 @@ def bmp_image_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def png_image_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_etl_pipeline_spark.operators.multimodal import (
         decode_png_stats,
-        png_rgb8_blob,
+        encode_png_rgb8,
     )
 
     cust = load(spark, sf_dir, "customer")
-    ck = F.col("c_custkey")
+    ck = F.col("payload_id")  # the generators key off the output id
     width = (ck % 6 + 2).cast("int")
     height = (ck % 7 + 1).cast("int")
 
     def pixel(x, y, c):
         return F.pmod(ck * 13 + y * 19 + x * 5 + c * 7, F.lit(256)).cast("int")
 
-    payloads = cust.select(
-        ck.alias("payload_id"),
-        png_rgb8_blob(width, height, pixel).alias("png"),
+    # staged bulk encoder: each intermediate (scanline array, hex,
+    # adler, zlib framing) evaluates ONCE per row — the one-Column
+    # png_rgb8_blob form re-evaluates the scanline build ~6x because
+    # higher-order functions run outside codegen subexpr elimination
+    payloads = encode_png_rgb8(
+        cust.select(F.col("c_custkey").alias("payload_id")),
+        width, height, pixel,
     )
     dec = decode_png_stats(payloads, "payload_id", "png")
     area = F.col("width") * F.col("height")

@@ -375,3 +375,37 @@ def test_png_blob_is_spec_exact_and_decoder_verifies_structure(spark):
     for pid in (3, 4, 5, 6, 7, 8, 9):
         assert got[pid] == (None,) * 7, pid
     assert len(got) == 9  # 1:1 — malformed rows are nulled, not dropped
+
+
+def test_png_staged_encoder_matches_single_column_form(spark):
+    """encode_png_rgb8 (the staged bulk path the gate and bench use)
+    must produce byte-identical blobs to png_rgb8_blob (the
+    one-Column form the byte-exactness test pins against the
+    independent reference encoder) — staging is a pure evaluation
+    strategy, never a semantics change."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        encode_png_rgb8,
+        png_rgb8_blob,
+    )
+
+    base = spark.range(1, 40).select(F.col("id").alias("payload_id"))
+    ck = F.col("payload_id")
+    width = (ck % 6 + 2).cast("int")
+    height = (ck % 7 + 1).cast("int")
+
+    def pixel(x, y, c):
+        return F.pmod(ck * 13 + y * 19 + x * 5 + c * 7, F.lit(256)).cast("int")
+
+    staged = {
+        r["payload_id"]: bytes(r["png"])
+        for r in encode_png_rgb8(base, width, height, pixel).collect()
+    }
+    single = {
+        r["payload_id"]: bytes(r["png"])
+        for r in base.select(
+            "payload_id", png_rgb8_blob(width, height, pixel).alias("png")
+        ).collect()
+    }
+    assert staged == single
