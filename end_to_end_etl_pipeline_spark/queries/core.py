@@ -138,7 +138,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           -- EXACT decimal sum (r09 skew-parity check caught the
+           -- double sum a cent off on the hot-key lake — longer
+           -- per-group chains, higher boundary-trip odds; see
+           -- nation_trade_volume for the template)
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2)
+                AS DOUBLE) AS revenue,
            count(DISTINCT c.c_custkey) AS n_customers
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -163,7 +169,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-order sums == the global sum; addition order was already
     # nondeterministic under parallel aggregation
     rev = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)")
+               - F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("__rev")
     )
     joined = (
         rev.join(orders, rev.l_orderkey == orders.o_orderkey)
@@ -172,7 +182,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum("__rev"), 2).alias("revenue"),
+        F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
         F.countDistinct("c_custkey").alias("n_customers"),
     )
 

@@ -117,12 +117,39 @@ PARITY_QUERIES = [
 ]
 
 
+#: join/agg shapes re-checked for VALUE parity against the hot-key
+#: skewed lake (~45% of orders on one custkey): AQE's skew-join split
+#: is a physical path no driver hash has ever covered — a split that
+#: dropped or doubled a partition's rows would be invisible to the
+#: timing-only r05 skew study but hash-fatal here
+SKEW_PARITY_QUERIES = [
+    "customer_master",
+    "customer_order_distribution",
+    "revenue_by_nation",
+    "monthly_segment_growth",
+    "orders_pit_dimension_join",
+    "salted_order_revenue",
+]
+
+
+def _final_plan(df) -> str:
+    """Execute ``df`` (reduced to a global count so nothing big hits
+    the driver) through its OWN QueryExecution and return the FINAL
+    adaptive plan string. A ``.write`` action executes a CLONED
+    QueryExecution, so inspecting ``df`` after it shows the INITIAL
+    plan (isFinalPlan=false) — this function's plan strings carry
+    isFinalPlan=true and the runtime AQEShuffleRead/skew markers."""
+    probe = df.groupBy().count()
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the adaptive plan string appends an "== Initial Plan ==" section
+    # — keep only the final plan or every join double-counts
+    return plan.split("== Initial Plan ==")[0]
+
+
 def _join_strategies(df) -> dict[str, int]:
-    """Materialize ``df`` and count join strategies in the FINAL
-    adaptive plan (AQE re-plans at runtime; the pre-execution plan
-    can lie about what actually ran)."""
-    df.write.mode("overwrite").format("noop").save()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    """Count join strategies in the final adaptive plan."""
+    plan = _final_plan(df)
     return {
         k: len(re.findall(k, plan))
         for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
@@ -205,6 +232,13 @@ def main() -> None:
         help="sweep EVERY oracle-backed registry query (full-coverage "
         "mode; oracle replay cost, not the engine, dominates)",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="also build the hot-key skewed lake (scale_study."
+        "build_skewed) and hash-check the join shapes against it, "
+        "recording whether AQE's skew-join split activated",
+    )
     args = ap.parse_args()
 
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -240,6 +274,55 @@ def main() -> None:
                 r["base_ok"] = parity_one(spark, name, base)["ok"]
             print(json.dumps({"query": name, **r}), flush=True)
             summary.setdefault(name, {}).update(r)
+        if args.skew:
+            from scripts.scale_study import build_skewed
+
+            skew_dir = out + "_skew"
+            t0 = time.perf_counter()
+            build_skewed(spark, base, out, skew_dir, args.factor)
+            print(
+                f"built skewed lake at {skew_dir} "
+                f"in {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            # force the skew-split machinery to ACTUALLY fire at test
+            # size: at defaults (256 MB skewed-partition threshold,
+            # broadcastable dims, coalescing interleaved) the split
+            # never trips on a laptop-scale lake, which would make
+            # "parity under skew" vacuously easy. Disable broadcast so
+            # the skewed key rides a real SortMergeJoin, turn off
+            # partition coalescing for the probe, and lower the
+            # thresholds until AQEShuffleRead reports "skewed" —
+            # verified empirically: with coalescing ON the split
+            # stayed dormant even at a 1 MB threshold.
+            skew_confs = {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+                "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+            }
+            saved = {k: spark.conf.get(k, None) for k in skew_confs}
+            try:
+                for k, v in skew_confs.items():
+                    spark.conf.set(k, v)
+                for name in SKEW_PARITY_QUERIES:
+                    plan = _final_plan(REGISTRY[name].spark(spark, skew_dir))
+                    r = parity_one(spark, name, skew_dir)
+                    r["skew_split_in_plan"] = "skew=true" in plan
+                    print(
+                        json.dumps({"skew_query": name, **r}), flush=True
+                    )
+                    summary.setdefault(f"skew:{name}", {}).update(r)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+                shutil.rmtree(skew_dir, ignore_errors=True)
         n_ok = sum(1 for r in summary.values() if r.get("ok"))
         print(
             json.dumps(
