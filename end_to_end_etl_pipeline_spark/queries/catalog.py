@@ -9,12 +9,20 @@ Determinism rules for oracle-matched queries:
 * alias every computed column identically on both sides;
 * round double aggregates (sums → 2dp on cent-valued data, ratios →
   6dp) so Spark/DuckDB summation-order ulp differences vanish;
-  CAVEAT (r09 sf1 sweep): with 10x+ rows per group a 2dp-rounded
-  DOUBLE sum can still land a summation-order ulp across a .xx5
-  boundary — for exactly-cent-valued columns prefer an EXACT
-  decimal pipeline on BOTH sides (CAST each term to its true scale,
-  multiply/sum in decimal, round, CAST to DOUBLE last); see
-  nation_trade_volume / product_profit for the template;
+  CAVEAT (r09 sf1/skew sweeps): the rule is about WHICH sums can
+  trip. A double sum of PLAIN 2dp money values is safe at any
+  realistic scale — the true sum is an exact whole number of cents,
+  never on a half-cent boundary, so the ~1e-6 accumulated ulp error
+  cannot flip the 2dp round. A sum of PRODUCTS
+  (price*(1-discount)[*(1+tax)]) is NOT safe: the true per-row
+  values carry 4-6 decimals, so a group's true sum can sit exactly
+  on .xx5 and Spark-vs-DuckDB summation-order ulps decide the
+  round (three queries tripped exactly this way at 10x rows). All
+  product-sum sites therefore use an EXACT decimal pipeline on
+  BOTH sides — CAST each factor to its true scale, multiply/sum in
+  decimal, round, CAST to DOUBLE last (ratios: decimal sums, CAST
+  both to DOUBLE, ONE double division) — see pricing_summary /
+  nation_trade_volume / promo_revenue_ratio for the templates;
 * never use current_date/now in matched queries — anchor literals;
 * deterministic tie-breaks on every window ordering.
 """

@@ -101,9 +101,19 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           -- money sums in EXACT decimal (r09 sf1/skew sweeps: double
+           -- sums trip one-cent .xx5 boundaries by summation-order
+           -- ulps at 10x rows; price/discount/tax verify as exactly
+           -- 2dp, so the decimal pipeline is order-free)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2)
+                AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
@@ -117,15 +127,18 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1).cast("decimal(3,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price_d * (one - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -596,7 +609,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -606,7 +619,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
     GROUP BY 1, 3, 4
     QUALIFY row_number() OVER (
-      ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+      ORDER BY CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) DESC,
                l_orderkey) <= 10
     """,
     doc="TPC-H Q3 shape: selective filters on three tables pushed to "
@@ -626,7 +639,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
             "revenue"
         )
     )
@@ -884,7 +897,7 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -927,7 +940,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nations_in_region), supplier.s_nationkey == F.col("n_nationkey"))
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
             "revenue"
         )
     )
@@ -937,7 +950,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -948,7 +961,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_returnflag = 'R'
     GROUP BY 1, 2, 4, 5
     QUALIFY row_number() OVER (
-      ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+      ORDER BY CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) DESC,
                c_custkey) <= 20
     """,
     doc="TPC-H Q10 shape: returned-lineitem revenue per customer in a "
@@ -971,7 +984,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
             "revenue"
         )
     )
@@ -1019,7 +1032,7 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            count(*) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,
@@ -1045,7 +1058,7 @@ def salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, orders, ["l_orderkey"], salt_col="l_partkey", n_salt=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
             "revenue"
         ),
     )
@@ -1325,10 +1338,15 @@ def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_ratio",
     oracle="""
     SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
-           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+           -- numerator/denominator in EXACT decimal, ONE double
+           -- division at the end (r09 decimal-sum migration)
+           round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                       * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                                  ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE), 6) AS promo_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
@@ -1342,12 +1360,22 @@ def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
     )
 
 
@@ -1356,7 +1384,8 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH volumes AS (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(3,2))) AS volume,
              sn.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1371,8 +1400,9 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                          THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM volumes GROUP BY 1
     """,
     doc="TPC-H Q8 shape: one nation's market share of ECONOMY-part "
@@ -1406,7 +1436,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
         "p_partkey"
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1415,10 +1447,16 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(supp_nation), supplier.s_nationkey == F.col("sn_key"))
     )
-    share_num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    share_num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
     return joined.groupBy(
         F.year("o_orderdate").cast("int").alias("o_year")
-    ).agg(F.round(F.sum(share_num) / F.sum(vol), 6).alias("mkt_share"))
+    ).agg(
+        F.round(
+            F.sum(share_num).cast("double") / F.sum(vol).cast("double"), 6
+        ).alias("mkt_share")
+    )
 
 
 @register(
@@ -1731,7 +1769,7 @@ def daily_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -1756,7 +1794,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
             "total_revenue"
         )
     )
@@ -1776,7 +1814,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "discounted_brand_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -1810,8 +1848,13 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, (li.l_partkey == part.p_partkey) & pred)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(3,2)")
+                       - F.col("l_discount").cast("decimal(3,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -1940,7 +1983,7 @@ def _pagerank_iter_cte(prev: str, out: str) -> str:
     oracle=f"""
     WITH edges AS (
       SELECT cn.n_name AS src, sn.n_name AS dst,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS w
+             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS w
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1999,8 +2042,13 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("w")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(3,2)")
+                       - F.col("l_discount").cast("decimal(3,2)"))
+                ),
+                2,
+            ).cast("double").alias("w")
         )
     )
     return pagerank(edges, iterations=3)
