@@ -622,6 +622,7 @@ def decode_png_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             if bb[:8] != b"\x89PNG\r\n\x1a\n":
                 return NULLS
             pos, ihdr, idat, ended = 8, None, [], False
+            idat_done = False  # spec: IDAT chunks must be consecutive
             while pos + 12 <= len(bb):
                 ln = int.from_bytes(bb[pos : pos + 4], "big")
                 typ = bb[pos + 4 : pos + 8]
@@ -637,10 +638,16 @@ def decode_png_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                         return NULLS  # IHDR must be first
                     ihdr = data
                 elif typ == b"IDAT":
+                    if idat_done:
+                        return NULLS  # non-consecutive IDAT run
                     idat.append(data)
                 elif typ == b"IEND":
+                    if end + 4 != len(bb):
+                        return NULLS  # trailing bytes after IEND
                     ended = True
                     break
+                elif idat:
+                    idat_done = True
                 pos = end + 4
             if ihdr is None or not ended or len(ihdr) != 13:
                 return NULLS
@@ -654,12 +661,24 @@ def decode_png_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             ):
                 return NULLS
             bpp = 3 if color == 2 else 4
+            stride = 1 + w * bpp
+            # BOUNDED inflate: a malformed payload can declare small
+            # dims but carry a high-ratio deflate stream; a plain
+            # zlib.decompress would allocate the full decompressed
+            # size before the length check, defeating the w*h memory
+            # cap. Cap output at stride*h + 1 (one spare byte detects
+            # over-long streams without buffering them).
+            d = zlib.decompressobj()
             try:
-                raw = zlib.decompress(b"".join(idat))
+                raw = d.decompress(b"".join(idat), stride * h + 1)
             except zlib.error:
                 return NULLS
-            stride = 1 + w * bpp
-            if len(raw) != stride * h:
+            if (
+                len(raw) != stride * h
+                or d.unconsumed_tail
+                or not d.eof
+                or d.unused_data
+            ):
                 return NULLS
             lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
             recon = np.zeros((h, w * bpp), dtype=np.uint8)

@@ -164,7 +164,9 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # id shift derived from the corpus (one max agg, metadata-scale),
     # mirroring the oracle's mx CTE — see _dedup_store_oracle
-    shift = int(docs.agg(F.max("doc_id")).first()[0]) + 1000000
+    # `or 0` keeps an empty corpus from raising int(None) — the
+    # query then degrades to empty batches instead of a TypeError
+    shift = int(docs.agg(F.max("doc_id")).first()[0] or 0) + 1000000
     b2 = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .select(
@@ -222,7 +224,9 @@ def incremental_dedup_ingest_bucketed(
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # id shift derived from the corpus (one max agg, metadata-scale),
     # mirroring the oracle's mx CTE — see _dedup_store_oracle
-    shift = int(docs.agg(F.max("doc_id")).first()[0]) + 1000000
+    # `or 0` keeps an empty corpus from raising int(None) — the
+    # query then degrades to empty batches instead of a TypeError
+    shift = int(docs.agg(F.max("doc_id")).first()[0] or 0) + 1000000
     b2 = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .select(

@@ -377,6 +377,68 @@ def test_png_blob_is_spec_exact_and_decoder_verifies_structure(spark):
     assert len(got) == 9  # 1:1 — malformed rows are nulled, not dropped
 
 
+def test_png_decoder_bounds_inflate_and_enforces_chunk_layout(spark):
+    """r09 ADVICE hardening: (a) a payload declaring small dims but
+    carrying a high-ratio deflate stream must NULL out via the
+    BOUNDED inflate (stride*h + 1 cap) instead of allocating the
+    full decompressed size; (b) IDAT chunks separated by another
+    chunk type are rejected (spec: consecutive); (c) trailing bytes
+    after IEND's CRC are rejected; (d) a stream inflating longer
+    than stride*h is rejected without buffering it."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        decode_png_stats,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    w = h = 2
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    raw = b""
+    for y in range(h):
+        raw += b"\x00" + bytes((x + y) % 256 for x in range(3 * w))
+    good = sig + ihdr + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # (a) 2x2 declared, but IDAT inflates to 64 MiB of zeros
+    bomb = sig + ihdr + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9)
+    ) + chunk(b"IEND", b"")
+    # (b) the IDAT split in two with a tEXt chunk between the halves
+    z = zlib.compress(raw)
+    split = sig + ihdr + chunk(b"IDAT", z[:4]) + chunk(
+        b"tEXt", b"k\x00v"
+    ) + chunk(b"IDAT", z[4:]) + chunk(b"IEND", b"")
+    # (c) valid PNG followed by trailing garbage
+    trailing = good + b"junk"
+    # (d) stream one byte longer than stride*h
+    overlong = sig + ihdr + chunk(
+        b"IDAT", zlib.compress(raw + b"\x00")
+    ) + chunk(b"IEND", b"")
+
+    rows = [(1, good), (2, bomb), (3, split), (4, trailing), (5, overlong)]
+    pdf = pd.DataFrame({"pid": [r[0] for r in rows],
+                        "png": [r[1] for r in rows]})
+    got = {
+        r["pid"]: (r["width"], r["sum_r"])
+        for r in decode_png_stats(
+            spark.createDataFrame(pdf), "pid", "png"
+        ).collect()
+    }
+    assert got[1][0] == w and got[1][1] is not None
+    for pid in (2, 3, 4, 5):
+        assert got[pid] == (None, None), pid
+    assert len(got) == 5
+
+
 def test_png_staged_encoder_matches_single_column_form(spark):
     """encode_png_rgb8 (the staged bulk path the gate and bench use)
     must produce byte-identical blobs to png_rgb8_blob (the
