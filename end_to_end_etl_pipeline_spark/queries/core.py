@@ -32,6 +32,42 @@ from end_to_end_etl_pipeline_spark.queries.catalog import load, register
 
 ANCHOR = "1998-12-01"  # fixed anchor instead of current_date: deterministic
 
+# --- exact-money arithmetic (r09 migration; r10 A/B seam) -----------
+#: The 13 product-sum money queries route their revenue expressions
+#: through the helpers below. MONEY_EXACT=True (the ONLY shipped and
+#: verified form — see the determinism rules in queries/catalog.py)
+#: computes in exact decimal so group sums are summation-order-free;
+#: False restores the pre-r09 double pipeline and exists ONLY so
+#: scripts/decimal_tax_study.py can price the exactness tax in one
+#: session with zero code duplication. Tests and the driver always
+#: run with True; the double form can land a cent off at scale
+#: (proven at the r09 sf1 sweep) and must never ship.
+MONEY_EXACT = True
+
+
+def _disc_rev(price: str = "l_extendedprice", disc: str = "l_discount"):
+    """price * (1 - discount): decimal(12,2) x decimal(3,2) ->
+    decimal(16,4), exact (2dp x 2dp has exactly 4dp)."""
+    if MONEY_EXACT:
+        return F.col(price).cast("decimal(12,2)") * (
+            F.lit(1).cast("decimal(3,2)") - F.col(disc).cast("decimal(3,2)")
+        )
+    return F.col(price) * (F.lit(1.0) - F.col(disc))
+
+
+def _charge_rev(tax: str = "l_tax"):
+    """_disc_rev() * (1 + tax) -> decimal(20,6), exact."""
+    if MONEY_EXACT:
+        return _disc_rev() * (
+            F.lit(1).cast("decimal(3,2)") + F.col(tax).cast("decimal(3,2)")
+        )
+    return _disc_rev() * (F.lit(1.0) + F.col(tax))
+
+
+def _rev_zero():
+    """Typed zero for when/otherwise branches over _disc_rev()."""
+    return F.lit(0).cast("decimal(17,4)") if MONEY_EXACT else F.lit(0.0)
+
 
 @register(
     "customer_master",
@@ -127,10 +163,12 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(3,2)")
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_price = price_d * (one - F.col("l_discount").cast("decimal(3,2)"))
-    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
+    price_d = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        if MONEY_EXACT else F.col("l_extendedprice")
+    )
+    disc_price = _disc_rev()
+    charge = _charge_rev()
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -183,9 +221,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nondeterministic under parallel aggregation
     rev = li.groupBy("l_orderkey").agg(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1).cast("decimal(3,2)")
-               - F.col("l_discount").cast("decimal(3,2)"))
+            _disc_rev()
         ).alias("__rev")
     )
     joined = (
@@ -639,7 +675,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
+        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
             "revenue"
         )
     )
@@ -940,7 +976,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nations_in_region), supplier.s_nationkey == F.col("n_nationkey"))
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
+        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
             "revenue"
         )
     )
@@ -984,7 +1020,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
+        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
             "revenue"
         )
     )
@@ -1058,7 +1094,7 @@ def salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, orders, ["l_orderkey"], salt_col="l_partkey", n_salt=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
+        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
             "revenue"
         ),
     )
@@ -1124,9 +1160,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.round(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1).cast("decimal(3,2)")
-                   - F.col("l_discount").cast("decimal(3,2)"))
+                _disc_rev()
             ),
             2,
         )
@@ -1360,11 +1394,9 @@ def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-    )
+    rev = _disc_rev()
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
-        F.lit(0).cast("decimal(17,4)")
+        _rev_zero()
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -1436,9 +1468,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
         "p_partkey"
     )
-    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-    )
+    vol = _disc_rev()
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1448,7 +1478,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), supplier.s_nationkey == F.col("sn_key"))
     )
     share_num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-        F.lit(0).cast("decimal(17,4)")
+        _rev_zero()
     )
     return joined.groupBy(
         F.year("o_orderdate").cast("int").alias("o_year")
@@ -1501,11 +1531,13 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice"
     )
     profit = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+        _disc_rev()
         - F.lit(0.6).cast("decimal(2,1)")
         * F.col("p_retailprice").cast("decimal(12,2)")
         * F.col("l_quantity").cast("decimal(12,2)")
+        if MONEY_EXACT
+        else _disc_rev()
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -1794,7 +1826,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))), 2).cast("double").alias(
+        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
             "total_revenue"
         )
     )
@@ -1849,9 +1881,7 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1).cast("decimal(3,2)")
-                       - F.col("l_discount").cast("decimal(3,2)"))
+                    _disc_rev()
                 ),
                 2,
             ).cast("double").alias("revenue"),
@@ -2043,9 +2073,7 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1).cast("decimal(3,2)")
-                       - F.col("l_discount").cast("decimal(3,2)"))
+                    _disc_rev()
                 ),
                 2,
             ).cast("double").alias("w")

@@ -716,6 +716,153 @@ def ann_store_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_ann_ingest_restart",
+    oracle=f"""
+    WITH {_IVFPQ_CTES}
+    SELECT query_id, match_id, l2sq FROM rerank
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY l2sq, match_id) <= 5
+    """,
+    doc="Mid-stream CRASH-RESTART of the ANN index-ingest bridge "
+    "(streaming/jobs.foreach_batch_ann_ingest) — the driver gate for "
+    "the CAS-riding ``ann_last_batch_id`` replay marker. The IVFADC "
+    "store is built over half the corpus, the other half lands as a "
+    "3-file drop zone replayed one file per trigger, and run 1 is "
+    "KILLED by an injected failure AFTER micro-batch 1's manifest "
+    "commit but BEFORE its checkpoint commit — exactly the "
+    "at-least-once window where a naive bridge double-ingests. Run 2 "
+    "restarts the SHIPPED bridge from the same checkpoint: Structured "
+    "Streaming replays batch 1 with the same batch id, the marker "
+    "(which rode the same manifest CAS as batch 1's data dirs) "
+    "refuses it, and the stream drains batch 2. The final store must "
+    "answer the same IVFADC oracle as a write-once index over the "
+    "union — any double-ingested row perturbs the ADC shortlist and "
+    "breaks the hash. Complements the pytest-level replay-guard "
+    "proofs (tests/test_streaming.py) with a real StreamingQuery "
+    "kill/restart through the checkpoint, under the driver.",
+    tags=("north-star", "vectors", "incremental", "streaming"),
+)
+def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.errors import StreamingQueryException
+
+    from end_to_end_etl_pipeline_spark.operators.ivf_store import (
+        append_ivfpq_store,
+        ivfpq_store_topk,
+        write_ivfpq_store,
+    )
+    from end_to_end_etl_pipeline_spark.operators.pq import pq_train
+    from end_to_end_etl_pipeline_spark.operators.similarity import (
+        label_centroids_array,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_ann_ingest,
+    )
+
+    scratch_parent = "/tmp/spark_graft_ann_restart"
+    os.makedirs(scratch_parent, exist_ok=True)
+    # time-based reap only: the driver and a pytest session may run
+    # this concurrently, and an unconditional wipe would delete the
+    # other's landing/checkpoint dirs mid-stream
+    cutoff = time.time() - 3600
+    for stale in os.listdir(scratch_parent):
+        p = os.path.join(scratch_parent, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = tempfile.mkdtemp(dir=scratch_parent)
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = _dim(emb)
+    cb = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=_PQ_M, num_centroids=_PQ_K, iters=1,
+    )
+    cat = ManifestCatalog(spark, f"file://{root}/lake")
+    write_ivfpq_store(
+        cat,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        "vec_id", "embedding", "label", cb, "ann.pq", dim=dim,
+    )
+    # router pinned to the full-corpus label centroids, as in
+    # ann_store_incremental_topk: centroids are model state
+    cat.replace_atomic(
+        label_centroids_array(
+            emb.select(F.col("label"), F.col("embedding")),
+            "label", "embedding", dim=dim,
+        ),
+        "ann.pq__centroids",
+    )
+
+    feed = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding", "label"
+    )
+    landing = f"file://{root}/landing"
+    feed.repartition(3).write.parquet(landing)
+    ckpt = f"file://{root}/ckpt"
+
+    def _read_stream():
+        return (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .parquet(landing)
+        )
+
+    # RUN 1: production append per batch, then the injected crash in
+    # the at-least-once window (after the store's CAS commit, before
+    # foreachBatch returns and the checkpoint's batch commit lands)
+    def _sabotaged(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ivfpq_store(
+            cat, batch_df, "ann.pq", cell_col="label", batch_id=batch_id
+        )
+        if batch_id == 1:
+            raise RuntimeError("injected-crash-after-commit")
+
+    q1 = (
+        _read_stream()
+        .writeStream.foreachBatch(_sabotaged)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    crashed = False
+    try:
+        q1.awaitTermination()
+    except StreamingQueryException as exc:
+        if "injected-crash-after-commit" not in str(exc):
+            raise
+        crashed = True
+    assert crashed, "injected crash did not fire (batch 1 never ran)"
+    assert cat.latest_manifest("ann.pq").get("ann_last_batch_id") == 1
+
+    # RUN 2: the SHIPPED bridge, same checkpoint — batch 1 replays
+    # with the same id, the marker refuses it, batch 2 drains
+    q2 = foreach_batch_ann_ingest(
+        _read_stream(), cat, "ann.pq",
+        checkpoint_dir=ckpt, cell_col="label", available_now=True,
+    )
+    q2.awaitTermination()
+    assert cat.latest_manifest("ann.pq").get("ann_last_batch_id") == 2
+
+    res, _probed = ivfpq_store_topk(
+        cat, "ann.pq",
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5, nprobe=2, shortlist_factor=5,
+    )
+    # eager: the scratch store may be reaped by the next invocation
+    return res.localCheckpoint(eager=True)
+
+
+@register(
     "ann_store_rebalanced_topk",
     oracle=f"""
     WITH {_IVFPQ_CTES},

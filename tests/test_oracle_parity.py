@@ -88,6 +88,15 @@ def test_driver_contract_shapes():
     assert set(os_) <= set(qs)
 
 
+def test_money_exact_is_the_shipped_form():
+    """MONEY_EXACT=False exists ONLY as scripts/decimal_tax_study.py's
+    in-session A/B twin — the double pipeline can land a cent off at
+    scale (r09 sf1 sweep). Imports must always see True."""
+    from end_to_end_etl_pipeline_spark.queries import core
+
+    assert core.MONEY_EXACT is True
+
+
 def test_driver_window_contract():
     """The driver's correctness gate only reads the first 50 registered
     queries; DRIVER_WINDOW pins what fills those slots. Guard both the
@@ -207,7 +216,8 @@ def test_driver_window_contract():
         "ivm": {"incremental_priority_revenue",
                 "streaming_priority_revenue"},
         "streaming-bridge": {"streaming_priority_revenue",
-                             "streaming_scd2_dimension"},
+                             "streaming_scd2_dimension",
+                             "streaming_ann_ingest_restart"},
         # event-time watermark semantics (late-drop + append-mode
         # finalization) — a separate claim from the foreachBatch
         # bridges, which never exercise event-time state eviction
@@ -229,18 +239,35 @@ def test_driver_window_contract():
                                "purchase_touch_attribution"},
         "grouped-models": {"event_type_value_trend"},
     }
-    # FRESHNESS EXEMPTION (r09 policy amendment, queries/catalog.py):
-    # a family whose EVERY member holds a driver hash-green row from
-    # the last two recorded rounds has nothing to refresh and does
-    # not consume a window slot that round — that is what lets the
-    # stale-evidence cohort clear at ~27 rows/round instead of ~14.
-    # Computed from the repo's CORRECTNESS_r*.json files so it
-    # tracks reality: the moment a family's evidence ages past two
-    # rounds, this assertion starts demanding a slot again.
+    # FRESHNESS EXEMPTION (r09 policy amendment; floor ANCHORED r10):
+    # a family whose listed representatives ALL hold a driver
+    # hash-green row from the last two rounds recorded AT ROTATION
+    # TIME has nothing to refresh and does not consume a window slot
+    # that round — that is what lets the stale-evidence cohort clear
+    # at ~27 rows/round instead of ~14. (The members checked are the
+    # representatives listed above, the interchangeable queries a
+    # slot may rotate among — not every registry query that could be
+    # tagged with the family.)
+    #
+    # FLOOR ARITHMETIC (r10 fix for the r09 red test): the floor is
+    # WINDOW_ROTATION_ROUND - 2, a constant pinned when the window
+    # was rotated. The r09 form — max(recorded rounds) - 1 recomputed
+    # at test time — was unstable under the artifact every round
+    # produces: the driver writing CORRECTNESS_r09.json moved the
+    # floor 7→8 mid-round and retroactively revoked the rerank-seam /
+    # streaming-bridge exemptions with no r09 slot. With the anchor,
+    # later files can only ADD green rows (last_green is monotone),
+    # so a family exempt at rotation stays exempt and a family with
+    # a window slot stays covered — coverage is stable under any
+    # number of subsequent driver rounds.
     import glob
     import json
     import os
     import re
+
+    from end_to_end_etl_pipeline_spark.queries.catalog import (
+        WINDOW_ROTATION_ROUND,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict[str, int] = {}
@@ -254,7 +281,23 @@ def test_driver_window_contract():
         for q, v in json.load(open(f)).items():
             if v.get("hash_match"):
                 last_green[q] = max(last_green.get(q, 0), rnd)
-    floor = (max(rounds) - 1) if rounds else 0
+    # the anchor must track reality: the round the window was rotated
+    # FOR must have its predecessor's evidence on disk (constant not
+    # bumped early), and no recorded round may exceed it (a recorded
+    # round past the anchor means a driver round shipped WITHOUT a
+    # rotation — the standing per-round policy was skipped)
+    assert WINDOW_ROTATION_ROUND - 1 in rounds, (
+        f"WINDOW_ROTATION_ROUND={WINDOW_ROTATION_ROUND} but "
+        f"CORRECTNESS_r{WINDOW_ROTATION_ROUND - 1:02d}.json is absent "
+        "— the constant was bumped before the prior round's evidence "
+        "landed"
+    )
+    assert max(rounds) <= WINDOW_ROTATION_ROUND, (
+        f"CORRECTNESS_r{max(rounds):02d}.json postdates "
+        f"WINDOW_ROTATION_ROUND={WINDOW_ROTATION_ROUND} — a driver "
+        "round shipped without rotating the window"
+    )
+    floor = WINDOW_ROTATION_ROUND - 2
     exempt = {
         f
         for f, mems in families.items()
@@ -265,3 +308,23 @@ def test_driver_window_contract():
         if f not in exempt and not alts & window
     ]
     assert not missing, f"families with no driver-window representative: {missing}"
+    # REGRESSION GUARD for the r09 failure mode: simulate the file
+    # the driver is about to write (every window query green at
+    # WINDOW_ROTATION_ROUND) and re-derive coverage — it must not
+    # change. This is exactly the event that turned r09 red.
+    simulated = dict(last_green)
+    for q in DRIVER_WINDOW:
+        simulated[q] = max(simulated.get(q, 0), WINDOW_ROTATION_ROUND)
+    exempt2 = {
+        f
+        for f, mems in families.items()
+        if mems and all(simulated.get(q, 0) >= floor for q in mems)
+    }
+    missing2 = [
+        f for f, alts in families.items()
+        if f not in exempt2 and not alts & window
+    ]
+    assert not missing2, (
+        "coverage would break the moment the driver writes "
+        f"CORRECTNESS_r{WINDOW_ROTATION_ROUND:02d}.json: {missing2}"
+    )
