@@ -193,6 +193,53 @@ def _build_ann_store(spark, sf_dir: str):
     return cat, store_topk, tmpdir
 
 
+def _build_png_blobs(spark, sf_dir: str):
+    """Untimed setup for ``png_decode_only``: encode the same PNG
+    payload set the ``png_image_decode_stats`` conformance query
+    builds (one per customer, JVM-side staged encoder) and PERSIST
+    the blobs to scratch parquet — how a production lake holds
+    images. The timed twin is then decode-only: parquet scan ->
+    Arrow-batched mapInPandas decode -> per-image stats, zero encode
+    work — the honest price of the codec's production path, which
+    the conformance entry (encode+decode in one query, by blob-free-
+    oracle design) structurally overstates. Returns (query_fn,
+    tmpdir)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.operators.multimodal import (
+        decode_png_stats,
+        encode_png_rgb8,
+    )
+
+    tmpdir = tempfile.mkdtemp(prefix="bench_png_")
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("payload_id")
+    width = (ck % 6 + 2).cast("int")
+    height = (ck % 7 + 1).cast("int")
+
+    def pixel(x, y, c):
+        return F.pmod(ck * 13 + y * 19 + x * 5 + c * 7, F.lit(256)).cast("int")
+
+    encode_png_rgb8(
+        cust.select(F.col("c_custkey").alias("payload_id")),
+        width, height, pixel,
+    ).write.parquet(f"{tmpdir}/payloads")
+
+    def decode_only(spark, sf_dir):
+        payloads = spark.read.parquet(f"{tmpdir}/payloads")
+        dec = decode_png_stats(payloads, "payload_id", "png")
+        area = F.col("width") * F.col("height")
+        return dec.select(
+            "payload_id", "width", "height", "channels",
+            F.round(F.col("sum_r") / area, 6).alias("mean_r"),
+            F.round(F.col("sum_g") / area, 6).alias("mean_g"),
+            F.round(F.col("sum_b") / area, 6).alias("mean_b"),
+            "top_row_sum",
+        )
+
+    return decode_only, tmpdir
+
+
 def _build_dedup_store(spark, sf_dir: str):
     """Untimed setup: bulk-ingest the base documents corpus into a
     band-bucketed MinHash signature store once — how a production
@@ -374,6 +421,7 @@ def main() -> None:
             runnable[name] = q.spark
     tmpdir = None
     dedup_tmpdir = None
+    png_tmpdir = None
     try:
         _cat, store_topk, tmpdir = _build_ann_store(spark, sf_dir)
         runnable["ivfpq_store_topk"] = store_topk
@@ -384,6 +432,11 @@ def main() -> None:
         runnable["dedup_store_probe"] = dedup_probe
     except Exception as exc:  # pragma: no cover - never skip the bench
         print(f"dedup store setup failed: {exc!r}", file=sys.stderr)
+    try:
+        png_decode_only, png_tmpdir = _build_png_blobs(spark, sf_dir)
+        runnable["png_decode_only"] = png_decode_only
+    except Exception as exc:  # pragma: no cover - never skip the bench
+        print(f"png blob setup failed: {exc!r}", file=sys.stderr)
 
     try:
         # intra-pass canary trace (r07): one canary sample at the top
@@ -426,6 +479,8 @@ def main() -> None:
             shutil.rmtree(tmpdir, ignore_errors=True)
         if dedup_tmpdir:
             shutil.rmtree(dedup_tmpdir, ignore_errors=True)
+        if png_tmpdir:
+            shutil.rmtree(png_tmpdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -18,11 +18,18 @@ Determinism rules for oracle-matched queries:
   values carry 4-6 decimals, so a group's true sum can sit exactly
   on .xx5 and Spark-vs-DuckDB summation-order ulps decide the
   round (three queries tripped exactly this way at 10x rows). All
-  product-sum sites therefore use an EXACT decimal pipeline on
-  BOTH sides — CAST each factor to its true scale, multiply/sum in
-  decimal, round, CAST to DOUBLE last (ratios: decimal sums, CAST
-  both to DOUBLE, ONE double division) — see pricing_summary /
-  nation_trade_volume / promo_revenue_ratio for the templates;
+  product-sum sites therefore compute EXACT order-free sums on
+  both sides. Oracle side: CAST each factor to its true decimal
+  scale, multiply/sum in decimal, round, CAST to DOUBLE last
+  (ratios: decimal sums, CAST both to DOUBLE, ONE double
+  division). Engine side (r10 fast path, value-identical,
+  hash-proven at sf0.01 and ~sf1): each product as a scaled LONG
+  (2dp factors scale exactly via x100 + round), summed as compact
+  DECIMAL(18,0) — long-fast-path adds, no overflow cliff (the
+  decimal(28,0) buffer absorbs >9.2e18 via BigDecimal) — divided
+  back by the scale in exact decimal once per group; see
+  queries/core.py _rev/_charge/_sum_rev and
+  scripts/decimal_tax_study.py for the measured alternatives;
 * never use current_date/now in matched queries — anchor literals;
 * deterministic tie-breaks on every window ordering.
 """

@@ -32,41 +32,102 @@ from end_to_end_etl_pipeline_spark.queries.catalog import load, register
 
 ANCHOR = "1998-12-01"  # fixed anchor instead of current_date: deterministic
 
-# --- exact-money arithmetic (r09 migration; r10 A/B seam) -----------
+# --- exact-money arithmetic (r09 migration; r10 fast path + A/B seam)
 #: The 13 product-sum money queries route their revenue expressions
 #: through the helpers below. MONEY_EXACT=True (the ONLY shipped and
 #: verified form — see the determinism rules in queries/catalog.py)
-#: computes in exact decimal so group sums are summation-order-free;
-#: False restores the pre-r09 double pipeline and exists ONLY so
-#: scripts/decimal_tax_study.py can price the exactness tax in one
-#: session with zero code duplication. Tests and the driver always
-#: run with True; the double form can land a cent off at scale
-#: (proven at the r09 sf1 sweep) and must never ship.
+#: computes order-free EXACT money sums; False restores the pre-r09
+#: double pipeline and exists ONLY so scripts/decimal_tax_study.py
+#: can price the exactness tax in one session with zero code
+#: duplication. Tests and the driver always run with True; the double
+#: form can land a cent off at scale (proven at the r09 sf1 sweep)
+#: and must never ship.
+#:
+#: r10 FAST PATH (scripts/decimal_tax_study.py kernels): the r09 form
+#: multiplied decimal(12,2) x decimal(3,2) per row and summed the
+#: decimal(16,4)/(20,6) products — every multiply on Spark's
+#: BigDecimal path and every add against a >18-digit (non-compact)
+#: sum buffer: 1.8-2.4x a double sum on agg-dominated queries. The
+#: shipped form now computes each product as a scaled LONG (price
+#: and rates are exactly 2dp, so price_cents * (100-disc_pct) is the
+#: exact product at 1e4 scale — whole-stage-codegen integer math)
+#: and sums it as compact decimal(18,0): per-row adds take Spark
+#: Decimal's long fast path; the decimal(28,0) buffer absorbs group
+#: values past 9.2e18 via its BigDecimal fallback, so there is NO
+#: 100-TB overflow cliff (a raw long sum, 1.7x faster still, wraps
+#: silently at ~8.4e7 rows x max charge per group — rejected; the
+#: k5 two-level long/decimal form measures identical and forces a
+#: second aggregate — rejected for plan complexity). Values are
+#: identical to the r09 decimal pipeline (kernel-asserted) and the
+#: DuckDB oracles keep their decimal form. Measured (SCALE.md r10
+#: study): sum_charge kernel 0.78s vs 1.00s (r09 form) vs 0.64s
+#: (unsafe long) vs 0.32s (double) warm at sf0.1; fleet-wide 11/13
+#: queries now pay <=1.21x vs double (revenue_by_nation 1.72->1.19);
+#: the two agg-dominated queries stay ~2x = the exact-sum floor.
 MONEY_EXACT = True
 
 
-def _disc_rev(price: str = "l_extendedprice", disc: str = "l_discount"):
-    """price * (1 - discount): decimal(12,2) x decimal(3,2) ->
-    decimal(16,4), exact (2dp x 2dp has exactly 4dp)."""
+def _cents(col, digits: int = 2):
+    """Exact integer scaling of a fixed-``digits``-decimal money/rate
+    column stored as double: x*100 in DOUBLE then round-to-integer.
+    Exact because a 2dp value v is stored as v(1+e), |e|<=2^-53, so
+    v*100 lands within ~1.4e-11 of the true integer for v<=1e5 (and
+    within 0.5 up to ~7e13) — the round recovers it exactly. Pure
+    whole-stage-codegen double ops; the r10 study measured the
+    decimal-cast scaling form ((x::DECIMAL(12,2))*100)::LONG paying
+    a per-row BigDecimal multiply that erased the fast-sum win."""
+    return F.round(col * (10 ** digits), 0).cast("long")
+
+
+def _rev(price: str = "l_extendedprice", disc: str = "l_discount"):
+    """Per-row revenue term price*(1-discount) — a LONG at 1e4 scale
+    (exact: 2dp x 2dp has exactly 4dp) on the shipped path, a plain
+    double product on the study twin. Always aggregate through
+    :func:`_sum_rev` / :func:`_sum_rev_raw` (scale=10000)."""
     if MONEY_EXACT:
-        return F.col(price).cast("decimal(12,2)") * (
-            F.lit(1).cast("decimal(3,2)") - F.col(disc).cast("decimal(3,2)")
-        )
+        return _cents(F.col(price)) * (100 - _cents(F.col(disc)))
     return F.col(price) * (F.lit(1.0) - F.col(disc))
 
 
-def _charge_rev(tax: str = "l_tax"):
-    """_disc_rev() * (1 + tax) -> decimal(20,6), exact."""
+def _charge(tax: str = "l_tax"):
+    """Per-row charge term price*(1-disc)*(1+tax) — LONG at 1e6 scale
+    (exact 6dp; <= ~1.1e11 per row at the TPC-H price cap) or the
+    double twin. Aggregate with scale=1000000."""
     if MONEY_EXACT:
-        return _disc_rev() * (
-            F.lit(1).cast("decimal(3,2)") + F.col(tax).cast("decimal(3,2)")
-        )
-    return _disc_rev() * (F.lit(1.0) + F.col(tax))
+        return _rev() * (100 + _cents(F.col(tax)))
+    return _rev() * (F.lit(1.0) + F.col(tax))
 
 
 def _rev_zero():
-    """Typed zero for when/otherwise branches over _disc_rev()."""
-    return F.lit(0).cast("decimal(17,4)") if MONEY_EXACT else F.lit(0.0)
+    """Typed zero for when/otherwise branches over _rev()/_charge()."""
+    return F.lit(0).cast("long") if MONEY_EXACT else F.lit(0.0)
+
+
+def _sum_rev(expr, dp: int = 2, scale: int = 10000):
+    """Order-free exact money sum, rounded to ``dp`` and returned as
+    DOUBLE (the oracle-matched output type): sums the scaled-long
+    rows as compact decimal(18,0) — long-fast-path adds, overflow-
+    safe to 1e28 via the buffer's BigDecimal fallback — then divides
+    the one result row back by ``scale`` in exact decimal. The study
+    twin is the plain double sum."""
+    if MONEY_EXACT:
+        return (
+            F.round(
+                (F.sum(expr.cast("decimal(18,0)")) / scale).cast(
+                    "decimal(38,6)"
+                ),
+                dp,
+            ).cast("double")
+        )
+    return F.round(F.sum(expr), dp).cast("double")
+
+
+def _sum_rev_raw(expr, scale: int = 10000):
+    """Unrounded exact money sum as DOUBLE — for ratios of sums
+    (divide once, in double, after both sums are exact)."""
+    if MONEY_EXACT:
+        return (F.sum(expr.cast("decimal(18,0)")) / scale).cast("double")
+    return F.sum(expr).cast("double")
 
 
 @register(
@@ -163,20 +224,18 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    price_d = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
+    price_c2 = (
+        _cents(F.col("l_extendedprice"))
         if MONEY_EXACT else F.col("l_extendedprice")
     )
-    disc_price = _disc_rev()
-    charge = _charge_rev()
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            _sum_rev(price_c2, 2, scale=100).alias("sum_base_price"),
+            _sum_rev(_rev(), 2).alias("sum_disc_price"),
+            _sum_rev(_charge(), 2, scale=1000000).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -220,9 +279,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-order sums == the global sum; addition order was already
     # nondeterministic under parallel aggregation
     rev = li.groupBy("l_orderkey").agg(
-        F.sum(
-            _disc_rev()
-        ).alias("__rev")
+        # per-order partial: orders hold <= 7 lineitems (TPC-H
+        # construction, preserved by build_scaled copies), so the
+        # scaled-long sum is bounded at ~7x1.1e9 at ANY corpus scale
+        F.sum(_rev()).alias("__rev")
     )
     joined = (
         rev.join(orders, rev.l_orderkey == orders.o_orderkey)
@@ -231,7 +291,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
+        _sum_rev(F.col("__rev"), 2).alias("revenue"),
         F.countDistinct("c_custkey").alias("n_customers"),
     )
 
@@ -675,7 +735,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
+        _sum_rev(_rev(), 2).alias(
             "revenue"
         )
     )
@@ -976,7 +1036,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nations_in_region), supplier.s_nationkey == F.col("n_nationkey"))
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
+        _sum_rev(_rev(), 2).alias(
             "revenue"
         )
     )
@@ -1020,7 +1080,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
+        _sum_rev(_rev(), 2).alias(
             "revenue"
         )
     )
@@ -1094,7 +1154,7 @@ def salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, orders, ["l_orderkey"], salt_col="l_partkey", n_salt=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
+        _sum_rev(_rev(), 2).alias(
             "revenue"
         ),
     )
@@ -1158,14 +1218,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("l_year"),
     ).agg(
-        F.round(
-            F.sum(
-                _disc_rev()
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("revenue")
+        _sum_rev(_rev(), 2).alias("revenue")
     )
 
 
@@ -1394,7 +1447,7 @@ def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = _disc_rev()
+    rev = _rev()
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
         _rev_zero()
     )
@@ -1403,8 +1456,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
         .agg(
             F.round(
-                F.lit(100.0) * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
+                F.lit(100.0) * _sum_rev_raw(promo) / _sum_rev_raw(rev),
                 6,
             ).alias("promo_pct")
         )
@@ -1468,7 +1520,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
         "p_partkey"
     )
-    vol = _disc_rev()
+    vol = _rev()
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1484,7 +1536,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("o_year")
     ).agg(
         F.round(
-            F.sum(share_num).cast("double") / F.sum(vol).cast("double"), 6
+            _sum_rev_raw(share_num) / _sum_rev_raw(vol), 6
         ).alias("mkt_share")
     )
 
@@ -1530,13 +1582,17 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
         "p_partkey", "p_retailprice"
     )
+    # exact path: 0.6*retailprice*quantity at 1e4 scale is
+    # 60 * retail_cents * qty (quantities are integer-valued by
+    # TPC-H construction; the decimal cast would truncate a
+    # fractional feed loudly in parity, not silently)
     profit = (
-        _disc_rev()
-        - F.lit(0.6).cast("decimal(2,1)")
-        * F.col("p_retailprice").cast("decimal(12,2)")
-        * F.col("l_quantity").cast("decimal(12,2)")
+        _rev()
+        - F.lit(60)
+        * _cents(F.col("p_retailprice"))
+        * F.col("l_quantity").cast("long")
         if MONEY_EXACT
-        else _disc_rev()
+        else _rev()
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
     joined = (
@@ -1547,7 +1603,7 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
-    ).agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    ).agg(_sum_rev(profit, 2).alias("profit"))
 
 
 @register(
@@ -1826,7 +1882,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_disc_rev()), 2).cast("double").alias(
+        _sum_rev(_rev(), 2).alias(
             "total_revenue"
         )
     )
@@ -1879,12 +1935,7 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, (li.l_partkey == part.p_partkey) & pred)
         .agg(
-            F.round(
-                F.sum(
-                    _disc_rev()
-                ),
-                2,
-            ).cast("double").alias("revenue"),
+            _sum_rev(_rev(), 2).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -2071,12 +2122,7 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(
-            F.round(
-                F.sum(
-                    _disc_rev()
-                ),
-                2,
-            ).cast("double").alias("w")
+            _sum_rev(_rev(), 2).alias("w")
         )
     )
     return pagerank(edges, iterations=3)

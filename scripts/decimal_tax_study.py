@@ -19,7 +19,7 @@ Two parts:
    question and the scaled-long-cents idea:
 
    K1 double        sum(price*(1-d)*(1+t))                   [inexact]
-   K2 shipped       sum(dec(12,2)*dec→(16,4)*dec→(20,6))     [exact]
+   K2 decimal (r09) sum(dec(12,2)*dec→(16,4)*dec→(20,6))     [exact]
    K3 minimal       product cast down to (11,4) before the
                     tax multiply → (15,6) rows, sum buffer
                     (25,6) instead of (30,6)                  [exact*]
@@ -148,7 +148,7 @@ def _kernels(sf_dir: str):
             F.round(F.sum(c), 2).cast("double").alias("sum_charge")
         )
 
-    def k2_shipped(spark):
+    def k2_decimal_r09(spark):
         p = F.col("l_extendedprice").cast("decimal(12,2)")
         d = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
             "decimal(3,2)"
@@ -170,6 +170,22 @@ def _kernels(sf_dir: str):
         disc_p = (p * d).cast("decimal(11,4)")
         return base(spark).groupBy("l_returnflag", "l_linestatus").agg(
             F.round(F.sum(disc_p * t), 2).cast("double").alias("sum_charge")
+        )
+
+    def k6_shipped(spark):
+        # the CURRENT production form (queries/core.py _charge/_sum_rev):
+        # double-scaled long products + compact decimal(18,0) sum
+        p = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        d = 100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+        t = 100 + F.round(F.col("l_tax") * 100, 0).cast("long")
+        c6 = p * d * t
+        return base(spark).groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(
+                (F.sum(c6.cast("decimal(18,0)")) / 1000000).cast(
+                    "decimal(38,6)"
+                ),
+                2,
+            ).cast("double").alias("sum_charge")
         )
 
     def _cents(spark):
@@ -218,7 +234,8 @@ def _kernels(sf_dir: str):
 
     return [
         ("k1_double", k1_double),
-        ("k2_shipped", k2_shipped),
+        ("k2_decimal_r09", k2_decimal_r09),
+        ("k6_shipped", k6_shipped),
         ("k3_minimal", k3_minimal),
         ("k4_long_cents", k4_long),
         ("k5_two_level", k5_two_level),
@@ -245,15 +262,17 @@ def kernel_study(spark, sf_dir: str, reps: int) -> dict:
             "median": round(statistics.median(times[n][1:]), 3),
         }
     # exactness cross-check: every exact form must agree exactly
-    for a, b in [("k2_shipped", "k3_minimal"), ("k2_shipped", "k5_two_level"),
-                 ("k2_shipped", "k4_long_cents")]:
+    for a, b in [("k2_decimal_r09", "k3_minimal"),
+                 ("k2_decimal_r09", "k5_two_level"),
+                 ("k2_decimal_r09", "k4_long_cents"),
+                 ("k2_decimal_r09", "k6_shipped")]:
         same = values[a] == values[b]
         out[f"values_{a}_eq_{b}"] = same
         assert same, f"{a} != {b}: exactness violated"
     drift = {
-        k: round(values["k1_double"][k] - values["k2_shipped"][k], 2)
-        for k in values["k2_shipped"]
-        if values["k1_double"][k] != values["k2_shipped"][k]
+        k: round(values["k1_double"][k] - values["k6_shipped"][k], 2)
+        for k in values["k6_shipped"]
+        if values["k1_double"][k] != values["k6_shipped"][k]
     }
     out["k1_double_cent_drift_groups"] = len(drift)
     return out

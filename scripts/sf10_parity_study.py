@@ -1,0 +1,317 @@
+"""~sf10 parity study (VERDICT r09 #5): push value-exact verification
+past the DuckDB-replay wall.
+
+The r09 sweep proved all 178 queries at ~sf1 and 11 at ~sf3, but the
+heavy text families were ORACLE-bound, not engine-bound (the
+near-dup oracle replays 15 minhashes over every shingle: 80x the
+engine's cost at sf1 → ~4h at sf10). This study verifies a heavy
+slice at factor 100 (60M lineitem / 571k corpus docs — "sf10") with
+two modes, each documented per query in the output:
+
+* ``full`` — the driver-faithful compare (tests/oracle semantics,
+  scale_parity_study.parity_one) where DuckDB's replay is still
+  affordable at 100x: TPC-H aggregates/joins, exact dedup, text
+  stats, brute-force ANN, BM25.
+
+* ``sampled-exact`` — for MinHash-LSH near-dup, whose full replay is
+  the wall. Pick ~1k corpus keys deterministically (base doc_id %
+  499 == 0 → every copy's instance of those bases, variants
+  included), then replay the engine's EXACT semantics for every pair
+  touching a sampled doc:
+
+    1. compute the 15 Carter-Wegman minhash ARGMIN SHINGLES for each
+       sampled doc (needs only the sample's own shingles);
+    2. a banded partner must agree with the sample doc on all 5
+       minhashes of some band, and an equal minhash value implies the
+       SAME argmin shingle (the hash is md5-derived; collisions are
+       negligible) — so every true partner contains all 5 of that
+       band's argmin shingles. One inverted join of the corpus
+       shingle stream against the ≤ sample*15 argmin shingles,
+       HAVING count(DISTINCT k)=5 within a band, yields a small
+       SOUND candidate superset without hashing the corpus;
+    3. run the oracle's exact signature/banding/Jaccard pipeline
+       over (sample ∪ candidates) only, restrict pairs to those
+       touching the sample, and compare against the engine's full
+       sf10 output filtered to the same keys (same normalizer as the
+       driver).
+
+  Soundness: a pair's banding decision and Jaccard depend only on the
+  two docs' own texts, so restricting the replay to a key-closed
+  superset changes nothing; completeness: step 2's superset argument.
+  Invariants checked on the engine's FULL output besides the sample:
+  every pair within one scaled copy (the per-copy character
+  derangement makes cross-copy shingle overlap impossible by
+  construction), jaccard >= 0.6, doc_a < doc_b.
+
+Usage:
+  python scripts/sf10_parity_study.py [--factor 100] [--lake DIR]
+      [--keep] [--queries n1 n2 ...] [--sample-mod 499]
+
+Output: one JSON line per query with mode, timings, rows, ok.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY
+from end_to_end_etl_pipeline_spark.session import create_spark_session
+from scripts.scale_parity_study import parity_one
+from scripts.scale_study import build_scaled
+from tests.oracle import _df_norm, run_oracle
+
+#: full driver-faithful compare at factor 100 — DuckDB replay still
+#: affordable; ordered cheap-first so failures localize early
+FULL_QUERIES = [
+    "pricing_summary",          # 60M-row grouped exact-decimal aggregate
+    "revenue_by_nation",        # 5-way join star
+    "nation_market_share",      # dual-role dim join + conditional sums
+    "min_cost_supplier",        # correlated-min bridge
+    "customer_master",          # flagship: dedup+agg+join+KPIs at 1.5M cust
+    "winsorized_price_stats",   # percentile clamp over 60M rows
+    "top_events_per_user",      # 10M-row event window top-k
+    "dedup_exact_text",         # exact dedup at 571k docs
+    "doc_token_stats",          # tokenizer stats at 571k docs
+    "quality_classifier_scores",  # hashed-feature scoring at 571k docs
+    "cosine_topk",              # brute-force ANN baseline, 200k vectors
+    "bm25_doc_search",          # full-corpus idf + query scoring
+    "line_dedup_corpus",        # line-level dedup (explode + min_by)
+    "doc_span_overlap",         # winnowing fingerprints (df-capped join)
+]
+#: sampled-exact mode (see module doc)
+SAMPLED_QUERIES = ["near_dup_pairs"]
+
+_K, _B, _R = 15, 3, 5  # mirrors queries/textdata.py banding params
+_HEX = "0123456789abcdef"
+
+
+def _nibble(col: str, start: int, width: int = 8) -> str:
+    terms = [
+        f"(strpos('{_HEX}', substring({col}, {start + j}, 1)) - 1)"
+        f" * {16 ** (width - 1 - j)}"
+        for j in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sampled_near_dup_sql(sample_mod: int) -> str:
+    """Exact replay of the near_dup_pairs oracle restricted to pairs
+    touching the deterministic sample — argmin-shingle candidate
+    discovery instead of corpus-wide signatures."""
+    mins = ",\n           ".join(
+        f"min((h1 + {k} * h2) % 4294967296) AS m{k}" for k in range(_K)
+    )
+    bands = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS band_hash"
+        " FROM sig".format(
+            b=b, cols=", ".join(f"m{b * _R + r}" for r in range(_R))
+        )
+        for b in range(_B)
+    )
+    samp = f"(doc_id % 1000000000) % 1000000 % {sample_mod} = 0"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, substr(text, 8) AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    samp AS (SELECT doc_id, text FROM corpus WHERE {samp}),
+    ssh AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 6) AS shingle
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 5, 0))) AS i
+            FROM samp)
+    ),
+    sh1 AS (
+      SELECT doc_id, shingle,
+             {_nibble('h', 1)} AS h1, {_nibble('h', 9)} AS h2
+      FROM (SELECT doc_id, shingle, md5(shingle) AS h FROM ssh)
+    ),
+    ks AS (SELECT unnest(generate_series(0, {_K - 1})) AS k),
+    amins AS (
+      SELECT doc_id, k,
+             arg_min(shingle, (h1 + k * h2) % 4294967296) AS ashingle
+      FROM sh1, ks GROUP BY doc_id, k
+    ),
+    allsh AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 6) AS shingle
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 5, 0))) AS i
+            FROM corpus)
+    ),
+    hits AS (
+      SELECT a.doc_id AS cdoc, m.doc_id AS sdoc, m.k // {_R} AS band
+      FROM (SELECT DISTINCT doc_id, shingle FROM allsh) a
+      JOIN amins m ON a.shingle = m.ashingle
+      GROUP BY a.doc_id, m.doc_id, m.k // {_R}
+      HAVING count(DISTINCT m.k) = {_R}
+    ),
+    cand_docs AS (
+      SELECT DISTINCT cdoc AS doc_id FROM hits
+      UNION SELECT doc_id FROM samp
+    ),
+    rel AS (SELECT c.doc_id, c.text FROM corpus c
+            JOIN cand_docs USING (doc_id)),
+    sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 6) AS shingle
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 5, 0))) AS i
+            FROM rel)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             {_nibble('h', 1)} AS h1,
+             {_nibble('h', 9)} AS h2
+      FROM (SELECT doc_id, md5(shingle) AS h FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+    {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      WHERE ((a.doc_id % 1000000000) % 1000000 % {sample_mod} = 0)
+         OR ((b.doc_id % 1000000000) % 1000000 % {sample_mod} = 0)
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ci
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(ci AS DOUBLE) / (na.n + nb.n - ci), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(ci AS DOUBLE) / (na.n + nb.n - ci) >= 0.6
+    """
+
+
+def sampled_near_dup(spark, sf_dir: str, sample_mod: int) -> dict:
+    q = REGISTRY["near_dup_pairs"]
+    t0 = time.perf_counter()
+    full = q.spark(spark, sf_dir).persist()
+    n_pairs = full.count()
+    t_engine = time.perf_counter() - t0
+
+    problems: list[str] = []
+    base = (F.col("doc_a") % 1000000000) % 1000000
+    base_b = (F.col("doc_b") % 1000000000) % 1000000
+    # engine-output invariants over the FULL sf10 result
+    bad_copy = full.filter(
+        (F.col("doc_a") / 1000000000).cast("long")
+        != (F.col("doc_b") / 1000000000).cast("long")
+    ).count()
+    if bad_copy:
+        problems.append(f"{bad_copy} cross-copy pairs (derangement broken)")
+    bad_j = full.filter(
+        (F.col("jaccard") < 0.6) | (F.col("doc_a") >= F.col("doc_b"))
+    ).count()
+    if bad_j:
+        problems.append(f"{bad_j} pairs violate threshold/ordering")
+
+    s_df = (
+        full.filter((base % sample_mod == 0) | (base_b % sample_mod == 0))
+        .toPandas()
+    )
+    full.unpersist()
+    t1 = time.perf_counter()
+    o_df = run_oracle(_sampled_near_dup_sql(sample_mod), sf_dir)
+    t_oracle = time.perf_counter() - t1
+
+    if len(s_df) != len(o_df):
+        problems.append(
+            f"sampled row count differs: engine={len(s_df)} "
+            f"oracle={len(o_df)}"
+        )
+    order = sorted(s_df.columns)
+    if sorted(o_df.columns) != order:
+        problems.append(f"columns differ: {sorted(o_df.columns)} vs {order}")
+    elif _df_norm(s_df, order) != _df_norm(o_df, order):
+        problems.append("sampled values differ")
+    return {
+        "ok": not problems,
+        "mode": "sampled-exact",
+        "sample_mod": sample_mod,
+        "rows_full": n_pairs,
+        "rows_sampled": len(s_df),
+        "spark_sec": round(t_engine, 1),
+        "oracle_sec": round(t_oracle, 1),
+        "problems": problems,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--lake", default=None)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--sample-mod", type=int, default=499)
+    args = ap.parse_args()
+
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = create_spark_session(app_name="sf10_parity_study")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = args.lake or tempfile.mkdtemp(prefix="sf10_parity_")
+    summary: dict[str, dict] = {}
+    try:
+        if not args.lake:
+            t0 = time.perf_counter()
+            build_scaled(spark, base, out, args.factor)
+            print(
+                f"built {args.factor}x lake at {out} in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+        names = args.queries if args.queries else FULL_QUERIES
+        for name in names:
+            if name in SAMPLED_QUERIES:
+                continue
+            r = {"mode": "full", **parity_one(spark, name, out)}
+            print(json.dumps({"query": name, **r}), flush=True)
+            summary[name] = r
+        for name in SAMPLED_QUERIES:
+            if args.queries and name not in args.queries:
+                continue
+            r = sampled_near_dup(spark, out, args.sample_mod)
+            print(json.dumps({"query": name, **r}), flush=True)
+            summary[name] = r
+        n_ok = sum(1 for r in summary.values() if r.get("ok"))
+        print(json.dumps({
+            "study": "sf10_parity",
+            "factor": args.factor,
+            "ok": n_ok,
+            "total": len(summary),
+            "failing": [n for n, r in summary.items() if not r.get("ok")],
+        }), flush=True)
+    finally:
+        if not args.keep and not args.lake:
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
