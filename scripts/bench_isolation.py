@@ -55,6 +55,9 @@ def main() -> None:
             elif name == "ivfpq_store_topk":
                 _cat, fn, tmpdir = bench._build_ann_store(spark, sf_dir)
                 cleanup.append(tmpdir)
+            elif name == "png_decode_only":
+                fn, tmpdir = bench._build_png_blobs(spark, sf_dir)
+                cleanup.append(tmpdir)
             else:
                 fn = REGISTRY[name].spark
 

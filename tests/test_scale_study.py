@@ -139,3 +139,37 @@ def test_build_skewed_concentrates_hot_key(spark, tmp_path):
     # the hot key still joins customer (it is a copy-0 key)
     cust = spark.read.parquet(f"{skewed}/customer.parquet")
     assert cust.filter(F.col("c_custkey") == top["o_custkey"]).count() == 1
+
+
+def test_sf10_sampled_near_dup_oracle_degenerates_to_full(spark):
+    """The sf10 study's sampled-exact near-dup replay (argmin-shingle
+    candidate discovery + restricted signature recompute) must be a
+    PURE restriction of the full oracle: with sample_mod=1 (every doc
+    sampled) its output must equal the full near_dup_pairs oracle
+    verbatim, and with a real modulus it must equal the full oracle
+    filtered to pairs touching the sample. Runs at sf0.01 where the
+    full oracle is cheap; soundness at sf10 then follows from the
+    argmin-shingle argument in the script's module doc, which this
+    test pins empirically."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.sf10_parity_study import _sampled_near_dup_sql
+    from end_to_end_etl_pipeline_spark.queries.catalog import REGISTRY
+    from tests.oracle import _df_norm, run_oracle
+
+    sf = "/root/testdata/sf0.01"
+    full = run_oracle(REGISTRY["near_dup_pairs"].oracle, sf)
+    order = sorted(full.columns)
+
+    everything = run_oracle(_sampled_near_dup_sql(1), sf)
+    assert sorted(everything.columns) == order
+    assert _df_norm(everything, order) == _df_norm(full, order)
+
+    mod = 7
+    sampled = run_oracle(_sampled_near_dup_sql(mod), sf)
+    base_a = (full["doc_a"] % 1000000000) % 1000000
+    base_b = (full["doc_b"] % 1000000000) % 1000000
+    expected = full[(base_a % mod == 0) | (base_b % mod == 0)]
+    assert len(sampled) > 0, "vacuous sample — raise the corpus or lower mod"
+    assert _df_norm(sampled, order) == _df_norm(expected, order)
