@@ -149,11 +149,42 @@ def _sampled_near_dup_sql(sample_mod: int) -> str:
                    unnest(generate_series(1, greatest(length(text) - 5, 0))) AS i
             FROM corpus)
     ),
+    -- candidate discovery in two stages to bound the join fanout:
+    -- argmins are SIZE-BIASED toward globally common shingles (a
+    -- common shingle sits in many docs' sets, so it gets many
+    -- chances to carry the minimum hash) — joining the corpus
+    -- against every argmin measured ~600M rows at factor 100 and
+    -- spilled DuckDB off the disk. A banded partner must contain
+    -- ALL {_R} of the matching band's argmins, in particular the
+    -- band's RAREST one — so probe on that alone (min global df of
+    -- the {_R}), then verify full containment only for the probed
+    -- candidates. Still a sound superset.
+    adf AS (
+      SELECT a.shingle, count(DISTINCT a.doc_id) AS df
+      FROM allsh a
+      JOIN (SELECT DISTINCT ashingle FROM amins) m
+        ON a.shingle = m.ashingle
+      GROUP BY a.shingle
+    ),
+    probe AS (
+      SELECT doc_id AS sdoc, band, ashingle FROM (
+        SELECT m.doc_id, m.k // {_R} AS band, m.ashingle,
+               row_number() OVER (
+                 PARTITION BY m.doc_id, m.k // {_R}
+                 ORDER BY d.df, m.ashingle) AS rn
+        FROM amins m JOIN adf d ON d.shingle = m.ashingle
+      ) WHERE rn = 1
+    ),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS cdoc, p.sdoc, p.band
+      FROM allsh a JOIN probe p ON a.shingle = p.ashingle
+    ),
     hits AS (
-      SELECT a.doc_id AS cdoc, m.doc_id AS sdoc, m.k // {_R} AS band
-      FROM (SELECT DISTINCT doc_id, shingle FROM allsh) a
-      JOIN amins m ON a.shingle = m.ashingle
-      GROUP BY a.doc_id, m.doc_id, m.k // {_R}
+      SELECT c.cdoc, c.sdoc, c.band
+      FROM cand0 c
+      JOIN amins m ON m.doc_id = c.sdoc AND m.k // {_R} = c.band
+      JOIN allsh a ON a.doc_id = c.cdoc AND a.shingle = m.ashingle
+      GROUP BY c.cdoc, c.sdoc, c.band
       HAVING count(DISTINCT m.k) = {_R}
     ),
     cand_docs AS (
@@ -237,7 +268,15 @@ def sampled_near_dup(spark, sf_dir: str, sample_mod: int) -> dict:
     )
     full.unpersist()
     t1 = time.perf_counter()
-    o_df = run_oracle(_sampled_near_dup_sql(sample_mod), sf_dir)
+    spill = tempfile.mkdtemp(prefix="sf10_duck_spill_")
+    try:
+        o_df = run_oracle(
+            _sampled_near_dup_sql(sample_mod), sf_dir, temp_directory=spill
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(spill, ignore_errors=True)
     t_oracle = time.perf_counter() - t1
 
     if len(s_df) != len(o_df):

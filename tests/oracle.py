@@ -34,10 +34,16 @@ TABLES = (
 ).split()
 
 
-def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+def run_oracle(
+    sql: str, sf_dir: str, temp_directory: str | None = None
+) -> pd.DataFrame:
     import os
 
     con = duckdb.connect()
+    if temp_directory is not None:
+        # scale studies only: an in-memory DuckDB cannot spill without
+        # a temp dir — the driver-faithful default (None) is unchanged
+        con.execute(f"SET temp_directory = '{temp_directory}'")
     for t in TABLES:
         # driver testdata ships single-FILE parquet; Spark-built lakes
         # (scale studies) are parquet DIRECTORIES of part files —
