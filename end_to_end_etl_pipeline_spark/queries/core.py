@@ -56,27 +56,38 @@ ANCHOR = "1998-12-01"  # fixed anchor instead of current_date: deterministic
 #: values past 9.2e18 via its BigDecimal fallback, so there is NO
 #: 100-TB overflow cliff (a raw long sum, 1.7x faster still, wraps
 #: silently at ~8.4e7 rows x max charge per group — rejected; the
-#: k5 two-level long/decimal form measures identical and forces a
-#: second aggregate — rejected for plan complexity). Values are
-#: identical to the r09 decimal pipeline (kernel-asserted) and the
-#: DuckDB oracles keep their decimal form. Measured (SCALE.md r10
-#: study): sum_charge kernel 0.78s vs 1.00s (r09 form) vs 0.64s
-#: (unsafe long) vs 0.32s (double) warm at sf0.1; fleet-wide 11/13
-#: queries now pay <=1.21x vs double (revenue_by_nation 1.72->1.19);
-#: the two agg-dominated queries stay ~2x = the exact-sum floor.
+#: k5 two-level long/decimal form forces a second aggregate per
+#: query — rejected for plan complexity). Values are identical to
+#: the r09 decimal pipeline (kernel-asserted) and the DuckDB oracles
+#: keep their decimal form. Measured (SCALE.md r10 study, final):
+#: sum_charge kernel 0.35s vs 0.89s (r09 form) vs 0.51s (unsafe
+#: long) vs 0.23s (double) warm at sf0.1; fleet-wide 11/13 queries
+#: pay <=1.10x vs double (revenue_by_nation 1.72->1.10 abs
+#: 1.56->0.99s); the agg-dominated pair (pricing_summary 1.63,
+#: promo_revenue_ratio 1.38) sits at the exact-sum floor.
 MONEY_EXACT = True
 
 
 def _cents(col, digits: int = 2):
-    """Exact integer scaling of a fixed-``digits``-decimal money/rate
-    column stored as double: x*100 in DOUBLE then round-to-integer.
-    Exact because a 2dp value v is stored as v(1+e), |e|<=2^-53, so
-    v*100 lands within ~1.4e-11 of the true integer for v<=1e5 (and
-    within 0.5 up to ~7e13) — the round recovers it exactly. Pure
-    whole-stage-codegen double ops; the r10 study measured the
-    decimal-cast scaling form ((x::DECIMAL(12,2))*100)::LONG paying
-    a per-row BigDecimal multiply that erased the fast-sum win."""
-    return F.round(col * (10 ** digits), 0).cast("long")
+    """Exact integer scaling of a fixed-``digits``-decimal,
+    NON-NEGATIVE money/rate column stored as double: x*100 + 0.5 in
+    DOUBLE, truncated by the long cast. Exact because a 2dp value v
+    is stored as v(1+e), |e|<=2^-53, so the computed v*100 lands
+    within ~3e-9 of the true integer N for v<=1e5 (within 0.5 up to
+    ~1e13) — adding 0.5 and truncating toward zero recovers N
+    exactly. Positivity matters: truncation of N-0.5+0.5-eps still
+    lands on N for N>=0, but a negative value would floor instead of
+    round (TPC-H prices/rates are non-negative by construction; a
+    violated assumption shifts sums by whole cents and trips the
+    oracle hash loudly). Pure whole-stage-codegen double ops — the
+    r10 kernel study measured BOTH earlier scalings paying a per-row
+    BigDecimal op that ate most of the fast-sum win:
+    ((x::DECIMAL(12,2))*100)::LONG (decimal multiply) and
+    round(x*100, 0) (Spark's double round materializes a
+    java.math.BigDecimal per row). sum_charge kernel: 0.50 s this
+    form vs 0.88 s round-scaling vs 1.00 s r09 decimal vs 0.38 s
+    inexact double (warm, sf0.1, same session)."""
+    return (col * (10 ** digits) + F.lit(0.5)).cast("long")
 
 
 def _rev(price: str = "l_extendedprice", disc: str = "l_discount"):

@@ -174,10 +174,13 @@ def _kernels(sf_dir: str):
 
     def k6_shipped(spark):
         # the CURRENT production form (queries/core.py _charge/_sum_rev):
-        # double-scaled long products + compact decimal(18,0) sum
-        p = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-        d = 100 - F.round(F.col("l_discount") * 100, 0).cast("long")
-        t = 100 + F.round(F.col("l_tax") * 100, 0).cast("long")
+        # pure-double truncate-scaled long products (x*100+0.5 -> long;
+        # exact for non-negative 2dp values — Spark's round() on
+        # doubles materializes a java.math.BigDecimal per row) +
+        # compact decimal(18,0) sum
+        p = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        d = 100 - (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+        t = 100 + (F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
         c6 = p * d * t
         return base(spark).groupBy("l_returnflag", "l_linestatus").agg(
             F.round(
