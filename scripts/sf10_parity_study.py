@@ -86,6 +86,15 @@ FULL_QUERIES = [
     "bm25_doc_search",          # full-corpus idf + query scoring
     "line_dedup_corpus",        # line-level dedup (explode + min_by)
     "doc_span_overlap",         # winnowing fingerprints (df-capped join)
+    # r10 extension: event-time, sketch, sampling, SCD2/storage shapes
+    "purchase_last_view_asof",  # as-of join over 10M events
+    "user_sessions",            # sessionization window
+    "daily_uniques_hll",        # HLL vs exact distinct over 10M events
+    "doc_split_assign",         # deterministic hash split, 571k docs
+    "curriculum_sample",        # stratified curriculum sampling
+    "scd2_transition",          # SCD2 engine scratch build + transitions
+    "orders_pit_dimension_join",  # PIT join against SCD2 validity (15M orders)
+    "split_contamination",      # df-capped 8-gram cross-split join
 ]
 #: sampled-exact mode (see module doc)
 SAMPLED_QUERIES = ["near_dup_pairs"]
