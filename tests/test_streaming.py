@@ -1005,3 +1005,136 @@ def test_file_source_batching_contract(spark, tmp_path):
     # append mode + final watermark: the first two windows finalized
     out = spark.read.parquet(f"file://{root}/out")
     assert out.count() == 2
+
+
+def test_index_ingest_bridges_survive_midstream_crash(spark, tmp_path):
+    """Mid-stream CRASH-RESTART for the lexical and dedup ingest
+    bridges — the pytest twins of the driver-gated
+    ``streaming_ann_ingest_restart``. Each run 1 performs the
+    bridge's real store commit for micro-batch 1 and then dies
+    BEFORE the checkpoint's batch commit (an injected failure after
+    the append returns — exactly the at-least-once window); run 2
+    restarts the SHIPPED bridge from the same checkpoint, so
+    Structured Streaming replays batch 1 with the same id. The
+    text-index bridge must refuse the replay via its CAS-riding
+    ``text_last_batch_id`` marker; the dedup bridge has no marker and
+    must converge STRUCTURALLY (replayed docs meet their own
+    signatures at estimated Jaccard 1.0 and are rejected). Both final
+    stores must equal a one-shot build over the union."""
+    import json as _json
+
+    from pyspark.errors import StreamingQueryException
+
+    from end_to_end_etl_pipeline_spark.operators.dedup_store import (
+        MinHashDedupStore,
+    )
+    from end_to_end_etl_pipeline_spark.operators.text_index import (
+        append_text_index,
+        text_index_search,
+        write_text_index,
+    )
+    from end_to_end_etl_pipeline_spark.sinks.manifest import ManifestCatalog
+    from end_to_end_etl_pipeline_spark.streaming.jobs import (
+        foreach_batch_dedup_ingest,
+        foreach_batch_text_index_ingest,
+        read_stream_files,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    base = docs.filter(F.col("doc_id") < 30)
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    for fname, lo, hi in (
+        ("b1.json", 30, 60), ("b2.json", 60, 90), ("b3.json", 90, 120)
+    ):
+        rows = [
+            {"doc_id": r.doc_id, "text": r.text}
+            for r in docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).collect()
+        ]
+        with open(os.path.join(d, fname), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+
+    def crash_run(ckpt: str, apply_fn) -> None:
+        def _sabotaged(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            apply_fn(batch_df, batch_id)
+            if batch_id == 1:
+                raise RuntimeError("injected-crash-after-commit")
+
+        q = (
+            read_stream_files(
+                spark, d, "doc_id bigint, text string",
+                max_files_per_trigger=1,
+            )
+            .writeStream.foreachBatch(_sabotaged)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="injected-crash"):
+            q.awaitTermination(120)
+
+    # --- lexical index: marker-guarded replay -------------------------
+    cat = ManifestCatalog(spark, f"file://{tmp_path}/lex")
+    write_text_index(cat, base, "doc_id", "text", "idx.t", n_buckets=8)
+    ck = str(tmp_path / "ck_lex")
+    crash_run(ck, lambda b, i: append_text_index(
+        cat, b, "doc_id", "text", "idx.t", batch_id=i))
+    assert cat.latest_manifest("idx.t")["text_last_batch_id"] == 1
+    q = foreach_batch_text_index_ingest(
+        read_stream_files(
+            spark, d, "doc_id bigint, text string", max_files_per_trigger=1
+        ),
+        cat, "idx.t", checkpoint_dir=ck,
+    )
+    q.awaitTermination(120)
+    m = cat.latest_manifest("idx.t")
+    assert m["text_last_batch_id"] == 2
+    once = ManifestCatalog(spark, f"file://{tmp_path}/lex_once")
+    write_text_index(once, docs, "doc_id", "text", "idx.t", n_buckets=8)
+    mo = once.latest_manifest("idx.t")
+    assert (m["ti_n_docs"], m["ti_sum_dl"]) == (mo["ti_n_docs"], mo["ti_sum_dl"])
+    queries = spark.createDataFrame(
+        [(0, "dup"), (1, "batch")], "query_id bigint, word string"
+    )
+    got, _ = text_index_search(cat, "idx.t", queries, k=5)
+    want, _ = text_index_search(once, "idx.t", queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # --- dedup store: structural replay convergence -------------------
+    dcat = ManifestCatalog(spark, f"file://{tmp_path}/ded")
+    store = MinHashDedupStore(dcat, "dd.sigs")
+    store.ingest(base, "text")
+    ck2 = str(tmp_path / "ck_ded")
+    crash_run(ck2, lambda b, i: store.ingest(b, "text"))
+    q = foreach_batch_dedup_ingest(
+        read_stream_files(
+            spark, d, "doc_id bigint, text string", max_files_per_trigger=1
+        ),
+        dcat, "dd.sigs", "text", checkpoint_dir=ck2,
+    )
+    q.awaitTermination(120)
+    ref_cat = ManifestCatalog(spark, f"file://{tmp_path}/ded_once")
+    ref = MinHashDedupStore(ref_cat, "dd.sigs")
+    ref.ingest(base, "text")
+    for lo, hi in ((30, 60), (60, 90), (90, 120)):
+        ref.ingest(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            "text",
+        )
+    got_ids = sorted(
+        r.doc_id for r in dcat.read("dd.sigs").select("doc_id").collect()
+    )
+    want_ids = sorted(
+        r.doc_id for r in ref_cat.read("dd.sigs").select("doc_id").collect()
+    )
+    assert got_ids == want_ids  # replayed batch added NO duplicate rows
+    assert len(got_ids) == len(set(got_ids))
