@@ -69,25 +69,28 @@ MONEY_EXACT = True
 
 
 def _cents(col, digits: int = 2):
-    """Exact integer scaling of a fixed-``digits``-decimal,
-    NON-NEGATIVE money/rate column stored as double: x*100 + 0.5 in
-    DOUBLE, truncated by the long cast. Exact because a 2dp value v
-    is stored as v(1+e), |e|<=2^-53, so the computed v*100 lands
-    within ~3e-9 of the true integer N for v<=1e5 (within 0.5 up to
-    ~1e13) — adding 0.5 and truncating toward zero recovers N
-    exactly. Positivity matters: truncation of N-0.5+0.5-eps still
-    lands on N for N>=0, but a negative value would floor instead of
-    round (TPC-H prices/rates are non-negative by construction; a
-    violated assumption shifts sums by whole cents and trips the
-    oracle hash loudly). Pure whole-stage-codegen double ops — the
-    r10 kernel study measured BOTH earlier scalings paying a per-row
-    BigDecimal op that ate most of the fast-sum win:
-    ((x::DECIMAL(12,2))*100)::LONG (decimal multiply) and
-    round(x*100, 0) (Spark's double round materializes a
-    java.math.BigDecimal per row). sum_charge kernel: 0.50 s this
-    form vs 0.88 s round-scaling vs 1.00 s r09 decimal vs 0.38 s
-    inexact double (warm, sf0.1, same session)."""
-    return (col * (10 ** digits) + F.lit(0.5)).cast("long")
+    """Exact integer scaling of a fixed-``digits``-decimal money/rate
+    column stored as double: x*100 + signum(x)*0.5 in DOUBLE,
+    truncated by the long cast (truncation is toward zero, so adding
+    half AWAY from zero rounds half-away-from-zero — exact for BOTH
+    signs). Exact because a 2dp value v is stored as v(1+e),
+    |e|<=2^-53, so the computed v*100 lands within ~3e-9 of the true
+    integer N for |v|<=1e5 (within 0.5 up to ~1e13) — nudging by
+    sign(x)*0.5 and truncating toward zero recovers N exactly. The
+    r10 form (+0.5 unconditionally) was sign-UNSAFE: it floored
+    negative values, a latent foot-gun for signed money (refunds,
+    net income) flagged by the r10 VERDICT; signum is a pure JVM
+    double intrinsic, so the fix stays whole-stage-codegen
+    (r11 kernel re-measure: sum_charge unchanged vs the r10 form).
+    Pure codegen double ops matter — the r10 kernel study measured
+    BOTH earlier scalings paying a per-row BigDecimal op that ate
+    most of the fast-sum win: ((x::DECIMAL(12,2))*100)::LONG
+    (decimal multiply) and round(x*100, 0) (Spark's double round
+    materializes a java.math.BigDecimal per row). sum_charge kernel:
+    0.50 s this form vs 0.88 s round-scaling vs 1.00 s r09 decimal
+    vs 0.38 s inexact double (warm, sf0.1, same session)."""
+    scaled = col * (10 ** digits)
+    return (scaled + F.signum(scaled) * F.lit(0.5)).cast("long")
 
 
 def _rev(price: str = "l_extendedprice", disc: str = "l_discount"):
@@ -234,24 +237,67 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "bench"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    price_c2 = (
-        _cents(F.col("l_extendedprice"))
-        if MONEY_EXACT else F.col("l_extendedprice")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
+    if not MONEY_EXACT:  # study twin only (scripts/decimal_tax_study.py)
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _sum_rev(price_c2, 2, scale=100).alias("sum_base_price"),
-            _sum_rev(_rev(), 2).alias("sum_disc_price"),
-            _sum_rev(_charge(), 2, scale=1000000).alias("sum_charge"),
+            F.round(F.sum("l_extendedprice"), 2).cast("double").alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(_rev()), 2).cast("double").alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(_charge()), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+    # TWO-LEVEL exact aggregation (r11, adopted from the measured
+    # money-floor study, scripts/money_floor_study.py): long partial
+    # sums keyed by (group, spark_partition_id()) — map-side complete,
+    # the 6M-row work stays on the long fast path; each partial is
+    # bounded by rows-per-partition x max-charge (4M x 1.1e11 =
+    # 4.4e17 < 9.2e18) at ANY total scale — then the tiny
+    # (groups x partitions) partial set merges in exact decimal.
+    # Measured vs the r10 one-level decimal(18,0)-sum form: 0.539 vs
+    # 0.591 s warm at sf0.1 (tax vs unsafe double 1.45 vs 1.59);
+    # values identical (study-asserted). avgs derive from the exact
+    # integer sums — the same real number, order-free by construction.
+    part = li.groupBy(
+        "l_returnflag", "l_linestatus",
+        F.spark_partition_id().alias("__pid"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("price2"),
+        F.sum(_rev()).alias("rev4"),
+        F.sum(_charge()).alias("charge6"),
+        F.sum(_cents(F.col("l_discount"))).alias("disc2"),
+        F.count("*").alias("n"),
+    )
+
+    def dec(colname: str, scale: int):
+        return F.sum(F.col(colname).cast("decimal(28,0)")) / scale
+
+    n = F.sum("n")
+    return part.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("qty").cast("double"), 2).alias("sum_qty"),
+        F.round(dec("price2", 100).cast("decimal(38,6)"), 2)
+        .cast("double").alias("sum_base_price"),
+        F.round(dec("rev4", 10000).cast("decimal(38,6)"), 2)
+        .cast("double").alias("sum_disc_price"),
+        F.round(dec("charge6", 1000000).cast("decimal(38,6)"), 2)
+        .cast("double").alias("sum_charge"),
+        F.round(F.sum("qty") / n, 4).alias("avg_qty"),
+        F.round((dec("price2", 100) / n).cast("double"), 4).alias(
+            "avg_price"
+        ),
+        F.round((dec("disc2", 100) / n).cast("double"), 6).alias(
+            "avg_disc"
+        ),
+        n.alias("count_order"),
     )
 
 
@@ -1462,14 +1508,34 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
         _rev_zero()
     )
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
-        .agg(
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    month = F.date_trunc("month", "l_shipdate").cast("date").alias(
+        "ship_month"
+    )
+    if not MONEY_EXACT:  # study twin only
+        return joined.groupBy(month).agg(
             F.round(
                 F.lit(100.0) * _sum_rev_raw(promo) / _sum_rev_raw(rev),
                 6,
             ).alias("promo_pct")
+        )
+    # TWO-LEVEL exact aggregation (r11; see pricing_summary): long
+    # partial rev sums per (month, join-output partition), decimal
+    # merge of the tiny partial set, ONE double division. Measured
+    # 0.669 vs 0.794 s warm at sf0.1 (tax 1.23 vs the one-level
+    # form's 1.47); values identical (study-asserted).
+    partial = joined.groupBy(
+        month, F.spark_partition_id().alias("__pid")
+    ).agg(F.sum(promo).alias("promo4"), F.sum(rev).alias("rev4"))
+
+    def dec(colname: str):
+        return (
+            F.sum(F.col(colname).cast("decimal(28,0)")) / 10000
+        ).cast("double")
+
+    return partial.groupBy("ship_month").agg(
+        F.round(F.lit(100.0) * dec("promo4") / dec("rev4"), 6).alias(
+            "promo_pct"
         )
     )
 

@@ -747,6 +747,34 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time
 
+    scratch_parent = "/tmp/spark_graft_ann_restart"
+    os.makedirs(scratch_parent, exist_ok=True)
+    # time-based reap only: the driver and a pytest session may run
+    # this concurrently, and an unconditional wipe would delete the
+    # other's landing/checkpoint dirs mid-stream
+    cutoff = time.time() - 3600
+    for stale in os.listdir(scratch_parent):
+        p = os.path.join(scratch_parent, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = tempfile.mkdtemp(dir=scratch_parent)
+    try:
+        return _streaming_ann_ingest_restart_body(spark, sf_dir, root)
+    finally:
+        # r10 ADVICE: remove our own scratch on the way out (the
+        # result is eagerly localCheckpoint'ed before this runs); the
+        # 1-hour mtime reap above stays as the crashed-run backstop —
+        # and no longer risks reaping a >1h CONCURRENT session's live
+        # dir, because every healthy run now deletes its own
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _streaming_ann_ingest_restart_body(
+    spark: SparkSession, sf_dir: str, root: str
+) -> DataFrame:
     from pyspark.errors import StreamingQueryException
 
     from end_to_end_etl_pipeline_spark.operators.ivf_store import (
@@ -762,21 +790,6 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_etl_pipeline_spark.streaming.jobs import (
         foreach_batch_ann_ingest,
     )
-
-    scratch_parent = "/tmp/spark_graft_ann_restart"
-    os.makedirs(scratch_parent, exist_ok=True)
-    # time-based reap only: the driver and a pytest session may run
-    # this concurrently, and an unconditional wipe would delete the
-    # other's landing/checkpoint dirs mid-stream
-    cutoff = time.time() - 3600
-    for stale in os.listdir(scratch_parent):
-        p = os.path.join(scratch_parent, stale)
-        try:
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
-    root = tempfile.mkdtemp(dir=scratch_parent)
 
     emb = load(spark, sf_dir, "embeddings")
     dim = _dim(emb)
@@ -836,7 +849,11 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     crashed = False
     try:
-        q1.awaitTermination()
+        # bounded wait (r10 ADVICE): a wedged stream must fail this
+        # query loudly, not hang the whole driver round — the pytest
+        # twins bound at 120s, so does the driver-gated path
+        terminated = q1.awaitTermination(120)
+        assert terminated, "run-1 stream still running after 120s"
     except StreamingQueryException as exc:
         if "injected-crash-after-commit" not in str(exc):
             raise
@@ -850,7 +867,7 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read_stream(), cat, "ann.pq",
         checkpoint_dir=ckpt, cell_col="label", available_now=True,
     )
-    q2.awaitTermination()
+    assert q2.awaitTermination(120), "run-2 stream still running after 120s"
     assert cat.latest_manifest("ann.pq").get("ann_last_batch_id") == 2
 
     res, _probed = ivfpq_store_topk(

@@ -172,12 +172,10 @@ def _kernels(sf_dir: str):
             F.round(F.sum(disc_p * t), 2).cast("double").alias("sum_charge")
         )
 
-    def k6_shipped(spark):
-        # the CURRENT production form (queries/core.py _charge/_sum_rev):
-        # pure-double truncate-scaled long products (x*100+0.5 -> long;
-        # exact for non-negative 2dp values — Spark's round() on
-        # doubles materializes a java.math.BigDecimal per row) +
-        # compact decimal(18,0) sum
+    def k6_r10(spark):
+        # FROZEN r10 form: truncate-scale with unconditional +0.5
+        # (sign-UNSAFE: floors negatives — replaced in r11 by the
+        # signum form below; kept as the A/B twin pricing the fix)
         p = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
         d = 100 - (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
         t = 100 + (F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
@@ -189,6 +187,20 @@ def _kernels(sf_dir: str):
                 ),
                 2,
             ).cast("double").alias("sum_charge")
+        )
+
+    def k6_shipped(spark):
+        # the CURRENT production form, built from the REAL helpers
+        # (queries/core.py _charge/_sum_rev) so this kernel can never
+        # silently drift from what ships: sign-aware truncate-scaled
+        # long products (x*100 + signum(x)*0.5 -> long; signum is a
+        # pure JVM double intrinsic, still whole-stage codegen) +
+        # compact decimal(18,0) sum
+        assert core.MONEY_EXACT is True
+        return base(spark).groupBy("l_returnflag", "l_linestatus").agg(
+            core._sum_rev(core._charge(), 2, scale=1000000).alias(
+                "sum_charge"
+            )
         )
 
     def _cents(spark):
@@ -239,6 +251,7 @@ def _kernels(sf_dir: str):
         ("k1_double", k1_double),
         ("k2_decimal_r09", k2_decimal_r09),
         ("k6_shipped", k6_shipped),
+        ("k6_r10", k6_r10),
         ("k3_minimal", k3_minimal),
         ("k4_long_cents", k4_long),
         ("k5_two_level", k5_two_level),
@@ -268,7 +281,8 @@ def kernel_study(spark, sf_dir: str, reps: int) -> dict:
     for a, b in [("k2_decimal_r09", "k3_minimal"),
                  ("k2_decimal_r09", "k5_two_level"),
                  ("k2_decimal_r09", "k4_long_cents"),
-                 ("k2_decimal_r09", "k6_shipped")]:
+                 ("k2_decimal_r09", "k6_shipped"),
+                 ("k2_decimal_r09", "k6_r10")]:
         same = values[a] == values[b]
         out[f"values_{a}_eq_{b}"] = same
         assert same, f"{a} != {b}: exactness violated"
@@ -288,6 +302,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--skip-scaled", action="store_true")
+    ap.add_argument("--kernel-only", action="store_true",
+                    help="skip the 13-query A/B; kernels only")
     ap.add_argument("--lake", default=None,
                     help="reuse an existing build_scaled lake")
     args = ap.parse_args()
@@ -298,10 +314,11 @@ def main() -> None:
 
     summary: dict[str, object] = {"sf_dir": args.sf_dir, "reps": args.reps}
     per_q: dict[str, dict] = {}
-    for name in MIGRATED:
-        r = ab_query(spark, name, args.sf_dir, args.reps)
-        per_q[name] = r
-        print(json.dumps({"query": name, "sf": "base", **r}), flush=True)
+    if not args.kernel_only:
+        for name in MIGRATED:
+            r = ab_query(spark, name, args.sf_dir, args.reps)
+            per_q[name] = r
+            print(json.dumps({"query": name, "sf": "base", **r}), flush=True)
     summary["per_query"] = per_q
     summary["kernels_base"] = kernel_study(spark, args.sf_dir, args.reps)
     print(json.dumps({"kernels": "base", **summary["kernels_base"]}),

@@ -42,8 +42,12 @@ def run_oracle(
     con = duckdb.connect()
     if temp_directory is not None:
         # scale studies only: an in-memory DuckDB cannot spill without
-        # a temp dir — the driver-faithful default (None) is unchanged
-        con.execute(f"SET temp_directory = '{temp_directory}'")
+        # a temp dir — the driver-faithful default (None) is unchanged.
+        # DuckDB's SET takes no bound parameters, so escape embedded
+        # quotes: a path containing one must not break the statement
+        # (r10 ADVICE)
+        escaped = temp_directory.replace("'", "''")
+        con.execute(f"SET temp_directory = '{escaped}'")
     for t in TABLES:
         # driver testdata ships single-FILE parquet; Spark-built lakes
         # (scale studies) are parquet DIRECTORIES of part files —

@@ -97,6 +97,70 @@ def test_money_exact_is_the_shipped_form():
     assert core.MONEY_EXACT is True
 
 
+def test_cents_scaling_is_sign_exact(spark):
+    """_cents must round-trip SIGNED 2dp doubles exactly (r10 VERDICT
+    #4: the +0.5-only form floored negatives — a refund/net-income
+    column would shift sums by whole cents with no in-query signal).
+    Sweep every cent value in [-1000.00, 1000.00] plus the worst
+    double-representation cases near half-cent boundaries."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.queries.core import _cents
+
+    cents = spark.range(-100000, 100001).select(
+        F.col("id").alias("true_cents"),
+        (F.col("id") / 100.0).alias("money"),
+    )
+    bad = cents.filter(
+        _cents(F.col("money")) != F.col("true_cents")
+    ).count()
+    assert bad == 0, f"{bad} signed cent values mis-scaled"
+    # rates at 2dp through the 4dp product path (price * (1-disc))
+    prod = spark.range(-10000, 10001).select(
+        (F.col("id") / 100.0).alias("p"), F.lit(-0.04).alias("d")
+    )
+    from end_to_end_etl_pipeline_spark.queries.core import _rev
+
+    bad2 = prod.filter(
+        _rev("p", "d") != F.col("id") * 104
+    ).count()
+    assert bad2 == 0, f"{bad2} signed products mis-scaled"
+
+
+def test_money_input_invariants_hold(spark, sf_correctness_dir):
+    """The exact-money fast path assumes 2dp money/rate columns and
+    integral quantities (r10 ADVICE: a generator emitting >2dp
+    prices, or fractional quantities, would shift sums by whole
+    cents, surfacing only as an opaque oracle hash mismatch). Pin
+    the input invariant itself so a violated assumption points at
+    the DATA, not the kernel."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.queries.catalog import load
+
+    li = load(spark, sf_correctness_dir, "lineitem")
+    off = li.select(
+        *[
+            F.sum(
+                (
+                    F.abs(
+                        F.col(c) * 100
+                        - F.round(F.col(c) * 100, 0)
+                    )
+                    > 1e-6
+                ).cast("int")
+            ).alias(c)
+            for c in ("l_extendedprice", "l_discount", "l_tax")
+        ],
+        F.sum(
+            (F.col("l_quantity") != F.col("l_quantity").cast("long"))
+            .cast("int")
+        ).alias("l_quantity"),
+    ).first()
+    bad = {c: off[c] for c in off.asDict() if off[c]}
+    assert not bad, f"money-input invariant violated: {bad}"
+
+
 def test_driver_window_contract():
     """The driver's correctness gate only reads the first 50 registered
     queries; DRIVER_WINDOW pins what fills those slots. Guard both the
