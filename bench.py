@@ -337,15 +337,31 @@ def _build_dedup_store(spark, sf_dir: str):
     return cat, probe, tmpdir
 
 
-def canary(spark, sf_dir: str) -> float:
+def canary(spark, sf_dir: str, reps: int = 3) -> float:
     """The fixed calibration step: a full lineitem parquet
     scan-count — trivial, plan-stable across rounds, and sensitive to
     the same CPU/IO machine state as the real queries. Its time
     normalizes per-query numbers so environment drift divides out of
-    round-over-round comparisons (r05's uniform ~1.25x inflation)."""
-    t0 = time.perf_counter()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    return round(time.perf_counter() - t0, 3)
+    round-over-round comparisons (r05's uniform ~1.25x inflation).
+
+    MIN OF ``reps`` BACK-TO-BACK SCANS (r11): a single ~0.15 s scan
+    carries 50-80 ms scheduler/GC blips, so the old single-sample
+    form made the intra-pass max/min drift stat measure its own
+    sampling noise — a quiet-box r11 run read 1.3-2.1 per pass with
+    every query timing clean. The min filters per-sample blips while
+    SUSTAINED contamination (a tenant eating cores for a pass
+    segment — the r06 failure this trace exists for) still raises
+    every rep and shows. Cost: ~2 extra 0.15 s scans per sample.
+    Cross-round note: each sample is now the min of 3 rather than a
+    single draw, which shifts canary-normalized values by at most
+    the blip component (~10%); the r11 sidecar is the first with
+    this form."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def emit(
