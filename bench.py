@@ -393,6 +393,11 @@ def emit(
         "queries_warm": warm_min,
         "queries_warm_median": warm_med,
         "warm_runs": N_WARM_RUNS,
+        # r11: each canary sample is the min of 3 back-to-back scans
+        # (see canary()) — canary-normalized values are not directly
+        # comparable to pre-r11 sidecars (the canary reads ~10-15%
+        # faster without its blip component)
+        "canary_form": "min-of-3 (r11)",
     }
     if canary_warm:
         cw = min(canary_warm)

@@ -31,6 +31,27 @@ def test_pricing_summary_pushes_date_filter(spark):
     )
 
 
+def test_two_level_money_aggs_shuffle_partials_only(spark):
+    """The r11 two-level exact-money form (pricing_summary /
+    promo_revenue_ratio) must keep its level-1 aggregate map-side:
+    the only exchanges in the plan carry (group x partition) partial
+    rows or the final tiny group set — never the fact rows. Guarded
+    structurally: hashpartitioning on a key set that includes __pid
+    means the level-1 shuffle moves partials (each input partition
+    emits <= n_groups rows for its own pid), and row-level work stays
+    inside the scan-side WholeStageCodegen."""
+    for name in ("pricing_summary", "promo_revenue_ratio"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "SPARK_PARTITION_ID()" in plan, (
+            f"{name}: the two-level partial key is gone — the exact "
+            "sums fell back to row-level decimal aggregation"
+        )
+        # the level-1 aggregate must still run map-side on the fact
+        # rows (partial_sum over the scaled longs before any exchange)
+        assert "partial_sum" in plan, name
+
+
 def test_revenue_by_nation_broadcasts_dims(spark):
     plan = _plan(spark, "revenue_by_nation")
     assert "BroadcastHashJoin" in plan
