@@ -170,7 +170,15 @@ def parity_one(spark, name: str, sf_dir: str) -> dict:
         }
     t1 = time.perf_counter()
     try:
-        o_df = run_oracle(q.oracle, sf_dir)
+        # scale studies only: an in-memory DuckDB cannot spill without
+        # a temp dir, and the sf30 lakes push several oracles (list
+        # explodes over 1.7M docs) past RAM — opt in via env so the
+        # driver-faithful default (no spill) is unchanged.
+        o_df = run_oracle(
+            q.oracle,
+            sf_dir,
+            temp_directory=os.environ.get("SPARK_GRAFT_ORACLE_SPILL"),
+        )
     except Exception as exc:
         return {
             "ok": False,

@@ -48,6 +48,15 @@ def run_oracle(
         # (r10 ADVICE)
         escaped = temp_directory.replace("'", "''")
         con.execute(f"SET temp_directory = '{escaped}'")
+        # DuckDB's default memory_limit (~80% of PHYSICAL RAM) can
+        # exceed what is actually FREE next to a live Spark JVM, so
+        # it hits a process-level bad_alloc before its own limit ever
+        # triggers spilling.  A conservative cap makes it spill
+        # instead of dying (scale studies only; same opt-in as the
+        # temp dir).
+        mem = os.environ.get("SPARK_GRAFT_ORACLE_MEMLIMIT")
+        if mem:
+            con.execute(f"SET memory_limit = '{mem}'")
     for t in TABLES:
         # driver testdata ships single-FILE parquet; Spark-built lakes
         # (scale studies) are parquet DIRECTORIES of part files —
