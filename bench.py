@@ -12,7 +12,13 @@ job would be costed.
 Structure of a run:
 * COLD pass — first execution of each query in a fresh session; the
   headline metric, kept apples-to-apples across rounds (same query
-  set since r02; additive entries only).
+  set since r02; additive entries only). Since r12 each cold attempt
+  runs in a FRESH SUBPROCESS (one JVM per attempt) so a drift-
+  contaminated attempt can honestly re-run — the previous in-process
+  form shipped three consecutive contaminated cold artifacts that
+  could only be marked, never retried (VERDICT r11 #1). Methodology
+  per attempt is unchanged: fresh session, untimed store setups,
+  first execution of each query, canary-traced.
 * WARM passes (x3) — steady-state executions with plans/codegen
   JIT-warm; per-query MIN ("queries_warm") approximates the marginal
   cost a long-running cluster job sees, per-query MEDIAN
@@ -174,13 +180,38 @@ CANARY_EVERY = 8
 DRIFT_BAR = 1.3
 #: warm passes re-run until N_WARM_RUNS clean ones exist, bounded
 MAX_WARM_PASSES = 5
-#: like-for-like baseline: entries ADDED to BENCH_QUERIES after the
-#: r08 run (the last clean cross-round reference). Raw headline
-#: totals are misleading by construction when the entry set grows —
-#: the headline now also carries totals EXCLUDING these, so a
-#: round-over-round reader never has to redo the subtraction.
-LIKE_FOR_LIKE_BASELINE = "r08"
-LIKE_FOR_LIKE_EXCLUDED = ("png_image_decode_stats", "png_decode_only")
+#: COLD attempts run in FRESH SUBPROCESSES (r12, VERDICT r11 #1): the
+#: in-process cold pass could never honestly re-run (JIT state spent),
+#: so three consecutive rounds shipped contaminated cold artifacts
+#: that were marked, not fixed. Now each cold attempt is one fresh
+#: JVM (same methodology: first execution of each query in a fresh
+#: session, store setups untimed) re-run over the same DRIFT_BAR the
+#: warm passes already gate on, bounded at MAX_COLD_ATTEMPTS; the
+#: cleanest attempt ships. Attempt subprocesses also contribute
+#: fresh-session warm mins (``isolation_warm_min`` in the sidecar,
+#: VERDICT r11 #5) from ISOLATION_WARM_REPS extra passes, so
+#: per-query regression calls no longer depend on in-bench pass
+#: hygiene.
+MAX_COLD_ATTEMPTS = 3
+ISOLATION_WARM_REPS = 2
+#: like-for-like baseline FROZEN AT r11 (r12, VERDICT r11 #2): r11
+#: switched the canary to min-of-3, so normalized comparisons against
+#: the single-scan-canary r08 reference were biased by construction.
+#: r11's own raw numbers are stored here as the same-form reference;
+#: nothing has been added to BENCH_QUERIES since r11, so the excluded
+#: set is empty (the key stays so readers need no schema change).
+LIKE_FOR_LIKE_BASELINE = "r11"
+LIKE_FOR_LIKE_EXCLUDED: tuple[str, ...] = ()
+#: r11's shipped raw numbers (BENCH_r11.json), the frozen reference —
+#: cold was drift-contaminated (1.33, self-flagged ok:false); warm is
+#: the readable side.
+LIKE_FOR_LIKE_REFERENCE = {
+    "cold_sec": 88.084,
+    "warm_sec": 40.847,
+    "canary_warm_sec": 0.123,
+    "canary_form": "min-of-3 (r11)",
+    "cold_contaminated": True,
+}
 
 #: where emit() writes BENCH_DETAILS.json (module-level so tests can
 #: redirect it without monkeypatching os.path globally)
@@ -373,6 +404,8 @@ def emit(
     canary_trace: list[dict] | None = None,
     paired: dict[str, dict] | None = None,
     warm_meta: dict | None = None,
+    cold_meta: dict | None = None,
+    isolation_warm_min: dict[str, float] | None = None,
 ) -> str:
     """Print the round's numbers and return the final stdout line.
 
@@ -428,6 +461,15 @@ def emit(
         # the self-gate's audit trail: which warm passes ran, which
         # were drift-contaminated, which feed the warm stats
         details["warm_meta"] = warm_meta
+    if cold_meta:
+        # r12: how the cold numbers were produced (fresh-subprocess
+        # attempts + their drifts, or the in-process fallback)
+        details["cold_meta"] = cold_meta
+    if isolation_warm_min:
+        # r12 (VERDICT r11 #5): fresh-session warm mins from the cold
+        # attempt's extra passes — per-query regression reads that do
+        # not depend on the main session's pass hygiene
+        details["isolation_warm_min"] = isolation_warm_min
     if paired:
         # canary-PAIRED per-query pass (r11, VERDICT r10 #2): each
         # query timed immediately after its own canary sample, so the
@@ -481,10 +523,10 @@ def emit(
             sum(warm_min.values()) / max(min(canary_warm), 1e-9), 2
         )
     if drift_by_pass:
-        # the self-gate verdict rides the headline: cold drift (the
-        # cold pass can't honestly re-run in-process — JIT state is
-        # spent — so it is MARKED, not retried), worst drift among
-        # the warm passes actually USED, and a single ok bit
+        # the self-gate verdict rides the headline: cold drift (r12:
+        # the shipped cold attempt is the cleanest of the fresh-
+        # subprocess re-runs — see _run_cold_attempts), worst drift
+        # among the warm passes actually USED, and a single ok bit
         cold_drift = drift_by_pass.get("cold")
         used = (warm_meta or {}).get("passes_used") or [
             p for p in drift_by_pass if p != "cold"
@@ -515,6 +557,7 @@ def emit(
         cold_med = max(statistics.median(cold_canaries), 1e-9)
         head["like_for_like"] = {
             "baseline": LIKE_FOR_LIKE_BASELINE,
+            "reference": LIKE_FOR_LIKE_REFERENCE,
             "excluded": [
                 n for n in LIKE_FOR_LIKE_EXCLUDED if n in timings
             ],
@@ -536,38 +579,148 @@ def emit(
     return headline
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
-    spark = create_spark_session(app_name="bench")
-
-    # warmup: JVM/codegen spin-up, not counted
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
-
+def _setup_runnable(spark, sf_dir: str) -> tuple[dict, list[str]]:
+    """Untimed setup shared by the main process and cold-attempt
+    subprocesses: resolve the registry queries and build the three
+    amortized stores. Returns (runnable, scratch dirs to rm)."""
     runnable: dict[str, object] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY.get(name)
         if q is not None:
             runnable[name] = q.spark
-    tmpdir = None
-    dedup_tmpdir = None
-    png_tmpdir = None
+    cleanup: list[str] = []
     try:
         _cat, store_topk, tmpdir = _build_ann_store(spark, sf_dir)
+        cleanup.append(tmpdir)
         runnable["ivfpq_store_topk"] = store_topk
     except Exception as exc:  # pragma: no cover - never skip the bench
         print(f"ann store setup failed: {exc!r}", file=sys.stderr)
     try:
         _dcat, dedup_probe, dedup_tmpdir = _build_dedup_store(spark, sf_dir)
+        cleanup.append(dedup_tmpdir)
         runnable["dedup_store_probe"] = dedup_probe
     except Exception as exc:  # pragma: no cover - never skip the bench
         print(f"dedup store setup failed: {exc!r}", file=sys.stderr)
     try:
         png_decode_only, png_tmpdir = _build_png_blobs(spark, sf_dir)
+        cleanup.append(png_tmpdir)
         runnable["png_decode_only"] = png_decode_only
     except Exception as exc:  # pragma: no cover - never skip the bench
         print(f"png blob setup failed: {exc!r}", file=sys.stderr)
+    return runnable, cleanup
+
+
+def _cold_attempt_child() -> None:
+    """``python bench.py --cold-attempt``: one fresh-JVM cold attempt.
+
+    Same methodology as the historical in-process cold pass — first
+    execution of each query in a fresh session, store setups untimed,
+    canary-traced — but honestly re-runnable because the JIT state
+    dies with the process. After the cold pass, ISOLATION_WARM_REPS
+    warm passes feed the sidecar's ``isolation_warm_min`` (fresh-
+    session warm numbers, independent of the main session's pass
+    hygiene). Prints ONE JSON line on the LAST stdout line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = create_spark_session(app_name="bench-cold-attempt")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    runnable, cleanup = _setup_runnable(spark, sf_dir)
+    try:
+        trace: list[dict] = []
+        canary_cold = canary(spark, sf_dir)
+        timings: dict[str, float] = {}
+        iso: dict[str, list[float]] = {n: [] for n in runnable}
+        for i, (name, fn) in enumerate(runnable.items()):
+            if i % CANARY_EVERY == 0:
+                trace.append(
+                    {"pass": "cold", "before": name,
+                     "sec": canary(spark, sf_dir)}
+                )
+            spark.sparkContext.setJobDescription(f"cold: {name}")
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        for _ in range(ISOLATION_WARM_REPS):
+            for name, fn in runnable.items():
+                spark.sparkContext.setJobDescription(f"iso-warm: {name}")
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop").save()
+                iso[name].append(time.perf_counter() - t0)
+        print("COLD_ATTEMPT " + json.dumps({
+            "timings": timings,
+            "canary_cold": canary_cold,
+            "trace": trace,
+            "isolation_warm_min": {
+                n: round(min(s), 3) for n, s in iso.items() if s
+            },
+        }))
+    finally:
+        for d in cleanup:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_cold_attempts() -> dict | None:
+    """Run fresh-subprocess cold attempts until one meets DRIFT_BAR
+    (bounded at MAX_COLD_ATTEMPTS); return the cleanest attempt's
+    payload plus attempt metadata, or None if no attempt produced a
+    parseable payload (caller falls back to the in-process pass)."""
+    import subprocess
+
+    attempts: list[dict] = []
+    for i in range(MAX_COLD_ATTEMPTS):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cold-attempt"],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except Exception as exc:  # pragma: no cover - never skip
+            print(f"cold attempt {i} failed to launch: {exc!r}",
+                  file=sys.stderr)
+            continue
+        payload = None
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("COLD_ATTEMPT "):
+                try:
+                    payload = json.loads(line[len("COLD_ATTEMPT "):])
+                except ValueError:
+                    pass
+                break
+        if payload is None or not payload.get("timings"):
+            print(f"cold attempt {i} produced no payload "
+                  f"(rc={proc.returncode})", file=sys.stderr)
+            continue
+        secs = [c["sec"] for c in payload["trace"]]
+        drift = (max(secs) / max(min(secs), 1e-9)) if len(secs) > 1 else 1.0
+        payload["drift"] = round(drift, 2)
+        attempts.append(payload)
+        if drift <= DRIFT_BAR:
+            break
+    if not attempts:
+        return None
+    best = min(attempts, key=lambda a: a["drift"])
+    best["attempt_drifts"] = [a["drift"] for a in attempts]
+    return best
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # COLD pass first, in fresh subprocesses (r12, VERDICT r11 #1):
+    # launched BEFORE this process builds its own JVM so the attempt
+    # is measured on an otherwise idle box.
+    cold = None if os.environ.get("SPARK_GRAFT_NO_COLD_SUBPROCESS") \
+        else _run_cold_attempts()
+
+    spark = create_spark_session(app_name="bench")
+
+    # warmup: JVM/codegen spin-up, not counted
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    runnable, cleanup = _setup_runnable(spark, sf_dir)
 
     try:
         # intra-pass canary trace (r07): one canary sample at the top
@@ -596,9 +749,37 @@ def main() -> None:
             s = [c["sec"] for c in canary_trace if c["pass"] == tag]
             return max(s) / max(min(s), 1e-9) if len(s) > 1 else 1.0
 
-        canary_cold = canary(spark, sf_dir)
-        timings: dict[str, float] = {}
-        traced_pass("cold", timings, None)
+        isolation_warm_min: dict[str, float] | None = None
+        cold_meta: dict | None = None
+        if cold is not None:
+            # COLD numbers from the cleanest fresh-subprocess attempt
+            # (r12): the canary trace and canary_cold come from that
+            # attempt so value_norm and the drift verdict describe the
+            # run that produced the timings.
+            timings = {
+                n: cold["timings"][n]
+                for n in runnable if n in cold["timings"]
+            }
+            canary_cold = cold["canary_cold"]
+            canary_trace.extend(cold["trace"])
+            isolation_warm_min = cold.get("isolation_warm_min")
+            cold_meta = {
+                "mode": "fresh-subprocess",
+                "attempt_drifts": cold["attempt_drifts"],
+                "max_attempts": MAX_COLD_ATTEMPTS,
+            }
+            # this JVM still needs its JIT warmed before the warm
+            # passes — one untimed pass over the set (exactly the work
+            # the in-process cold pass used to do)
+            untimed: dict[str, float] = {}
+            traced_pass("warmup-untimed", untimed, None)
+        else:
+            # fallback (subprocess disabled or failed): historical
+            # in-process cold pass — honest but not re-runnable
+            canary_cold = canary(spark, sf_dir)
+            timings = {}
+            traced_pass("cold", timings, None)
+            cold_meta = {"mode": "in-process"}
 
         # SELF-GATING WARM PASSES (r11, VERDICT r10 #2): a pass whose
         # own intra-pass canary drift exceeds DRIFT_BAR is machine-
@@ -606,8 +787,8 @@ def main() -> None:
         # and feed the warm stats from CLEAN passes only, so the
         # shipped sidecar meets the bar it is graded by instead of
         # recording whatever the newest (possibly noisy) run said.
-        # The cold pass cannot honestly re-run in-process (JIT state
-        # is spent), so it is marked in the headline, never retried.
+        # The cold pass re-runs in fresh subprocesses (r12) — see
+        # _run_cold_attempts.
         warm_passes: list[tuple[str, dict[str, float], float]] = []
         while True:
             tag = f"warm{len(warm_passes)}"
@@ -635,24 +816,32 @@ def main() -> None:
         ]
 
         # canary-paired per-query pass: drift-local normalization,
-        # the primary per-query regression signal (see emit())
+        # the primary per-query regression signal (see emit()).
+        # SANDWICHED (r12, r11 ADVICE): a canary strictly BEFORE the
+        # query misses noise that starts DURING it — sample before and
+        # after, normalize by the min (sustained contamination raises
+        # both; a one-sided blip is filtered like canary()'s own
+        # min-of-reps already does).
         paired: dict[str, dict] = {}
         for name, fn in runnable.items():
-            c = canary(spark, sf_dir)
+            c_pre = canary(spark, sf_dir)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            paired[name] = {"sec": time.perf_counter() - t0, "canary": c}
+            dt = time.perf_counter() - t0
+            c_post = canary(spark, sf_dir)
+            paired[name] = {"sec": dt, "canary": min(c_pre, c_post),
+                            "canary_pre": c_pre, "canary_post": c_post}
 
         emit(timings, warm_samples, sf, canary_cold, canary_warm,
-             canary_trace, paired=paired, warm_meta=warm_meta)
+             canary_trace, paired=paired, warm_meta=warm_meta,
+             cold_meta=cold_meta, isolation_warm_min=isolation_warm_min)
     finally:
-        if tmpdir:
-            shutil.rmtree(tmpdir, ignore_errors=True)
-        if dedup_tmpdir:
-            shutil.rmtree(dedup_tmpdir, ignore_errors=True)
-        if png_tmpdir:
-            shutil.rmtree(png_tmpdir, ignore_errors=True)
+        for d in cleanup:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--cold-attempt" in sys.argv[1:]:
+        _cold_attempt_child()
+    else:
+        main()

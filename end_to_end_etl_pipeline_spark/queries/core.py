@@ -117,6 +117,25 @@ def _rev_zero():
     return F.lit(0).cast("long") if MONEY_EXACT else F.lit(0.0)
 
 
+def _overflow_guard(colname: str):
+    """Merge-side guard for the two-level exact-money form: level-1
+    ``try_sum`` over the scaled longs returns NULL iff a partition's
+    partial overflowed 2^63 (every input term is non-null by
+    construction — TPC-H money columns are non-null and the promo
+    branch is when/otherwise-closed), so a null partial here means
+    the environmental bound the r11 form silently assumed (rows per
+    partition x max term < 2^63) was actually violated. Fail loudly
+    instead of merging a wrapped sum (r11 ADVICE, medium)."""
+    return F.when(F.col(colname).isNotNull(), F.col(colname)).otherwise(
+        F.raise_error(
+            f"exact-money level-1 partial '{colname}' overflowed long "
+            "range — per-partition row count exceeded the scaled-long "
+            "safety bound; repartition the input or lower "
+            "spark.sql.files.maxPartitionBytes"
+        )
+    )
+
+
 def _sum_rev(expr, dp: int = 2, scale: int = 10000):
     """Order-free exact money sum, rounded to ``dp`` and returned as
     DOUBLE (the oracle-matched output type): sums the scaled-long
@@ -266,20 +285,28 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.591 s warm at sf0.1 (tax vs unsafe double 1.45 vs 1.59);
     # values identical (study-asserted). avgs derive from the exact
     # integer sums — the same real number, order-free by construction.
+    # Level-1 money sums are try_sum (r12, r11 ADVICE): the long fast
+    # path's safety bound (rows-per-partition x max-charge < 2^63) was
+    # an ENVIRONMENTAL assumption — a raised maxPartitionBytes or a
+    # coalesce breaks it with a silent wrap under non-ANSI sum(long).
+    # try_sum keeps the same codegen long adds (Math.addExact) but
+    # returns NULL on overflow, and _overflow_guard() below turns that
+    # null into a loud error at the merge instead of a wrong answer.
+    # Kernel-measured within noise of plain sum (see OPTIMIZATION_r12).
     part = li.groupBy(
         "l_returnflag", "l_linestatus",
         F.spark_partition_id().alias("__pid"),
     ).agg(
         F.sum(F.col("l_quantity").cast("long")).alias("qty"),
-        F.sum(_cents(F.col("l_extendedprice"))).alias("price2"),
-        F.sum(_rev()).alias("rev4"),
-        F.sum(_charge()).alias("charge6"),
-        F.sum(_cents(F.col("l_discount"))).alias("disc2"),
+        F.try_sum(_cents(F.col("l_extendedprice"))).alias("price2"),
+        F.try_sum(_rev()).alias("rev4"),
+        F.try_sum(_charge()).alias("charge6"),
+        F.try_sum(_cents(F.col("l_discount"))).alias("disc2"),
         F.count("*").alias("n"),
     )
 
     def dec(colname: str, scale: int):
-        return F.sum(F.col(colname).cast("decimal(28,0)")) / scale
+        return F.sum(_overflow_guard(colname).cast("decimal(28,0)")) / scale
 
     n = F.sum("n")
     return part.groupBy("l_returnflag", "l_linestatus").agg(
@@ -1524,13 +1551,16 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge of the tiny partial set, ONE double division. Measured
     # 0.669 vs 0.794 s warm at sf0.1 (tax 1.23 vs the one-level
     # form's 1.47); values identical (study-asserted).
+    # try_sum + merge-side overflow guard: see pricing_summary (r12,
+    # r11 ADVICE — the long partials' safety bound is now enforced at
+    # runtime, not assumed from partition sizing)
     partial = joined.groupBy(
         month, F.spark_partition_id().alias("__pid")
-    ).agg(F.sum(promo).alias("promo4"), F.sum(rev).alias("rev4"))
+    ).agg(F.try_sum(promo).alias("promo4"), F.try_sum(rev).alias("rev4"))
 
     def dec(colname: str):
         return (
-            F.sum(F.col(colname).cast("decimal(28,0)")) / 10000
+            F.sum(_overflow_guard(colname).cast("decimal(28,0)")) / 10000
         ).cast("double")
 
     return partial.groupBy("ship_month").agg(

@@ -56,7 +56,10 @@ def run_oracle(
         # temp dir).
         mem = os.environ.get("SPARK_GRAFT_ORACLE_MEMLIMIT")
         if mem:
-            con.execute(f"SET memory_limit = '{mem}'")
+            # same escaping as temp_directory above (r11 ADVICE): SET
+            # takes no bound parameters, so an env value with an
+            # embedded quote must not break the statement
+            con.execute(f"SET memory_limit = '{mem.replace(chr(39), chr(39) * 2)}'")
     for t in TABLES:
         # driver testdata ships single-FILE parquet; Spark-built lakes
         # (scale studies) are parquet DIRECTORIES of part files —

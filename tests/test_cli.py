@@ -184,10 +184,14 @@ def test_bench_emit_self_gate(tmp_path, capsys, monkeypatch):
         "drift_bar": bench.DRIFT_BAR,
     }
     paired = {n: {"sec": 0.75, "canary": 0.5} for n in timings}
+    cold_meta = {"mode": "fresh-subprocess", "attempt_drifts": [1.12],
+                 "max_attempts": bench.MAX_COLD_ATTEMPTS}
+    iso = {n: 0.48 for n in timings}
     line = bench.emit(
         timings, warm, sf=0.1, canary_cold=0.8,
         canary_warm=[0.5, 0.52, 0.5, 0.51, 0.5, 0.5],
         canary_trace=trace, paired=paired, warm_meta=meta,
+        cold_meta=cold_meta, isolation_warm_min=iso,
     )
     head = json.loads(line)
     # drift verdict: cold 0.9/0.8=1.12 ok; the contaminated warm1
@@ -196,17 +200,23 @@ def test_bench_emit_self_gate(tmp_path, capsys, monkeypatch):
     assert head["drift"]["cold"] == 1.12
     assert head["drift"]["warm_used_max"] <= bench.DRIFT_BAR
     assert head["drift"]["ok"] is True
-    # like-for-like: the two PNG entries (added r09/r10) subtracted
+    # like-for-like frozen at the r11 reference (r12, VERDICT r11 #2):
+    # same-form canary, nothing added since r11 -> nothing excluded,
+    # r11's raw numbers ride along as the stored reference
     lfl = head["like_for_like"]
-    assert lfl["baseline"] == "r08"
-    assert set(lfl["excluded"]) == {"png_image_decode_stats",
-                                    "png_decode_only"}
-    assert lfl["cold_sec"] == 1.0  # only "a" remains
-    assert lfl["warm_sec"] == 0.5
+    assert lfl["baseline"] == "r11"
+    assert lfl["excluded"] == []
+    assert lfl["reference"]["warm_sec"] == 40.847
+    assert lfl["cold_sec"] == 3.5  # full set: nothing excluded
+    assert lfl["warm_sec"] == 1.5
     assert len(line) < 4096
     out = capsys.readouterr().out.strip().splitlines()
     details = json.loads(out[-2].removeprefix("BENCH_DETAILS "))
     assert details["warm_meta"] == meta
+    # r12: cold-attempt provenance + fresh-session warm mins ride the
+    # sidecar (VERDICT r11 #1/#5)
+    assert details["cold_meta"] == cold_meta
+    assert details["isolation_warm_min"]["a"] == 0.48
     # paired normalization is drift-local: 0.75/0.5 = 1.5
     assert details["queries_paired_norm"]["a"] == 1.5
     assert details["queries_paired_sec"]["a"] == 0.75

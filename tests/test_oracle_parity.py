@@ -127,6 +127,38 @@ def test_cents_scaling_is_sign_exact(spark):
     assert bad2 == 0, f"{bad2} signed products mis-scaled"
 
 
+def test_money_partial_overflow_fails_loudly(spark):
+    """r12 (r11 ADVICE, medium): the two-level exact-money form's
+    level-1 long partials must DETECT overflow, not wrap. try_sum
+    returns NULL on long overflow regardless of ANSI mode, and
+    _overflow_guard turns that null into a raise at the merge — so a
+    partition exceeding the scaled-long safety bound kills the query
+    loudly instead of shipping a wrapped sum."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_pipeline_spark.queries.core import _overflow_guard
+
+    big = (1 << 62) + 10
+    df = spark.createDataFrame(
+        [(1, big), (1, big)], "g int, v long"
+    ).coalesce(1)
+    part = df.groupBy("g").agg(F.try_sum("v").alias("s"))
+    assert part.first()["s"] is None, (
+        "try_sum must null out on long overflow (never wrap silently)"
+    )
+    with pytest.raises(Exception, match="overflowed long range"):
+        part.select(_overflow_guard("s").alias("s")).collect()
+    # the guard is transparent for in-range partials
+    ok = spark.createDataFrame([(1, 5), (1, 7)], "g int, v long")
+    merged = (
+        ok.groupBy("g").agg(F.try_sum("v").alias("s"))
+        .select(_overflow_guard("s").alias("s"))
+        .first()
+    )
+    assert merged["s"] == 12
+
+
 def test_money_input_invariants_hold(spark, sf_correctness_dir):
     """The exact-money fast path assumes 2dp money/rate columns and
     integral quantities (r10 ADVICE: a generator emitting >2dp

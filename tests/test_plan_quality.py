@@ -48,8 +48,16 @@ def test_two_level_money_aggs_shuffle_partials_only(spark):
             "sums fell back to row-level decimal aggregation"
         )
         # the level-1 aggregate must still run map-side on the fact
-        # rows (partial_sum over the scaled longs before any exchange)
-        assert "partial_sum" in plan, name
+        # rows; since r12 the money partials are try_sum (overflow ->
+        # NULL -> loud merge-side raise_error instead of a silent
+        # wrap, r11 ADVICE), so the partial shows as partial_try_sum
+        assert "partial_try_sum" in plan, (
+            f"{name}: level-1 money partials lost their overflow "
+            "check (try_sum)"
+        )
+        assert "raise_error" in plan, (
+            f"{name}: merge-side overflow guard gone"
+        )
 
 
 def test_revenue_by_nation_broadcasts_dims(spark):
