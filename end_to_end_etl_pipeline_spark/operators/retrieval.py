@@ -76,6 +76,15 @@ def bm25_scores(
         .groupBy(doc_col, "word")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    # df stays a count-over window (r12 measured A/B: the word-keyed
+    # aggregate joined back read 1.08-1.09x SLOWER on bm25_doc_search
+    # and bm25_ndcg_eval in an interleaved same-session run — the
+    # extra agg stage + runtime broadcast costs more than the window's
+    # exchange on a tf relation already bounded by the query-term
+    # semi-join). The hot-term skew the window shape would have at
+    # open-vocabulary scale is not this operator's regime: postings at
+    # corpus scale are served by the persisted text_index path, and
+    # this in-plan scorer only ever sees per-query term sets.
     scored = (
         tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(stats))

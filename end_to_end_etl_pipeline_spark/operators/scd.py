@@ -251,32 +251,65 @@ def scd2_next_state(
     history = target.filter(~F.col("is_current"))
     current = target.filter(F.col("is_current"))
 
-    # one join of current ⟷ source on the business key
-    src_keyed = src.select(*keys, F.col("row_hash").alias("__src_hash"))
-    cur = current.join(src_keyed, keys, "left")
+    # ONE full-outer join of current ⟷ source on the business key
+    # (r12): the previous form ran two left joins (current→source and
+    # source→current) and unioned four filtered branches — Spark could
+    # not prove the slightly-differently-projected subtrees identical,
+    # so every upstream scan/aggregation was recomputed once per
+    # branch (the scd2_transition plan scanned orders SIX times).
+    # Here each matched/unmatched row emits its 1-2 output rows
+    # (carried-or-expired current version, and/or the new version)
+    # from a single array-of-structs explode; both whens live inside
+    # ONE expression, the safe Spark-4.1 codegen dedup pattern.
+    # Output rows are value-identical to the four-branch form
+    # (tests/test_scd.py pins the semantics; every SCD consumer is
+    # oracle-verified).
+    cols = list(current.columns)
+    cur_p = current.select(
+        *keys, F.struct(*[F.col(c) for c in cols]).alias("__cur")
+    )
+    src_p = stamped_new.select(
+        *keys, F.struct(*[F.col(c) for c in cols]).alias("__new")
+    )
+    j = cur_p.join(src_p, keys, "full")
+    cur_f, new_f = F.col("__cur"), F.col("__new")
+    changed = (
+        cur_f.isNotNull()
+        & new_f.isNotNull()
+        & (cur_f["row_hash"] != new_f["row_hash"])
+    )
 
-    unchanged = cur.filter(
-        F.col("__src_hash").isNull() | (F.col("__src_hash") == F.col("row_hash"))
-    ).drop("__src_hash")
-    expired = (
-        cur.filter(
-            F.col("__src_hash").isNotNull()
-            & (F.col("__src_hash") != F.col("row_hash"))
-        )
-        .drop("__src_hash")
-        .withColumn("effective_to", F.lit(as_of_ts).cast("timestamp"))
-        .withColumn("is_current", F.lit(False))
+    def _cur_out() -> F.Column:
+        # the current version, expired in place when the source hash
+        # differs (unchanged rows — including keys absent from the
+        # source — pass through untouched)
+        fields = []
+        for c in cols:
+            if c == "effective_to":
+                fields.append(
+                    F.when(changed, F.lit(as_of_ts).cast("timestamp"))
+                    .otherwise(cur_f[c]).alias(c)
+                )
+            elif c == "is_current":
+                fields.append(
+                    F.when(changed, F.lit(False)).otherwise(cur_f[c]).alias(c)
+                )
+            else:
+                fields.append(cur_f[c].alias(c))
+        return F.when(cur_f.isNotNull(), F.struct(*fields))
+
+    new_out = F.when(
+        new_f.isNotNull() & (cur_f.isNull() | changed),
+        F.struct(*[new_f[c].alias(c) for c in cols]),
     )
-    # new versions: key absent from current, or hash changed
-    cur_keyed = current.select(*keys, F.col("row_hash").alias("__cur_hash"))
-    inserts = (
-        stamped_new.join(cur_keyed, keys, "left")
-        .filter(
-            F.col("__cur_hash").isNull() | (F.col("__cur_hash") != F.col("row_hash"))
-        )
-        .drop("__cur_hash")
-    )
-    return history.unionByName(unchanged).unionByName(expired).unionByName(inserts)
+    merged = j.select(
+        F.explode(
+            F.filter(
+                F.array(_cur_out(), new_out), lambda x: x.isNotNull()
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    return history.unionByName(merged)
 
 
 def scd2_close_keys(

@@ -3252,25 +3252,32 @@ def streaming_view_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "profiling", "cleaning"),
 )
 def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    b = (
-        li.agg(F.expr("percentile(l_extendedprice, array(0.05D, 0.95D))").alias("__b"))
-        .select(
-            F.round(F.col("__b")[0].cast("decimal(20,8)"), 2).cast("double").alias("lo"),
-            F.round(F.col("__b")[1].cast("decimal(20,8)"), 2).cast("double").alias("hi"),
-        )
+    from end_to_end_etl_pipeline_spark.operators.percentiles import (
+        exact_percentiles,
     )
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # r12: the exact [p05, p95] band via the distributed bracket
+    # selection (operators/percentiles.py) instead of the built-in
+    # percentile() aggregate, whose single-reducer value-map merge was
+    # 1.9 of this query's 2.6 s at sf0.1 and cannot hold a mostly-
+    # unique column at 100 TB. Values are bit-identical (pinned by
+    # tests/test_percentiles.py); the driver floats re-enter the plan
+    # as literals, which also drops the bounds broadcast-join.
+    p05, p95 = exact_percentiles(li, "l_extendedprice", [0.05, 0.95])
+    lo = F.round(F.lit(p05).cast("decimal(20,8)"), 2).cast("double")
+    hi = F.round(F.lit(p95).cast("decimal(20,8)"), 2).cast("double")
     price = F.col("l_extendedprice")
-    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), price))
+    clipped = F.greatest(lo, F.least(hi, price))
     return (
-        li.crossJoin(F.broadcast(b))
+        li
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(price < F.col("lo"), 1).otherwise(0))
+            F.sum(F.when(price < lo, 1).otherwise(0))
             .cast("bigint")
             .alias("n_clipped_low"),
-            F.sum(F.when(price > F.col("hi"), 1).otherwise(0))
+            F.sum(F.when(price > hi, 1).otherwise(0))
             .cast("bigint")
             .alias("n_clipped_high"),
             F.round(F.avg(clipped), 4).alias("avg_winsorized"),

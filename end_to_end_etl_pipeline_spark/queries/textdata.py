@@ -1506,9 +1506,19 @@ def _capped_rare_grams(assigned):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # r12: per-doc distinct via array_distinct BEFORE the explode —
+    # (doc_id, split) is functionally determined by doc_id, so
+    # within-array dedup is exactly the old global .distinct() on
+    # (doc_id, split, gram) minus its full shuffle of every gram
+    # occurrence (the largest relation in the query). The gram table
+    # is now a pure map from the corpus scan; it stays persisted only
+    # because two consumers (the df aggregate and the semi-join) read
+    # it back to back.
     grams = (
-        assigned.select("doc_id", "split", F.explode(gram_arr).alias("gram"))
-        .distinct()
+        assigned.select(
+            "doc_id", "split",
+            F.explode(F.array_distinct(gram_arr)).alias("gram"),
+        )
         .persist()
     )
     rare = (
@@ -1615,6 +1625,13 @@ def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(words).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     n = docs.agg(F.count("*").alias("n"))
+    # df stays a count-over window (r12 measured A/B: a word-keyed
+    # aggregate joined back read 1.27x SLOWER interleaved in one
+    # session — column pruning drops the tf column from the df-side
+    # subtree, so the two (doc_id, word) exchanges are not identical,
+    # ReuseExchange cannot fire, and the broadcast side re-runs the
+    # whole scan+explode+tf aggregation as its own job; the window
+    # computes df from the already-aggregated tf rows in place).
     scored = (
         tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(n))
