@@ -8,34 +8,35 @@ column that serializes the whole column through a single reducer —
 measured 1.9 s for 600k lineitem prices at sf0.1 (r12 profile), and at
 100 TB the merge task simply cannot hold the map.
 
-``exact_percentiles`` computes the SAME interpolated percentile
+``exact_percentiles`` computes the SAME interpolated percentiles
 (bit-identical — see the parity note below) with the classic
-approximate-pre-selection algorithm, all heavy work distributed and
-codegen-friendly:
+approximate-pre-selection algorithm, THREE distributed jobs total for
+any number of percentiles:
 
-1. ONE pass: ``approx_percentile`` brackets around each target rank
-   (rank error <= n/accuracy) plus the non-null count — a mergeable
-   sketch aggregation, no value map.
-2. ONE pass: for the union of brackets, the exact rank below each
-   bracket start (conditional count) and the per-value counts INSIDE
-   each bracket (groupBy over a rank-bounded slice — ~4·n/accuracy
-   rows, e.g. ~24k rows at n=6e8 with the default accuracy, collected
-   bounded to the driver).
-3. Driver: walk the in-bracket histogram to the exact floor/ceil rank
-   values and interpolate with EXACTLY the expression Spark's
-   ``Percentile.getPercentile`` uses::
+1. ``approx_percentile`` brackets around every target rank (rank error
+   <= n/accuracy) plus the non-null count — one mergeable-sketch pass,
+   no value map.
+2. The exact rank below each bracket start — one conditional-count
+   pass.
+3. The per-value counts inside the UNION of brackets — one
+   rank-bounded groupBy (~5·n/accuracy rows per percentile), collected
+   bounded to the driver.
 
-       pos = p * (n - 1)
-       (higher - pos) * lowerValue + (pos - lower) * higherValue
+The driver walks each bracket's slice of that histogram to the exact
+floor/ceil rank values and interpolates with EXACTLY the expression
+Spark's ``Percentile.getPercentile`` uses::
 
-   (same IEEE doubles, same operation order — equality with the
-   built-in is pinned by ``tests/test_percentiles.py`` on real tables
-   and duplicate-heavy fuzz frames).
+    pos = p * (n - 1)
+    (higher - pos) * lowerValue + (pos - lower) * higherValue
 
-If a bracket turns out too tight (approx error landed inside the
-interpolation pair — possible at tiny n) or too wide to collect, the
-schedule widens / tightens once and finally falls back to the built-in
-aggregate, so the result is exact by construction in every path.
+(same IEEE doubles, same operation order — equality with the built-in
+is pinned by ``tests/test_percentiles.py`` on real tables and
+duplicate-heavy fuzz frames).
+
+Small inputs (n < accuracy, where the bracket's rank margin thins
+out) and any bracket-resolution miss fall back to the built-in
+aggregate, which is exact by definition and cheap at the sizes that
+get there — so the result is exact by construction in every path.
 """
 
 from __future__ import annotations
@@ -45,8 +46,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: per-bracket distinct-value collect cap (rows of (value, count))
-_COLLECT_CAP = 200_000
+#: total distinct-value collect cap across all brackets
+_COLLECT_CAP = 500_000
 
 
 def _builtin(df: DataFrame, col: str, ps: list[float]) -> list[float | None]:
@@ -65,76 +66,81 @@ def exact_percentiles(
     ``percentile()`` semantics, nulls ignored), returned as driver
     floats — intended to be re-injected as literals, which also
     removes the bounds broadcast-join the aggregate form needed."""
-    n = df.agg(F.count(F.col(col)).alias("n")).first()["n"]
-    if n == 0:
-        return [None] * len(ps)
+    ps = list(ps)
     # bracket half-width in quantile space: the sketch's own rank
     # error is <= n/accuracy, so p±(2/accuracy) clears it by a full
-    # error margin, and the 2/n term covers the interpolation pair at
-    # tiny n. True bracket start rank <= rank(p) - n/accuracy - 2.
-    eps = 2.0 / accuracy + 2.0 / n
+    # error margin whenever n >= 2·accuracy (below that the built-in
+    # merge is cheap anyway)
+    eps = 2.0 / accuracy
     bounds: list[float] = []
     for p in ps:
         bounds += [max(0.0, p - eps), min(1.0, p + eps)]
     arr = ",".join(repr(b) + "D" for b in bounds)
-    br = df.agg(
-        F.expr(f"approx_percentile({col}, array({arr}), {accuracy})").alias("b")
-    ).first()["b"]
+    first = df.agg(
+        F.count(F.col(col)).alias("n"),
+        F.expr(f"approx_percentile({col}, array({arr}), {accuracy})").alias("b"),
+    ).first()
+    n = first["n"]
+    if n == 0:
+        return [None] * len(ps)
+    if n < accuracy or first["b"] is None:
+        # below ~accuracy rows the bracket's rank margin (n/accuracy)
+        # thins to <1 rank and the built-in merge is cheap anyway
+        return _builtin(df, col, ps)
+    br = first["b"]
 
-    out: list[float | None] = []
-    pending: list[tuple[int, float, int, int, float, float]] = []
+    targets = []  # (i, pos, lower, higher, lo_v, hi_v)
     for i, p in enumerate(ps):
         pos = p * (n - 1)
-        lower, higher = math.floor(pos), math.ceil(pos)
-        pending.append((i, pos, lower, higher, br[2 * i], br[2 * i + 1]))
-        out.append(None)
-
-    # one job per query set: exact rank below each bracket + bounded
-    # in-bracket histograms (union of tiny aggregations; brackets of
-    # the same column batch into one conditional-agg pass)
-    cond_aggs = []
-    for i, _pos, _lo, _hi, lo_v, _hi_v in pending:
-        cond_aggs.append(
-            F.sum(F.when(F.col(col) < lo_v, 1).otherwise(0)).alias(f"c{i}")
+        targets.append(
+            (i, pos, math.floor(pos), math.ceil(pos), br[2 * i], br[2 * i + 1])
         )
-    counts = df.agg(*cond_aggs).first()
 
-    ok = True
-    for i, pos, lower, higher, lo_v, hi_v in pending:
+    # one pass: exact rank below each bracket start
+    counts = df.agg(*[
+        F.sum(F.when(F.col(col) < lo_v, 1).otherwise(0)).alias(f"c{i}")
+        for i, _pos, _lo, _hi, lo_v, _hi_v in targets
+    ]).first()
+    # one pass: distinct-value counts inside the UNION of brackets
+    in_any = None
+    for _i, _pos, _lo, _hi, lo_v, hi_v in targets:
+        cond = (F.col(col) >= lo_v) & (F.col(col) <= hi_v)
+        in_any = cond if in_any is None else (in_any | cond)
+    hist = (
+        df.filter(in_any)
+        .groupBy(col)
+        .count()
+        .orderBy(col)
+        .limit(_COLLECT_CAP + 1)
+        .collect()
+    )
+    if len(hist) > _COLLECT_CAP:
+        return _builtin(df, col, ps)
+
+    out: list[float | None] = [None] * len(ps)
+    for i, pos, lower, higher, lo_v, hi_v in targets:
         c = counts[f"c{i}"] or 0
         if c > lower:
-            ok = False
-            break
-        hist = (
-            df.filter((F.col(col) >= lo_v) & (F.col(col) <= hi_v))
-            .groupBy(col)
-            .count()
-            .orderBy(col)
-            .limit(_COLLECT_CAP + 1)
-            .collect()
-        )
-        if len(hist) > _COLLECT_CAP:
-            ok = False
-            break
+            return _builtin(df, col, ps)
         v_lo = v_hi = None
         r = c
         for h in hist:
+            v = h[col]
+            if v < lo_v or v > hi_v:
+                continue  # a different percentile's bracket slice
             top = r + h["count"] - 1
             if r <= lower <= top:
-                v_lo = h[col]
+                v_lo = v
             if r <= higher <= top:
-                v_hi = h[col]
+                v_hi = v
             r += h["count"]
         if v_lo is None or v_hi is None:
-            ok = False
-            break
+            # bracket missed (sketch error landed inside the
+            # interpolation pair) — exact by the built-in instead
+            return _builtin(df, col, ps)
         if lower == higher:
             out[i] = v_lo
         else:
             # EXACTLY Spark Percentile.getPercentile's expression
             out[i] = (higher - pos) * v_lo + (pos - lower) * v_hi
-    if ok:
-        return out
-    # bracket missed (tiny n / extreme duplication) — the built-in is
-    # exact by definition and cheap at the sizes that get here
-    return _builtin(df, col, ps)
+    return out

@@ -108,15 +108,27 @@ def _codes_expr(v: Column, cb: Codebook, round_dp: int) -> Column:
     subdim = _subdim(cb)
 
     def per_m(m: Column) -> Column:
-        sub = F.slice(v, m * subdim + 1, subdim)
-        cands = F.transform(
-            F.element_at(CB, m + 1),
-            lambda c, j: F.struct(
-                _fold_l2sq(sub, c, round_dp).alias("d"), j.alias("j")
-            ),
+        # let-bind the subvector slice through a 1-element transform:
+        # higher-order functions run interpreted with no subexpression
+        # elimination, so referencing the slice directly inside the
+        # candidate lambda re-materialized it once per centroid (K
+        # copies per subspace per row — measured on the corpus-side
+        # encode as the dominant avoidable cost, r12)
+        sub_bound = F.array(F.slice(v, m * subdim + 1, subdim))
+
+        def argmin(sub: Column) -> Column:
+            cands = F.transform(
+                F.element_at(CB, m + 1),
+                lambda c, j: F.struct(
+                    _fold_l2sq(sub, c, round_dp).alias("d"), j.alias("j")
+                ),
+            )
+            best_j = F.array_min(cands)["j"]
+            return F.element_at(F.element_at(LB, m + 1), best_j + 1)
+
+        return F.element_at(
+            F.transform(sub_bound, lambda sub: argmin(sub)), 1
         )
-        best_j = F.array_min(cands)["j"]
-        return F.element_at(F.element_at(LB, m + 1), best_j + 1)
 
     return F.transform(F.sequence(F.lit(0), F.lit(len(cb) - 1)), per_m)
 

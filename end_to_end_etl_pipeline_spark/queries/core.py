@@ -3563,17 +3563,26 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("profiling", "cleaning", "north-star"),
 )
 def winsorized_price_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_etl_pipeline_spark.operators.percentiles import (
+        exact_percentiles,
+    )
+
     li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    # r12: the EXACT conformance leg comes from the distributed
+    # bracket selection (operators/percentiles.py — bit-identical to
+    # the old in-plan percentile() aggregate, whose single-reducer
+    # value-map merge dominated this query too); the sketch leg under
+    # test stays the in-plan approx_percentile aggregate.
+    elo, ehi = exact_percentiles(li, "l_extendedprice", [0.05, 0.95])
     b = li.agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)"
         ).alias("__ap"),
-        F.expr("percentile(l_extendedprice, array(0.05D, 0.95D))").alias("__ex"),
     ).select(
         F.col("__ap")[0].alias("alo"),
         F.col("__ap")[1].alias("ahi"),
-        F.col("__ex")[0].alias("elo"),
-        F.col("__ex")[1].alias("ehi"),
+        F.lit(elo).alias("elo"),
+        F.lit(ehi).alias("ehi"),
     )
     price = F.col("l_extendedprice")
     g = li.crossJoin(F.broadcast(b)).agg(
@@ -3746,22 +3755,26 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "profiling"),
 )
 def order_price_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").select("o_totalprice")
-    b = o.agg(
-        F.expr(
-            "percentile(o_totalprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
-        ).alias("__q")
-    ).select(
-        F.transform(
-            F.col("__q"),
-            lambda q: F.round(q.cast("decimal(20,8)"), 2).cast("double"),
-        ).alias("bounds")
+    from end_to_end_etl_pipeline_spark.operators.percentiles import (
+        exact_percentiles,
     )
+
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    # r12: decile bounds via the distributed bracket selection
+    # (operators/percentiles.py, bit-identical to the old in-plan
+    # percentile() aggregate) injected as one array literal.
+    deciles = exact_percentiles(
+        o, "o_totalprice", [i / 10 for i in range(1, 10)]
+    )
+    bounds = F.array(*[
+        F.round(F.lit(q).cast("decimal(20,8)"), 2).cast("double")
+        for q in deciles
+    ])
     bucket = (
-        F.size(F.filter(F.col("bounds"), lambda x: F.col("o_totalprice") > x)) + 1
+        F.size(F.filter(bounds, lambda x: F.col("o_totalprice") > x)) + 1
     ).cast("int")
     return (
-        o.crossJoin(F.broadcast(b))
+        o
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
