@@ -40,15 +40,18 @@ def char_shingles(
     shorter than ``n`` produce no rows (and so never pair). MinHash
     doesn't need DISTINCT (min is identical over multiset and set);
     Jaccard sizing does — pass ``distinct=True`` there."""
-    sh = df.select(
-        F.col(id_col),
-        F.expr(
-            f"explode(CASE WHEN length({text_col}) >= {n} THEN "
-            f"transform(sequence(1, length({text_col}) - {n} + 1), "
-            f"i -> substring({text_col}, i, {n})) ELSE array() END) AS shingle"
-        ),
+    arr = (
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n} + 1), "
+        f"i -> substring({text_col}, i, {n})) ELSE array() END"
     )
-    return sh.distinct() if distinct else sh
+    if distinct:
+        # r12: per-doc distinct via array_distinct BEFORE the explode —
+        # (id, shingle) is distinct iff the doc's own shingle array is,
+        # so the old post-explode global .distinct() shuffle of every
+        # shingle occurrence buys nothing
+        arr = f"array_distinct({arr})"
+    return df.select(F.col(id_col), F.expr(f"explode({arr}) AS shingle"))
 
 
 def word_shingles(
@@ -56,15 +59,16 @@ def word_shingles(
 ) -> DataFrame:
     """(id, shingle) — n-word shingles over whitespace tokens."""
     words = f"filter(split({text_col}, ' '), w -> length(w) > 0)"
-    sh = df.select(
-        F.col(id_col),
-        F.expr(
-            f"explode(CASE WHEN size({words}) >= {n} THEN "
-            f"transform(sequence(1, size({words}) - {n} + 1), "
-            f"i -> array_join(slice({words}, i, {n}), ' ')) ELSE array() END) AS shingle"
-        ),
+    arr = (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(1, size({words}) - {n} + 1), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')) ELSE array() END"
     )
-    return sh.distinct() if distinct else sh
+    if distinct:
+        # per-doc array_distinct instead of a post-explode global
+        # shuffle — see char_shingles (r12)
+        arr = f"array_distinct({arr})"
+    return df.select(F.col(id_col), F.expr(f"explode({arr}) AS shingle"))
 
 
 def minhash_signatures(
