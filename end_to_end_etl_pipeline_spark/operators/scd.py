@@ -273,6 +273,15 @@ def scd2_next_state(
     )
     j = cur_p.join(src_p, keys, "full")
     cur_f, new_f = F.col("__cur"), F.col("__new")
+    # Precondition (ADVICE r12): row_hash is NON-NULL by construction
+    # on both sides — sha2(concat_ws(...coalesce...)) from
+    # hashing.row_hash_col never yields null (the source side is
+    # stamped above; the target side was written by this same
+    # machinery). A null row_hash would make `changed` null → treated
+    # as unchanged (current row passes through, new row suppressed),
+    # which differs from the pre-r12 four-branch form (both branches
+    # dropped such a row) — unreachable today, documented so a future
+    # hand-built target doesn't quietly pick one behavior.
     changed = (
         cur_f.isNotNull()
         & new_f.isNotNull()

@@ -39,7 +39,16 @@ def char_shingles(
     """(id, shingle) — all overlapping character n-grams. Documents
     shorter than ``n`` produce no rows (and so never pair). MinHash
     doesn't need DISTINCT (min is identical over multiset and set);
-    Jaccard sizing does — pass ``distinct=True`` there."""
+    Jaccard sizing does — pass ``distinct=True`` there.
+
+    ``distinct=True`` precondition (ADVICE r12): ``id_col`` must
+    identify ONE input row — the r12 ``array_distinct``-before-explode
+    form dedups within each row only, so duplicate (id, text) rows
+    would each re-emit their shingle set where the pre-r12 global
+    ``.distinct()`` collapsed them (double-counted Jaccard sizes).
+    Every in-repo caller feeds one row per document id; dedup
+    upstream (``dropDuplicates(id_col)``) before handing this
+    operator a multiply-keyed frame."""
     arr = (
         f"CASE WHEN length({text_col}) >= {n} THEN "
         f"transform(sequence(1, length({text_col}) - {n} + 1), "
@@ -57,7 +66,9 @@ def char_shingles(
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = False
 ) -> DataFrame:
-    """(id, shingle) — n-word shingles over whitespace tokens."""
+    """(id, shingle) — n-word shingles over whitespace tokens.
+    ``distinct=True`` requires one input row per ``id_col`` — see
+    :func:`char_shingles`."""
     words = f"filter(split({text_col}, ' '), w -> length(w) > 0)"
     arr = (
         f"CASE WHEN size({words}) >= {n} THEN "

@@ -200,13 +200,15 @@ def test_bench_emit_self_gate(tmp_path, capsys, monkeypatch):
     assert head["drift"]["cold"] == 1.12
     assert head["drift"]["warm_used_max"] <= bench.DRIFT_BAR
     assert head["drift"]["ok"] is True
-    # like-for-like frozen at the r11 reference (r12, VERDICT r11 #2):
-    # same-form canary, nothing added since r11 -> nothing excluded,
-    # r11's raw numbers ride along as the stored reference
+    # like-for-like advanced to the r12 reference (r13): same-form
+    # canary, nothing added since r11 -> nothing excluded, r12's raw
+    # numbers ride along as the stored reference (first clean-cold
+    # reference since r08)
     lfl = head["like_for_like"]
-    assert lfl["baseline"] == "r11"
+    assert lfl["baseline"] == "r12"
     assert lfl["excluded"] == []
-    assert lfl["reference"]["warm_sec"] == 40.847
+    assert lfl["reference"]["warm_sec"] == 36.604
+    assert lfl["reference"]["cold_contaminated"] is False
     assert lfl["cold_sec"] == 3.5  # full set: nothing excluded
     assert lfl["warm_sec"] == 1.5
     assert len(line) < 4096
@@ -231,3 +233,47 @@ def test_bench_emit_self_gate(tmp_path, capsys, monkeypatch):
     )
     assert json.loads(line2)["drift"]["ok"] is False
     capsys.readouterr()
+
+
+def test_cold_attempts_prefer_complete_sets(monkeypatch):
+    """ADVICE r12 (bench.py): an attempt whose untimed store setup
+    partly failed used to ship a PARTIAL cold timing set silently —
+    and, being first with clean drift, could end the retry loop. Now
+    a partial attempt (a) never wins over a complete one regardless
+    of drift, (b) triggers a retry, and (c) the chosen payload carries
+    per-attempt counts + the missing names for the sidecar."""
+    import subprocess
+    import types
+
+    import bench
+
+    payloads = [
+        # attempt 0: cleanest drift but the dedup store failed
+        {"timings": {"a": 1.0}, "n_queries": 1,
+         "missing": ["dedup_store_probe"], "canary_cold": 0.5,
+         "trace": [{"pass": "cold", "before": "a", "sec": 0.5},
+                   {"pass": "cold", "before": "b", "sec": 0.5}],
+         "isolation_warm_min": {"a": 0.4}},
+        # attempt 1: complete, slightly noisier but within the bar
+        {"timings": {"a": 1.1, "dedup_store_probe": 2.0}, "n_queries": 2,
+         "missing": [], "canary_cold": 0.5,
+         "trace": [{"pass": "cold", "before": "a", "sec": 0.5},
+                   {"pass": "cold", "before": "b", "sec": 0.55}],
+         "isolation_warm_min": {"a": 0.45, "dedup_store_probe": 1.9}},
+    ]
+    calls = {"n": 0}
+
+    def fake_run(*args, **kwargs):
+        p = payloads[min(calls["n"], len(payloads) - 1)]
+        calls["n"] += 1
+        return types.SimpleNamespace(
+            stdout="COLD_ATTEMPT " + json.dumps(p), returncode=0
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    best = bench._run_cold_attempts()
+    assert best["missing"] == []
+    assert best["n_queries"] == 2
+    assert best["attempt_counts"] == [1, 2]
+    assert len(best["attempt_drifts"]) == 2
+    assert calls["n"] == 2  # the partial attempt forced a retry

@@ -43,6 +43,11 @@ def test_cipher_is_a_derangement_over_letters_and_digits():
         assert all(p != a for p, a in zip(perm, alphabet)), seed
 from tests.conftest import SF_SMOKE  # noqa: E402
 
+import pytest  # noqa: E402
+
+# r13 (VERDICT r12 #1): scaled-lake study — SPARK_GRAFT_FULL_SUITE only
+pytestmark = pytest.mark.full_suite
+
 
 def test_build_scaled_counts_keys_and_corpus_distinctness(spark, tmp_path):
     out = str(tmp_path / "lake")
