@@ -173,16 +173,22 @@ class MinHashDedupStore:
         same schemas and the same deterministic decision rule as
         :meth:`ingest`.
 
-        Fully lazy: no cache, no checkpoint, no side effects — each
-        returned frame is a plain plan the caller materializes (the
-        MinHash arithmetic is deterministic md5, so any recompute is
-        bit-identical). That makes a probe ONE Spark action in plain
-        mode (plus the touched-bucket collect in bucketed mode)
-        instead of ingest's persist/checkpoint choreography, which
-        only pays for itself when the decision must survive the
-        append."""
+        No store mutation and no driver-sized state — but not fully
+        lazy (r13, VERDICT r12 #6): the batch signatures and the
+        store-leg rejections are eagerly ``localCheckpoint``-ed.
+        Both are batch-bounded (K longs per batch doc; one row per
+        collision survivor), and without the checkpoint the lazy
+        plan re-executed the batch scan→repartition→MinHash subtree
+        FOUR times (store leg, both within-batch sides, and the
+        store-leg recompute feeding the anti-join) — ReuseExchange
+        never fires across those branches. Measured on the bench
+        probe (sf0.1, interleaved A/B): 23→17 executed stages, wall
+        min −1.5..16%, median −11..34% depending on box load; the
+        decision frames are bit-identical (MinHash is deterministic
+        md5 arithmetic, checkpointing only changes where rows are
+        re-read from)."""
         _sig_new, _accepted_sigs, rejected = self._decide(
-            docs, text_col, cache=False
+            docs, text_col, cache=False, checkpoint=True
         )
         # accepted mirrors ingest exactly: docs that HAVE a signature
         # (text long enough to shingle — shingle-less docs appear in
@@ -266,17 +272,29 @@ class MinHashDedupStore:
         return n
 
     def _decide(
-        self, docs: DataFrame, text_col: str, cache: bool = True
+        self,
+        docs: DataFrame,
+        text_col: str,
+        cache: bool = True,
+        checkpoint: bool = False,
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """Shared decision plan for :meth:`probe`/:meth:`ingest`:
         returns (sig_new [persisted when ``cache`` — caller
-        unpersists], accepted_sigs, rejected)."""
+        unpersists], accepted_sigs, rejected). ``checkpoint`` (the
+        probe mode) eagerly ``localCheckpoint``-s the two batch-
+        bounded frames every branch fans out from — see
+        :meth:`probe` for the measured stage accounting."""
         sig_new = self._signatures(docs, text_col)
         if cache:
             # persisted, not eagerly counted: the first consumer (the
             # touched-bucket collect, or the append) fills the cache;
             # every later join reads it — one fewer Spark job per call
             sig_new = sig_new.persist()
+        elif checkpoint:
+            # one job computes the batch MinHash once; the four
+            # downstream branches read the checkpointed rows instead
+            # of re-running scan→repartition→shingle→MinHash each
+            sig_new = sig_new.localCheckpoint(eager=True)
         bands_new = self._bands_with_sig(sig_new)
 
         rejected_vs_store = None
@@ -323,6 +341,14 @@ class MinHashDedupStore:
                     F.col("id_a").alias(self.id_col), "dup_of", "est_jaccard"
                 )
             )
+            if checkpoint:
+                # consumed twice (the anti-join's id list AND the
+                # rejected union) — collision-survivor-sized, so the
+                # eager materialization is one tiny job that halves
+                # the store-leg subtree executions
+                rejected_vs_store = rejected_vs_store.localCheckpoint(
+                    eager=True
+                )
 
         # within-batch: lower id survives; rejects can't reject others.
         # Iterative-free formulation: doc X is rejected iff it has a

@@ -51,29 +51,54 @@ def bm25_scores(
 
     ``docs_words`` is (doc_col, words_col array<string>); ``qterms``
     is (query_id, word).  Scale shape: postings are built ONLY for
-    query terms (left-semi before the tf aggregation — the index
-    never materializes for the full vocabulary), document length
-    rides the tokenization (no second doc-keyed join), df is a
-    window over the already-reduced postings (NOT a broadcast-joined
-    aggregate, which would re-run the corpus tokenization through
-    its own job), and terms with df > ``max_df_frac``·N are dropped
-    before scoring (the stopword cap that bounds every posting
-    list).  Returns (query_id, doc_col, bm25) rounded to 6dp.
+    query terms (the per-row ``filter`` against the broadcast term
+    set runs BEFORE the explode — the index never materializes for
+    the full vocabulary, and the Generate never emits a non-query
+    token), document length rides the tokenization (no second
+    doc-keyed join), df is a window over the already-reduced
+    postings (NOT a broadcast-joined aggregate, which would re-run
+    the corpus tokenization through its own job), and terms with
+    df > ``max_df_frac``·N are dropped before scoring (the stopword
+    cap that bounds every posting list).  Returns
+    (query_id, doc_col, bm25) rounded to 6dp.
+
+    ONE tokenization pass (r13, VERDICT r12 #2): the corpus used to
+    be tokenized TWICE — once for the dl/N/avgdl statistics (whose
+    ``broadcast(stats)`` side materializes through its own job,
+    re-running the caller's whole corpus subtree) and once for the
+    exploded postings. Now a skinny per-doc frame
+    (doc, dl, matched-terms array) is persisted — O(docs) rows,
+    bounded by the query-term occurrences, never the full token
+    stream — and both the stats aggregate and the postings explode
+    read it back. Token multiset, dl, and stats are identical by
+    construction (``explode(filter(words, w ∈ terms))`` ≡ the old
+    ``explode(words)`` + left-semi); downstream float math is
+    untouched. The cache entry stays in the session's CacheManager
+    (plan-keyed, same lifecycle as textdata._capped_rare_grams).
+    Measured on hybrid_doc_retrieval (sf0.1, interleaved A/B ×3
+    runs): median −5..10%, min −10.5% on the cleanest run; the
+    corpus parquet subtree drops from 3 executions to 2 (dense arm +
+    this one).
 
     Float-parity note: ``k1 + 1.0`` and ``1 − b`` are computed in
     Python and injected as literals; for the defaults they are
     EXACTLY the doubles 2.2 and 0.25 the DuckDB oracles spell out,
     so scores replay bit-identically."""
-    dl = docs_words.select(doc_col, F.size(words_col).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     uniq = qterms.select("word").distinct()
-    toks = docs_words.select(
-        doc_col, F.size(words_col).alias("dl"),
-        F.explode(words_col).alias("word"),
+    qw = uniq.agg(F.collect_set("word").alias("__qws"))
+    base = docs_words.crossJoin(F.broadcast(qw)).select(
+        doc_col,
+        F.size(words_col).alias("dl"),
+        F.filter(
+            words_col, lambda w: F.array_contains(F.col("__qws"), w)
+        ).alias("__matched"),
+    ).persist()
+    stats = base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    toks = base.select(
+        doc_col, "dl", F.explode("__matched").alias("word")
     )
     tf = (
-        toks.join(F.broadcast(uniq), "word", "left_semi")
-        .groupBy(doc_col, "word")
+        toks.groupBy(doc_col, "word")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     # df stays a count-over window (r12 measured A/B: the word-keyed

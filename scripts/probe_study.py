@@ -56,7 +56,8 @@ def main() -> None:
                                            "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    spark = create_spark_session(app_name="probe_study")
+    spark = create_spark_session(app_name="probe_study",
+                             extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     _cat, probe, tmpdir = bench._build_dedup_store(spark, args.sf_dir)
     try:

@@ -161,12 +161,20 @@ def test_kanonymity_grouped_counts_no_windows(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_dedup_store_probe_plan_lazy_and_jvm_side(spark, tmp_path):
+def test_dedup_store_probe_plan_checkpointed_and_jvm_side(spark, tmp_path):
     """The read-only probe (bench's amortized dedup twin) must stay
-    a plain JVM-side plan: no Python row UDFs, no forced broadcast
-    hint on the store side (store size is unbounded — AQE decides),
-    and fully lazy — constructing the decision frames launches no
-    Spark jobs."""
+    a plain JVM-side plan: no Python row UDFs and no forced broadcast
+    hint on the store side (store size is unbounded — AQE decides).
+
+    r13 (VERDICT r12 #6): probe is no longer fully lazy — the batch
+    signatures and the store-leg rejections are eagerly
+    localCheckpoint'ed at construction (both batch-bounded), because
+    the lazy plan re-executed the batch scan→MinHash subtree FOUR
+    times (ReuseExchange never fires across the branches; measured
+    23→17 stages on the bench probe). Pin the new shape: every
+    batch-side access in the returned `rejected` plan reads the
+    checkpointed rows (Scan ExistingRDD), never the batch source
+    relation itself."""
     from end_to_end_etl_pipeline_spark.operators.dedup_store import (
         MinHashDedupStore,
     )
@@ -182,14 +190,7 @@ def test_dedup_store_probe_plan_lazy_and_jvm_side(spark, tmp_path):
     batch = spark.createDataFrame(
         [(10, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string"
     )
-    tracker = spark.sparkContext.statusTracker()
-    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
     accepted, rejected = store.probe(batch, "text")
-    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
-    # at most the parquet footer/listing metadata job from opening
-    # the store table — never the decision DAG (whose materialization
-    # takes several shuffle jobs)
-    assert jobs_after - jobs_before <= 1, "probe construction must be lazy"
     for df in (accepted, rejected):
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -197,6 +198,19 @@ def test_dedup_store_probe_plan_lazy_and_jvm_side(spark, tmp_path):
             )
         )
         assert "BatchEvalPython" not in plan
+    plan_r = rejected._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # batch MinHash computed once: branches read the checkpoint, and
+    # the batch's own source relation never re-enters the plan (the
+    # store parquet scan legitimately remains)
+    assert "Scan ExistingRDD" in plan_r
+    assert "LocalTableScan" not in plan_r, (
+        "a batch-source scan re-entered the probe plan — the "
+        "checkpoint dedup regressed"
+    )
     analyzed = rejected._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed  # no forced store broadcast
 
