@@ -80,6 +80,14 @@ def bm25_scores(
     corpus parquet subtree drops from 3 executions to 2 (dense arm +
     this one).
 
+    Term-set bound: the per-row match filter is O(|words|·|terms|)
+    interpreted-HOF work (the old explode+semi-join hashed every
+    token once instead), so the distinct query-term set must stay
+    small — the same broadcast-sized bound the semi-join already
+    imposed, and the regime this in-plan scorer is for (per-query
+    term sets; corpus-scale term universes are served by the
+    persisted text_index path).
+
     Float-parity note: ``k1 + 1.0`` and ``1 − b`` are computed in
     Python and injected as literals; for the defaults they are
     EXACTLY the doubles 2.2 and 0.25 the DuckDB oracles spell out,

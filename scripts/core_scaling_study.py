@@ -89,6 +89,10 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--reps", type=int, default=REPS)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--order", nargs="*", default=["32", "8"],
+                    help="child core counts, in run order (order swaps "
+                    "separate a real scaling ratio from box drift "
+                    "between the two child windows)")
     args = ap.parse_args()
 
     if args.run:
@@ -112,7 +116,7 @@ def main() -> None:
         spark.stop()
 
         results = {}
-        for cpus in ("32", "8"):
+        for cpus in args.order:
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run", out,
@@ -129,11 +133,12 @@ def main() -> None:
             else:
                 raise RuntimeError(f"child c{cpus} produced no result "
                                    f"(rc={proc.returncode})")
+        lo, hi = min(args.order, key=int), max(args.order, key=int)
         table = {
             n: {
-                "c32_sec": results["32"][n],
-                "c8_sec": results["8"][n],
-                "ratio": round(results["8"][n] / max(results["32"][n], 1e-9), 2),
+                f"c{hi}_sec": results[hi][n],
+                f"c{lo}_sec": results[lo][n],
+                "ratio": round(results[lo][n] / max(results[hi][n], 1e-9), 2),
             }
             for n in QUERIES
         }

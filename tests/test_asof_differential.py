@@ -100,6 +100,7 @@ def _run_both(spark, lrows, rrows, direction, tolerance):
     lrows=st.lists(LEFT_ROW, min_size=1, max_size=8),
     rrows=st.lists(RIGHT_ROW, min_size=1, max_size=8),
 )
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 def test_asof_join_matches_pandas_merge_asof(
     spark, direction, tolerance, lrows, rrows
 ):

@@ -27,6 +27,7 @@ def _corpus_words(spark, sf_dir):
     )
 
 
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 def test_batched_equals_sequential_on_corpus(spark, sf_dir):
     words = _corpus_words(spark, sf_dir).cache()
     try:
@@ -40,6 +41,7 @@ def test_batched_equals_sequential_on_corpus(spark, sf_dir):
         words.unpersist()
 
 
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 def test_batched_equals_sequential_adversarial(spark):
     # Hand-built skew: overlapping pairs ("xab" vs "ab"), chains
     # ("abc" -> (ab,c) created mid-round), ties resolved

@@ -95,6 +95,7 @@ BATCH = st.dictionaries(st.integers(1, 12), DOC, min_size=1, max_size=8)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 @given(b1=BATCH, b2=BATCH)
 def test_dedup_store_invariants_fuzzed(spark, tmp_path_factory, b1, b2):
     """Over random two-batch chains: accepted/rejected partition each

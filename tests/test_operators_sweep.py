@@ -623,6 +623,7 @@ _CORPUS = st.dictionaries(st.integers(1, 9), _DOC_LINES, min_size=1, max_size=6)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 @given(corpus=_CORPUS)
 def test_line_dedup_invariants_fuzzed(spark, corpus):
     """Over random corpora: (1) every eligible normalized line appears
@@ -735,6 +736,7 @@ def test_script_profile_counts_and_dominant(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 @given(corpus=_CORPUS)
 def test_within_doc_line_dedup_invariants_fuzzed(spark, corpus):
     """Over random corpora: (1) within one output doc every eligible

@@ -34,6 +34,7 @@ def test_matches_builtin_on_real_tables(spark):
         assert mine == ref, (sfd, mine, ref)
 
 
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 def test_matches_builtin_fuzz(spark):
     """Tiny frames, duplicate-heavy frames, single rows — every shape
     that can force the bracket out of range must land in the built-in
@@ -182,6 +183,7 @@ def test_grouped_declines_cleanly(spark):
     ) is None
 
 
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 def test_grouped_matches_builtin_fuzz(spark):
     """Duplicate-heavy and skewed-group frames: wherever the grouped
     operator accepts, it must equal the built-in bit-for-bit."""

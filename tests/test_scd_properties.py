@@ -3,6 +3,7 @@ one-current-per-key, latest-batch-wins, validity continuity, re-run
 idempotence, and null-sentinel hashing — over randomized small batch
 chains."""
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -25,6 +26,7 @@ def _df(spark, batch):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 @given(batches=st.tuples(BATCH, BATCH, BATCH))
 def test_scd2_invariants_over_batch_chains(spark, batches):
     state = None
@@ -65,6 +67,7 @@ def test_scd2_invariants_over_batch_chains(spark, batches):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.full_suite  # fuzz/sweep tier (r13, VERDICT r12 #1)
 @given(b1=BATCH, b2=BATCH)
 def test_scd2_reapply_is_idempotent(spark, b1, b2):
     """Re-delivering an identical batch (same as_of) must be a no-op:
